@@ -1,0 +1,73 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query runs once warm-up-free but shares one SparkSession, so JVM
+startup is excluded from per-query timings (timed per query; the
+headline value is the sum of per-query wall times).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from pyspark_scd_spark.session import get_spark
+
+# The headline set: one per operator family — SCD pipeline, windows,
+# joins+agg, top-k, sessionization, dedup/text/similarity (as added).
+HEADLINE = [
+    "scd_employee_all",
+    "scd_employee_current",
+    "top1_per_group",
+    "latest_per_group_maxby",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_nation_revenue",
+    "events_sessionize",
+    "window_running_sum",
+    "global_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

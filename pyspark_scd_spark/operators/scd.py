@@ -1,0 +1,412 @@
+"""Slowly-changing-dimension operators, generalized and scale-hardened.
+
+The reference computes an SCD history (``employee_all``) and a current
+view (``employee_current``) from daily full snapshots using only window
+functions (reference jobs/create_employee_all.py:51-150, README.md:99).
+This module re-implements that semantic surface as pure, parameterized
+DataFrame transforms — ``key_cols`` / ``time_col`` / ``hash_cols`` are
+arguments, not hardcoded employee columns — with the reference's known
+scale hazards engineered out:
+
+- global max computed via ``agg(max)`` + broadcast cross-join instead of
+  a ``partitionBy(lit(1))`` window that funnels every row through one
+  task (reference jobs/create_employee_all.py:58,63,118,127);
+- gaps-and-islands partitioned by ``(key, hash, gap_grp)`` — the
+  reference partitions by ``gap_grp`` alone, which collapses islands of
+  different entities into one group and is empirically wrong on its own
+  committed output (SURVEY.md §2 #11; reference
+  jobs/create_employee_all.py:138);
+- deterministic dedup tie-break (the reference's survivor among true
+  duplicates is arbitrary, reference jobs/create_employee_all.py:74);
+- ``unionByName`` instead of positional ``unionAll`` (reference
+  jobs/create_employee_all.py:77-78).
+
+Every window here partitions by the entity key, so the work distributes
+across executors by key hash — the plan shape survives a 100 TB input
+as long as no single entity's history is pathological.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Status vocabulary, verbatim from the reference (README.md:34-41,
+# jobs/create_employee_all.py:128-134).
+STATUS_NEW = "New"
+STATUS_NO_CHANGE = "No Change"
+STATUS_CHANGED = "Changed"
+STATUS_DELETED = "Deleted"
+
+
+def with_row_hash(
+    df: DataFrame,
+    hash_cols: Sequence[str],
+    out_col: str = "row_hash",
+    hardened: bool = False,
+) -> DataFrame:
+    """Per-row change-detection fingerprint.
+
+    Faithful form: ``sha2(concat_ws("||", cols), 256)`` as in reference
+    jobs/create_employee_all.py:99-109, including its two documented
+    hazards (``concat_ws`` skips NULLs → NULL-shift collisions; a value
+    containing the delimiter can collide across a column boundary).
+
+    ``hardened=True`` switches to ``sha2(to_json(struct(cols)), 256)``:
+    NULLs and delimiters are unambiguous because each value is a quoted,
+    keyed JSON field. Use this form for new pipelines; the faithful form
+    exists for parity with the reference and for the DuckDB oracle
+    (``sha256(concat_ws(...))`` matches bit-for-bit on string/int input).
+    """
+    cols = [F.col(c) for c in hash_cols]
+    if hardened:
+        fingerprint = F.sha2(F.to_json(F.struct(*cols)), 256)
+    else:
+        fingerprint = F.sha2(F.concat_ws("||", *cols), 256)
+    return df.withColumn(out_col, fingerprint)
+
+
+def snapshot_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep exactly one row per key group.
+
+    The reference's dedup (reference jobs/create_employee_all.py:74-81)
+    orders by a column that is constant within the partition, so the
+    survivor among non-identical duplicates is nondeterministic. Here
+    ``tiebreak_cols`` (descending) pins the survivor; with no tiebreak
+    given this degenerates to ``dropDuplicates`` semantics, which is
+    fine only when duplicates are exact re-drops (reference README.md:87).
+    """
+    if not tiebreak_cols:
+        return df.dropDuplicates(list(key_cols))
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def union_snapshots(history: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """Append new snapshot rows to accumulated history, by column NAME.
+
+    The reference aligns column order by projection then uses positional
+    ``unionAll`` (reference jobs/create_employee_all.py:77-78) — silent
+    corruption if the order ever drifts. ``unionByName`` makes the match
+    explicit and fails fast on a missing column.
+    """
+    return history.unionByName(new_rows, allowMissingColumns=False)
+
+
+def _with_global_max(
+    df: DataFrame, time_col: str, out_col: str
+) -> DataFrame:
+    """Stamp the dataset-global max of ``time_col`` onto every row.
+
+    Replaces the reference's ``max(t) over (partition by lit(1))``
+    (reference jobs/create_employee_all.py:118,127 and :58,63), which
+    shuffles the entire dataset into a single task. ``agg(max)``
+    aggregates map-side down to one row per partition, and the broadcast
+    cross-join adds the scalar to every row with no shuffle at all —
+    Catalyst plans a BroadcastNestedLoopJoin over a 1-row table.
+    """
+    scalar = df.agg(F.max(time_col).alias(out_col))
+    return df.crossJoin(F.broadcast(scalar))
+
+
+def with_change_status(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    hash_col: str = "row_hash",
+    status_col: str = "change_status",
+    treat_gap_as_delete: bool = False,
+) -> DataFrame:
+    """Classify every snapshot row as New / Changed / No Change / Deleted.
+
+    Semantics per reference jobs/create_employee_all.py:111-134:
+    - ``New``      : the entity's earliest snapshot row (wins over all);
+    - ``Deleted``  : the entity's latest row, when that row predates the
+                     dataset-global latest snapshot (entity dropped out);
+    - ``Changed``  : fingerprint differs from the previous snapshot row;
+    - ``No Change``: fingerprint equals the previous row's.
+
+    A gap followed by reappearance compares against the pre-gap
+    fingerprint — the gap itself is invisible (reference behavior,
+    SURVEY.md §2 #10). ``treat_gap_as_delete=True`` additionally marks
+    the row *before* a gap as ``Deleted`` and the reappearance row as
+    ``New`` (an extension; off by default for parity).
+
+    Unlike the reference, the min/max windows use explicit unbounded
+    frames — the reference relied on a running max over an ascending
+    order being "accidentally correct" at the one row where it is read
+    (SURVEY.md §2 #7).
+    """
+    w_key = Window.partitionBy(*key_cols)
+    w_full = w_key.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = w_key.orderBy(time_col)
+
+    if treat_gap_as_delete:
+        # Rank the distinct snapshot dates (a tiny, bounded set — one row
+        # per snapshot, not per data row) and broadcast the rank back so
+        # a jump of >1 rank between consecutive observations of an entity
+        # marks a gap. The rank window is global but runs over #snapshots
+        # rows only, so it is not a scale hazard.
+        date_rank = (
+            df.select(time_col)
+            .distinct()
+            .withColumn("__t_rank", F.row_number().over(Window.orderBy(time_col)))
+        )
+        df = df.join(F.broadcast(date_rank), on=time_col, how="left")
+
+    df = (
+        df.withColumn("__min_t", F.min(time_col).over(w_full))
+        .withColumn("__max_t", F.max(time_col).over(w_full))
+        .withColumn("__prev_hash", F.lag(hash_col).over(w_ord))
+        .withColumn("__next_hash", F.lead(hash_col).over(w_ord))
+    )
+    df = _with_global_max(df, time_col, "__global_max_t")
+
+    t = F.col(time_col)
+    ended_early = F.col("__next_hash").isNull() & (
+        F.col("__max_t") != F.col("__global_max_t")
+    )
+    is_first = t == F.col("__min_t")
+    changed = F.col("__prev_hash") != F.col(hash_col)
+
+    if treat_gap_as_delete:
+        gap_before = (F.col("__t_rank") - F.lag("__t_rank").over(w_ord)) > 1
+        gap_after = (F.lead("__t_rank").over(w_ord) - F.col("__t_rank")) > 1
+        status = (
+            F.when(is_first, F.lit(STATUS_NEW))
+            .when(gap_before, F.lit(STATUS_NEW))
+            .when(gap_after | ended_early, F.lit(STATUS_DELETED))
+            .when(changed, F.lit(STATUS_CHANGED))
+            .otherwise(F.lit(STATUS_NO_CHANGE))
+        )
+        return df.withColumn(status_col, status).drop("__t_rank")
+
+    status = (
+        F.when(is_first, F.lit(STATUS_NEW))
+        .when(ended_early, F.lit(STATUS_DELETED))
+        .when(changed, F.lit(STATUS_CHANGED))
+        .otherwise(F.lit(STATUS_NO_CHANGE))
+    )
+    return df.withColumn(status_col, status)
+
+
+def with_change_date(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    hash_col: str = "row_hash",
+    status_col: str = "change_status",
+    out_col: str = "changed_status_date",
+) -> DataFrame:
+    """Gaps-and-islands: date each row's status took effect.
+
+    ``gap_grp = row_number() over (key ↓t) − row_number() over
+    (key, hash ↓t)`` identifies contiguous runs of the same fingerprint;
+    ``out_col`` = the run's first snapshot date, except ``Deleted`` rows
+    which carry their own date (reference
+    jobs/create_employee_all.py:136-150).
+
+    The island-min window partitions by ``(key, hash, gap_grp)`` — the
+    *corrected* form. The reference partitions by ``gap_grp`` alone
+    (reference jobs/create_employee_all.py:138), merging islands across
+    entities; its own committed output shows the wrong dates (e.g. emp
+    13's 2020-01-02 salary change dated 2020-01-01 — SURVEY.md §2 #11).
+    """
+    w1 = Window.partitionBy(*key_cols).orderBy(F.col(time_col).desc())
+    w2 = Window.partitionBy(*key_cols, hash_col).orderBy(
+        F.col(time_col).desc()
+    )
+    df = df.withColumn(
+        "__gap_grp", F.row_number().over(w1) - F.row_number().over(w2)
+    )
+    w_island = Window.partitionBy(*key_cols, hash_col, "__gap_grp")
+    island_min = F.min(time_col).over(w_island)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(status_col) == STATUS_DELETED, F.col(time_col)).otherwise(
+            island_min
+        ),
+    )
+
+
+_HELPER_COLS = (
+    "__min_t",
+    "__max_t",
+    "__prev_hash",
+    "__next_hash",
+    "__global_max_t",
+    "__gap_grp",
+    "__n_dates_lt",
+    "row_hash",
+)
+
+
+def drop_helpers(df: DataFrame, extra: Sequence[str] = ()) -> DataFrame:
+    """Drop internal helper columns (reference
+    jobs/create_employee_all.py:120,140,150). Catalyst column-pruning
+    means they were never materialized downstream anyway."""
+    present = [c for c in (*_HELPER_COLS, *extra) if c in df.columns]
+    return df.drop(*present)
+
+
+def current_view(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    stamp_global_max: bool = True,
+) -> DataFrame:
+    """Latest row per entity (the SCD Type-1 "current" table).
+
+    Keeps entities whose latest status is ``Deleted`` — their last-seen
+    row survives, matching the reference's committed current view
+    (reference jobs/create_employee_all.py:51-66; SURVEY.md §2 #13).
+
+    ``stamp_global_max=True`` overwrites ``time_col`` with the global
+    max snapshot date on every row (reference behavior, :58,63) via the
+    broadcast-scalar pattern, not a single-partition window.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(time_col).desc())
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if stamp_global_max:
+        latest = _with_global_max(latest, time_col, "__stamp")
+        latest = latest.withColumn(time_col, F.col("__stamp")).drop("__stamp")
+    return latest
+
+
+def scd_apply(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    hash_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+    hardened_hash: bool = False,
+    treat_gap_as_delete: bool = False,
+) -> DataFrame:
+    """The full ``employee_all`` pipeline as one transform chain
+    (reference jobs/create_employee_all.py:236-240): dedup → hash →
+    status → change date → drop helpers."""
+    df = snapshot_dedup(snapshots, [*key_cols, time_col], tiebreak_cols)
+    df = with_row_hash(df, hash_cols, hardened=hardened_hash)
+    df = with_change_status(
+        df,
+        key_cols,
+        time_col,
+        treat_gap_as_delete=treat_gap_as_delete,
+    )
+    df = with_change_date(df, key_cols, time_col)
+    return drop_helpers(df)
+
+
+def scd_bootstrap(
+    first_snapshot: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    status_col: str = "change_status",
+    date_col: str = "changed_status_date",
+) -> DataFrame:
+    """Initial current view from the first snapshot: everything is New."""
+    return first_snapshot.withColumn(
+        status_col, F.lit(STATUS_NEW)
+    ).withColumn(date_col, F.col(time_col))
+
+
+def scd_merge(
+    current: DataFrame,
+    new_snapshot: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    hash_cols: Sequence[str],
+    status_col: str = "change_status",
+    date_col: str = "changed_status_date",
+) -> DataFrame:
+    """Incremental MERGE-style upsert: one new snapshot against the
+    current view only — the 100 TB path.
+
+    The reference recomputes every status over the full accumulated
+    history on every run (reference jobs/create_employee_all.py:76-81,
+    README's read-own-output loop) — O(history) per day. This joins the
+    day's snapshot (N_day rows) against the current view (N_entities
+    rows) with a full-outer join on the key: O(N_entities) per day,
+    independent of history depth, and co-partitionable (bucket both
+    sides by key → zero-shuffle join). BASELINE.json names this
+    ("DataFrame upsert/merge operations") as the target approach.
+
+    Returns the NEW current view with ``status_col``/``date_col``
+    updated; append it to the history table to extend ``employee_all``.
+    Known divergence vs the full windowed recompute: an entity that
+    disappears and later reappears with its pre-gap fingerprint gets
+    its change date from the merge state, not from the pre-gap island
+    (the window form treats the gap as invisible — SURVEY.md §2 #10).
+    """
+    keys = list(key_cols)
+    attr_cols = [c for c in new_snapshot.columns if c not in (*keys, time_col)]
+
+    new = with_row_hash(new_snapshot, hash_cols, out_col="__new_hash")
+    cur = with_row_hash(current, hash_cols, out_col="__cur_hash")
+
+    # Alias scheme: user attribute columns get a "__an_" / "__ac_" prefix
+    # (new/current side); bookkeeping columns use bare "__*" names with
+    # no user-column suffix, so no user column name can collide.
+    n = new.select(
+        *keys,
+        F.col(time_col).alias("__t_n"),
+        *[F.col(a).alias(f"__an_{a}") for a in attr_cols],
+        "__new_hash",
+    )
+    c = cur.select(
+        *keys,
+        F.col(time_col).alias("__t_c"),
+        *[F.col(a).alias(f"__ac_{a}") for a in attr_cols],
+        F.col(status_col).alias("__st_c"),
+        F.col(date_col).alias("__dt_c"),
+        "__cur_hash",
+    )
+    j = n.join(c, on=keys, how="full_outer")
+
+    # concat_ws never yields NULL, so a NULL hash ⇔ that side's row is
+    # absent from the join — no separate presence flags needed.
+    is_new = F.col("__cur_hash").isNull()
+    is_gone = F.col("__new_hash").isNull()
+    changed = F.col("__new_hash") != F.col("__cur_hash")
+
+    status = (
+        F.when(is_new, F.lit(STATUS_NEW))
+        .when(is_gone, F.lit(STATUS_DELETED))
+        .when(changed, F.lit(STATUS_CHANGED))
+        .otherwise(F.lit(STATUS_NO_CHANGE))
+    )
+    change_date = (
+        F.when(is_new, F.col("__t_n"))
+        .when(is_gone, F.col("__t_c"))
+        .when(changed, F.col("__t_n"))
+        .otherwise(F.col("__dt_c"))
+    )
+    picked_attrs = [
+        F.when(is_gone, F.col(f"__ac_{a}")).otherwise(F.col(f"__an_{a}")).alias(a)
+        for a in attr_cols
+    ]
+    return j.select(
+        *keys,
+        F.coalesce(F.col("__t_n"), F.col("__t_c")).alias(time_col),
+        *picked_attrs,
+        status.alias(status_col),
+        change_date.alias(date_col),
+    )

@@ -1,0 +1,841 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with the ANSI-SQL oracle string DuckDB runs over the same parquet tables
+(or ``None`` for ops that are genuinely not SQL-expressible — iterative
+algorithms, LSH, streaming — which the driver checks rows-only).
+
+Parity rules (driver compares row-count + schema + order-insensitive
+value-hash, sorting columns by name):
+- every computed column is aliased IDENTICALLY in builder and oracle;
+- floating-point aggregates are rounded in BOTH engines;
+- timestamps surfaced in outputs are cast to DATE (or formatted) in
+  BOTH engines so the representations agree.
+
+The SCD queries re-cast ``orders`` as daily snapshots of a customer's
+order state (key=o_custkey, time=order date, state=(o_orderstatus,
+o_orderpriority)) per FIXTURES.md §B mapping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators import relational, scd, topk
+from pyspark_scd_spark.operators.quality import duplicate_keys
+from pyspark_scd_spark.sources.readers import read_parquet_table
+
+
+@dataclass(frozen=True)
+class Query:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------
+# Orders-as-snapshots derivation shared by the SCD queries.
+# One row per (customer, order date); deterministic survivor = max
+# o_orderkey (fixing the reference's arbitrary dedup survivor,
+# reference jobs/create_employee_all.py:74-81 / SURVEY.md §2 #4).
+# ----------------------------------------------------------------------
+
+SNAPS_SQL = """
+SELECT key, snap_date, o_orderstatus, o_orderpriority FROM (
+  SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS snap_date,
+         o_orderstatus, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+SCD_HASH_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    snaps = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.to_date("o_orderdate").alias("snap_date"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    return scd.snapshot_dedup(
+        snaps, ["key", "snap_date"], tiebreak_cols=["o_orderkey"]
+    ).drop("o_orderkey")
+
+
+# ======================================================================
+# Reference surface: scan / project / dedup / union / hash
+# ======================================================================
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_extendedprice, CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    """,
+    doc="Schema-enforced scan with filter+projection pushdown "
+    "(reference load_csv_df, jobs/create_employee_all.py:29-49; scan "
+    "plan shows PushedFilters + 4-column ReadSchema).",
+)
+def q_scan_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+    )
+
+
+@register(
+    "union_all",
+    """
+    SELECT o_orderkey, o_totalprice, 'urgent' AS src FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'high' AS src FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="unionByName append (reference positional unionAll, "
+    "jobs/create_employee_all.py:77-78, fixed per SURVEY.md §2 #3).",
+)
+def q_union_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("urgent").alias("src")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("src")
+    )
+    return scd.union_snapshots(urgent, high)
+
+
+@register(
+    "dedup_keep_one",
+    SNAPS_SQL,
+    doc="Exact-dup removal with deterministic survivor "
+    "(reference import_new_files, jobs/create_employee_all.py:74-81).",
+)
+def q_dedup_keep_one(spark, sf_dir):
+    return order_snapshots(spark, sf_dir)
+
+
+@register(
+    "row_hash",
+    f"""
+    WITH snaps AS ({SNAPS_SQL})
+    SELECT key, snap_date,
+           sha256(concat_ws('||', o_orderstatus, o_orderpriority)) AS row_hash
+    FROM snaps
+    """,
+    doc="sha2(concat_ws) change fingerprint, bit-for-bit vs DuckDB "
+    "(reference add_row_hash, jobs/create_employee_all.py:99-109).",
+)
+def q_row_hash(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    return scd.with_row_hash(snaps, SCD_HASH_COLS).select(
+        "key", "snap_date", "row_hash"
+    )
+
+
+@register(
+    "project_exclude",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders",
+    doc="Projection by exclusion list (reference remove_columns, "
+    "jobs/create_employee_all.py:85-97).",
+)
+def q_project_exclude(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    exclude = ["o_totalprice", "o_orderdate"]
+    return o.select([c for c in o.columns if c not in exclude])
+
+
+# ======================================================================
+# Reference surface: the SCD pipeline itself
+# ======================================================================
+
+_SCD_FULL_SQL = f"""
+WITH snaps AS ({SNAPS_SQL}),
+h AS (
+  SELECT *, sha256(concat_ws('||', o_orderstatus, o_orderpriority)) AS row_hash
+  FROM snaps),
+s AS (
+  SELECT *,
+    MIN(snap_date) OVER (PARTITION BY key) AS min_t,
+    MAX(snap_date) OVER (PARTITION BY key) AS max_t,
+    LAG(row_hash)  OVER (PARTITION BY key ORDER BY snap_date) AS prev_hash,
+    LEAD(row_hash) OVER (PARTITION BY key ORDER BY snap_date) AS next_hash,
+    MAX(snap_date) OVER () AS global_max_t
+  FROM h),
+st AS (
+  SELECT *,
+    CASE WHEN snap_date = min_t THEN 'New'
+         WHEN next_hash IS NULL AND max_t <> global_max_t THEN 'Deleted'
+         WHEN prev_hash <> row_hash THEN 'Changed'
+         ELSE 'No Change' END AS change_status
+  FROM s),
+g AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY snap_date DESC)
+    - ROW_NUMBER() OVER (PARTITION BY key, row_hash ORDER BY snap_date DESC)
+      AS gap_grp
+  FROM st)
+SELECT key, snap_date, o_orderstatus, o_orderpriority, change_status,
+       CASE WHEN change_status = 'Deleted' THEN snap_date
+            ELSE MIN(snap_date) OVER (PARTITION BY key, row_hash, gap_grp)
+       END AS changed_status_date
+FROM g
+"""
+
+
+@register(
+    "scd_employee_all",
+    _SCD_FULL_SQL,
+    doc="The full SCD history pipeline — dedup → hash → 4-way status "
+    "CASE → corrected gaps-and-islands change date (reference "
+    "jobs/create_employee_all.py:111-150; islands partitioning fixed "
+    "per SURVEY.md §2 #11).",
+)
+def q_scd_employee_all(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    out = scd.scd_apply(
+        snaps, key_cols=["key"], time_col="snap_date", hash_cols=SCD_HASH_COLS
+    )
+    return out.select(
+        "key",
+        "snap_date",
+        "o_orderstatus",
+        "o_orderpriority",
+        "change_status",
+        "changed_status_date",
+    )
+
+
+_SCD_CURRENT_SQL = f"""
+WITH hist AS ({_SCD_FULL_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY snap_date DESC) AS rn
+  FROM hist)
+SELECT key, (SELECT MAX(snap_date) FROM ranked) AS snap_date,
+       o_orderstatus, o_orderpriority, change_status, changed_status_date
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "scd_employee_current",
+    _SCD_CURRENT_SQL,
+    doc="Current view: latest row per key incl. Deleted survivors, "
+    "time stamped to global max via broadcast scalar — not a "
+    "partitionBy(lit(1)) window (reference get_latest_snapshot, "
+    "jobs/create_employee_all.py:51-66; fix per SURVEY.md §2 #14).",
+)
+def q_scd_employee_current(spark, sf_dir):
+    hist = q_scd_employee_all(spark, sf_dir)
+    cur = scd.current_view(hist, ["key"], "snap_date")
+    return cur.select(
+        "key",
+        "snap_date",
+        "o_orderstatus",
+        "o_orderpriority",
+        "change_status",
+        "changed_status_date",
+    )
+
+
+@register(
+    "scd_merge_incremental",
+    None,  # iterative fold — not expressible as one ANSI query
+    doc="MERGE-style incremental upsert folded over yearly snapshots "
+    "(BASELINE.json approach; O(current) per step instead of the "
+    "reference's O(history) full recompute).",
+)
+def q_scd_merge_incremental(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    yearly = (
+        orders.select(
+            F.col("o_custkey").alias("key"),
+            F.year("o_orderdate").alias("snap_year"),
+            F.to_date("o_orderdate").alias("snap_date"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderkey",
+        )
+        .transform(
+            lambda df: scd.snapshot_dedup(
+                df, ["key", "snap_year"], tiebreak_cols=["snap_date", "o_orderkey"]
+            )
+        )
+        .drop("o_orderkey", "snap_date")
+    )
+    years = sorted(
+        r[0] for r in yearly.select("snap_year").distinct().collect()
+    )
+    current = None
+    for y in years:
+        day = yearly.filter(F.col("snap_year") == y)
+        if current is None:
+            current = scd.scd_bootstrap(day, ["key"], "snap_year")
+        else:
+            current = scd.scd_merge(
+                current, day, ["key"], "snap_year", SCD_HASH_COLS
+            )
+        current = current.localCheckpoint(eager=False)
+    return current
+
+
+@register(
+    "dup_key_check",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    HAVING COUNT(*) > 1
+    """,
+    doc="Duplicate-key quality gate as an inspectable DataFrame "
+    "(reference test_DF, jobs/create_employee_all.py:165-169).",
+)
+def q_dup_key_check(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+    return duplicate_keys(o, ["o_custkey", "order_date"])
+
+
+# ======================================================================
+# Window breadth (reference #7/#8 generalized)
+# ======================================================================
+
+
+@register(
+    "window_min_max_lag_lead",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(MIN(o_orderdate) OVER w AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) OVER w AS DATE) AS last_order,
+           LAG(o_orderkey)  OVER wo AS prev_orderkey,
+           LEAD(o_orderkey) OVER wo AS next_orderkey
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Per-key min/max with explicit unbounded frames + lag/lead "
+    "(reference get_change_status windows, "
+    "jobs/create_employee_all.py:117-126, frame bug fixed per "
+    "SURVEY.md §2 #7).",
+)
+def q_window_min_max_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.to_date(F.min("o_orderdate").over(wf)).alias("first_order"),
+        F.to_date(F.max("o_orderdate").over(wf)).alias("last_order"),
+        F.lag("o_orderkey").over(wo).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
+    )
+
+
+@register(
+    "global_max_broadcast",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders) AS global_max_date
+    FROM orders
+    """,
+    doc="Global max stamped on every row via agg + broadcast cross-join "
+    "— replaces the reference's single-partition lit(1) window "
+    "(jobs/create_employee_all.py:118,127; SURVEY.md §2 #9).",
+)
+def q_global_max_broadcast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    scalar = o.agg(F.to_date(F.max("o_orderdate")).alias("global_max_date"))
+    return o.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    ).crossJoin(F.broadcast(scalar))
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Per-key running total over a deterministic total order.",
+)
+def q_window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# ======================================================================
+# Top-k / latest-per-group (reference #13 generalized) — M0 flagship
+# ======================================================================
+
+
+@register(
+    "top1_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                ORDER BY l_shipdate DESC, l_linenumber DESC,
+                         l_partkey DESC, l_suppkey DESC) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+    doc="Latest lineitem per order (reference get_latest_snapshot "
+    "shape, jobs/create_employee_all.py:51-66). M0 flagship.",
+)
+def q_top1_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata; the
+    # 4-column ordering is verified unique → deterministic survivor.
+    out = topk.topk_per_group(
+        li,
+        ["l_orderkey"],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_linenumber").desc(),
+            F.col("l_partkey").desc(),
+            F.col("l_suppkey").desc(),
+        ],
+        k=1,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+@register(
+    "latest_per_group_maxby",
+    """
+    SELECT o_custkey, order_date, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+             o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+    doc="k=1 via max_by struct aggregation: shuffle moves |keys| rows, "
+    "not |rows| — the scale path for latest-per-key.",
+)
+def q_latest_per_group_maxby(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = topk.latest_per_group(
+        o.select(
+            "o_custkey", F.to_date("o_orderdate").alias("order_date"),
+            "o_orderkey", "o_totalprice",
+        ),
+        ["o_custkey"],
+        "order_date",
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out
+
+
+@register(
+    "global_topk",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="Global top-k via TakeOrderedAndProject — per-task local top-k, "
+    "no global sort materialized.",
+)
+def q_global_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = topk.global_topk(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+# ======================================================================
+# Aggregation breadth
+# ======================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty,
+           ROUND(AVG(l_discount), 6)      AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: multi-aggregate groupBy with "
+    "map-side partial aggregation.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)  AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical grouping sets; one shuffle, expanded map-side.",
+)
+def q_agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+        kind="rollup",
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT)       AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="All grouping-set combinations.",
+)
+def q_agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+        kind="cube",
+    )
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi-column distinct aggregation (Catalyst expand + 2-phase).",
+)
+def q_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# ======================================================================
+# Join breadth
+# ======================================================================
+
+
+@register(
+    "q3_top_unshipped",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style 3-way join + agg + top-k; customer side "
+    "broadcast, lineitem never shuffled for the dim join.",
+)
+def q3_top_unshipped(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    joined = li.join(
+        relational.join_dim(
+            o, c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue", F.to_date("o_orderdate").alias("order_date")
+        )
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style 6-way star join through two dim hops; all dims "
+    "broadcast so the only shuffle is the final groupBy.",
+)
+def q5_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    snr = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(snr),
+            (li.l_suppkey == snr.s_suppkey)
+            & (c.c_nationkey == snr.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "semi_join",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    """,
+    doc="EXISTS via left-semi hash join.",
+)
+def q_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return relational.semi_join(
+        o, li, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="NOT EXISTS via left-anti join.",
+)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return relational.anti_join(
+        c, o, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      AND EXTRACT(year FROM o_orderdate) = 1996
+    """,
+    doc="INTERSECT / EXCEPT set algebra.",
+)
+def q_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    f96 = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.year("o_orderdate") == 1996)
+    ).select("o_custkey")
+    return y94.intersect(y95).subtract(f96)
+
+
+# ======================================================================
+# Events: sessionization + time windows (batch forms)
+# ======================================================================
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_start,
+        event_id
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(MIN(ts) AS DATE) AS session_start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: lag-gap mark + running-sum session ids "
+    "(30-min inactivity gap), then per-session aggregates. Streaming "
+    "twin: session_window + watermark (streaming/sessions.py).",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    marked = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = marked.withColumn("session_id", F.sum("is_start").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("session_start_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregate (batch form of the "
+    "streaming windowed agg); window start surfaced as epoch seconds "
+    "so both engines hash identical representations.",
+)
+def q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Schema-enforced readers.
+
+Parquet-first (the testdata format and the only sane format at 100 TB);
+CSV retained as the snapshot-ingest format with the reference's exact
+conventions — explicit StructType, FAILFAST, header, ``NULL`` sentinel,
+``yyyy-MM-dd`` dates (reference jobs/create_employee_all.py:40-47).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """One driver-testdata table. Plain ``spark.read.parquet`` — filters
+    and projections placed on the result push down to the scan
+    (verify via ``.explain``: PushedFilters / ReadSchema).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark rejects
+    ([PARQUET_TYPE_ILLEGAL]); it is read with ``nanosAsLong`` and the
+    ``ts`` column rebuilt as a microsecond timestamp — a projection on
+    the scan output, so pushdown on the other columns is preserved.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        read_parquet_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_snapshots(
+    spark: SparkSession,
+    pattern: str,
+    schema: T.StructType,
+    date_format: str = "yyyy-MM-dd",
+    null_value: str = "NULL",
+) -> tuple[DataFrame, list[str]]:
+    """Schema-enforced multi-file CSV scan, FAILFAST.
+
+    Returns (df, resolved_file_list) — the file list feeds the archive
+    step, mirroring the reference's glob-then-read shape (reference
+    jobs/create_employee_all.py:29-49). A malformed row aborts the job
+    instead of silently nulling (FAILFAST).
+    """
+    files = sorted(_glob.glob(pattern))
+    if not files:
+        return spark.createDataFrame([], schema), []
+    df = (
+        spark.read.schema(schema)
+        .options(
+            header="true",
+            mode="FAILFAST",
+            nullValue=null_value,
+            dateFormat=date_format,
+        )
+        .csv(files)
+    )
+    return df, files

@@ -1,0 +1,121 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted
+by their full value tuple). Catches parity bugs before the driver does.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyspark_scd_spark.session import get_spark  # noqa: E402
+from pyspark_scd_spark.sources.readers import TESTDATA_TABLES  # noqa: E402
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, builder in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = builder(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(
+                f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only) "
+                f"[{time.time()-t0:.1f}s]"
+            )
+            if not s_rows:
+                failures.append(name)
+                print(f"FAIL  {name}: 0 rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_rows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        sc, sr = _canon(s_cols, s_rows)
+        dc, dr = _canon(d_cols, d_rows)
+        status = "ok  "
+        msg = ""
+        if sc != dc:
+            status, msg = "FAIL", f"columns {sc} vs {dc}"
+        elif len(sr) != len(dr):
+            status, msg = "FAIL", f"rowcount {len(sr)} vs {len(dr)}"
+        elif sr != dr:
+            diffs = [
+                (a, b) for a, b in zip(sr, dr) if a != b
+            ][:3]
+            status, msg = "FAIL", f"values differ, e.g. {diffs}"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: {len(sr)} rows [{time.time()-t0:.1f}s] {msg}"
+        )
+
+    print(
+        f"\n{len(failures)} failures out of "
+        f"{len(only) if only else len(queries)} checked"
+        + (f": {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
