@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale document corpora.
+
+Five tiers, cheapest first — a production 100 TB pipeline runs them in
+this order so each tier shrinks the candidate set for the next:
+
+1. exact          — hash-groupBy on a content fingerprint
+2. ngram_jaccard  — exact set-similarity via shingle inverted index
+3. minhash_lsh    — probabilistic candidate generation, O(n·bands)
+4. simhash        — 64-bit bitwise sketch, hamming-banded
+5. embedding      — semantic near-dup via cosine (see similarity.py)
+
+Everything is DataFrame ops: explode → groupBy → self-join on
+bucket keys. No Python UDFs; the hashes are ``xxhash64`` (JVM,
+codegen). At scale the shuffle keys are (shingle) / (band, signature) /
+(chunk) — all high-cardinality, so partitions stay balanced; the
+classic skew risk (a shingle present in half the corpus) is removed by
+the document-frequency cap ``max_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.functions import text as TXT
+
+
+def exact_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups by normalized-content fingerprint.
+
+    Returns one row per document with its group's canonical (minimum)
+    id and the group size — callers keep ``doc_id == canonical_id`` to
+    dedup. One shuffle on the 128-bit fingerprint; no skew (identical
+    texts are the only collisions).
+    """
+    h = df.select(
+        F.col(id_col), TXT.fingerprint(text_col).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        h.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(id_col, "canonical_id", "n_copies")
+    )
+
+
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc; optionally drop shingles
+    occurring in more than ``max_df`` documents (stop-shingles create
+    quadratic join blowup and carry no discriminative signal)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            TXT.word_shingles(TXT.tokens(text_col), n)
+        ).alias("shingle"),
+    ).distinct()
+    if max_df is not None:
+        doc_freq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        sh = (
+            sh.join(doc_freq.filter(F.col("__df") <= max_df), "shingle")
+            .drop("__df")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via shingle inverted index.
+
+    intersection(a,b) = count of co-occurring shingles (one self-join
+    on the shingle key — the inverted-index pattern, never an n²
+    cross-join); |A∪B| = |A|+|B|−∩. Emits (doc_a, doc_b, jaccard) for
+    pairs ≥ threshold, doc_a < doc_b.
+    """
+    sh = _shingles(df, id_col, text_col, n, max_df).cache()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("__id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: k independent hash functions
+    simulated as ``xxhash64(shingle, seed=i)``; signature[i] = min over
+    the doc's shingles. One explode + one groupBy(doc) with k min()
+    aggregates — map-side partial aggregation keeps the shuffle at
+    |docs|·k, independent of shingle count."""
+    sh = _shingles(df, id_col, text_col, n, None)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact Jaccard verify.
+
+    bands=8 × rows=4 over 32 hashes → collision prob ≈
+    1−(1−j⁴)⁸ (≈0.97 at j=0.7, ≈0.03 at j=0.2). Candidates = docs
+    sharing any band signature (self-join on (band, hash-of-rows));
+    survivors verified with exact Jaccard ≥ verify_threshold.
+
+    Scale: signatures are |docs| rows; the band join key is a 64-bit
+    hash, so bucket sizes stay tiny unless docs truly collide.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*band_cols)).alias("bs"),
+    ).select("__id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("doc_a"), F.col("y.__id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold=0.0, max_df=None
+    ).withColumnRenamed("jaccard", "jaccard_exact")
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard_exact") >= verify_threshold)
+        .select("doc_a", "doc_b", F.col("jaccard_exact").alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from its token multiset.
+
+    Per token: xxhash64 → 64 bits; per bit position the corpus-classic
+    ±1 vote; sign of the summed vote → signature bit. Implemented as
+    explode → per-bit conditional sum → bit reassembly, all JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(TXT.tokens(text_col)).alias("tok"),
+    )
+    h = toks.withColumn("__h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    votes = h.groupBy("__id").agg(
+        *[
+            F.sum(
+                # shiftleft, not a lit(1 << i) literal: 1 << 63 overflows
+                # a signed 64-bit literal, shiftleft wraps correctly
+                F.when(
+                    F.col("__h").bitwiseAND(F.shiftleft(one, i)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v_{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return votes.select(F.col("__id").alias(id_col), acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bit flips via chunk-banding.
+
+    Pigeonhole: two signatures ≤ 3 bits apart must agree exactly on at
+    least one of 4 16-bit chunks → join on (chunk_idx, chunk_value),
+    then exact popcount filter. Same scaling shape as MinHash LSH.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+
+    cand = (
+        chunked.alias("x")
+        .join(
+            chunked.alias("y"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("doc_a"),
+            F.col("y.__id").alias("doc_b"),
+            F.col("x.simhash").alias("__sa"),
+            F.col("y.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

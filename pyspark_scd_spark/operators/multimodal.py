@@ -1,0 +1,160 @@
+"""Multimodal columns: binary payloads + typed metadata, processed with
+Arrow-batched Pandas UDFs.
+
+Design (BASELINE.json north star): image/audio/video travel as opaque
+``binary`` columns with a struct of typed metadata beside them. All
+per-byte work happens in ``mapInPandas`` — Arrow moves whole batches
+across the Python boundary (one serialization per ~10k rows, not per
+row), and the iterator form streams batches so a 100 TB binary column
+never materializes per-partition.
+
+The actual media decoding (PIL/librosa/ffmpeg) is NOT in this
+container, so ``decode_image``/``decode_audio`` are stubs gated behind
+``NotImplementedError`` with a deterministic fake path used by tests —
+the Spark-side plumbing (schema, batch iteration, partitioning) is real
+and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Metadata emitted for every binary payload.
+PAYLOAD_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("prefix_hex", T.StringType()),
+        T.StructField("crc32", T.LongType()),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, text_col: str = "text", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a binary column from text (UTF-8 bytes). Stands in
+    for reading real media blobs; the downstream plumbing is identical."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_payload_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level metadata via mapInPandas (the pattern every real
+    decode follows: binary in → typed columns out, batch-at-a-time)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "prefix_hex": payloads.map(lambda b: b[:8].hex()),
+                    "crc32": payloads.map(
+                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=PAYLOAD_META_SCHEMA
+    )
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image decode → (width, height, channels, mean intensity).
+
+    ``fake=False`` raises NotImplementedError inside the UDF (no image
+    libs in this container). ``fake=True`` derives deterministic
+    pseudo-features from a sha256 of the bytes — exercising the exact
+    same Arrow batch path, schema, and partitioning as a real decoder.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires PIL/opencv; not available "
+                    "in this environment — use fake=True for plumbing "
+                    "tests or run on a cluster image with codecs"
+                )
+            feats = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = hashlib.sha256(payload).digest()
+                feats["doc_id"].append(int(doc_id))
+                feats["width"].append(64 + d[0])
+                feats["height"].append(64 + d[1])
+                feats["channels"].append(1 + d[2] % 4)
+                feats["mean_intensity"].append(
+                    round(sum(d[:16]) / (16 * 255.0), 6)
+                )
+            yield pd.DataFrame(feats)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling: 1 binary row in → n smaller binary rows out
+    (the video/audio-chunking shape: output cardinality ≠ input).
+    Deterministic byte-slicing stands in for real frame extraction."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = max(len(payload), 1)
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(payload[i * step : i * step + step])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
+    )

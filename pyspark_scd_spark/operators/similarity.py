@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard ANN playbook:
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus. The query set is broadcast, so the corpus is scanned ONCE
+  with no shuffle of the big side — correct baseline and perfectly
+  scalable when |queries| is bounded.
+- ``lsh_bucketed_topk``: random-hyperplane LSH — sign-bit bucket per
+  vector, candidates = same-bucket (or neighboring-bucket) rows, exact
+  cosine re-rank inside the bucket. Sub-linear candidate sets at the
+  cost of recall; the hyperplanes are deterministic constants so runs
+  are reproducible and the DuckDB oracle can replicate them.
+- ``embedding_neardup_pairs``: threshold cosine self-join for semantic
+  dedup (the exact-verify stage LSH candidates feed into).
+
+All cosine math is double-precision Catalyst expressions
+(functions/vectors.py) — bit-identical to the oracle's
+``list_cosine_similarity(CAST(v AS DOUBLE[]), ...)``.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    broadcast(queries) × corpus → per-row cosine → per-query top-k via
+    row_number. With Q queries the corpus-side work is Q·n dot
+    products, embarrassingly parallel, zero corpus shuffle; the only
+    exchange is the final top-k on the (tiny) Q·k candidate set
+    (WindowGroupLimit prunes to k per query map-side first).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(V.cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-Python PRNG so the
+    constants are reproducible everywhere, numpy-free)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v · plane_i).
+
+    P(two vectors agree on one bit) = 1 − θ/π; bucket equality on 8
+    bits concentrates candidates ~2⁸× — the planes are literal arrays
+    baked into the plan (broadcast-free constants).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in p])
+        bit = F.when(
+            V.dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates from the query's LSH bucket, exact cosine
+    re-rank within. Recall < 1 by design (multi-probe = lower n_planes
+    or repeated tables; both are parameter changes, same plan shape)."""
+    c = with_lsh_bucket(corpus, dim, n_planes, vec_col)
+    q = with_lsh_bucket(
+        queries.select(query_id_col, vec_col), dim, n_planes, vec_col
+    ).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col,
+        id_col,
+        F.round(V.cosine(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold, id_a < id_b.
+
+    ``use_lsh=True`` restricts the self-join to same-bucket candidates
+    (the 100 TB path — full n² is only for bounded subsets / oracle
+    verification).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if use_lsh:
+        assert dim is not None
+        a = with_lsh_bucket(a, dim, vec_col="__va")
+        b = with_lsh_bucket(b, dim, vec_col="__vb")
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn(
+            "cosine", F.round(V.cosine(F.col("__va"), F.col("__vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF cell assignment: argmax cosine over a fixed centroid table.
+    Centroids come from any offline sample (here: deterministic
+    constants); at query time only matching cells are scanned —
+    partition-prune the corpus by writing it partitioned on
+    ``ivf_cell``."""
+    best_cell = F.lit(-1)
+    best_score = F.lit(-math.inf)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(x) for x in c])
+        s = V.cosine(F.col(vec_col), cc)
+        better = s > best_score
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn(out_col, best_cell)

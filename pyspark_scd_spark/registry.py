@@ -839,3 +839,377 @@ def q_events_tumbling(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ======================================================================
+# LLM-data-pipeline operators (BASELINE.json north star; SURVEY.md §2c)
+# ======================================================================
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+           ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0
+                 / len(toks), 4) AS avg_token_len
+    FROM t
+    """,
+    doc="Per-document text statistics (length, token counts, lexical "
+    "diversity) — pure codegen'd column math, scales with the scan.",
+)
+def q_text_stats(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            * 1.0
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['the','a','of','and','to','in','is'], x))) AS INTEGER) AS en_hits,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['le','la','de','et','un','une','est'], x))) AS INTEGER) AS fr_hits,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['der','die','das','und','ist','ein','zu'], x))) AS INTEGER) AS de_hits,
+        CAST(len(list_filter(toks, x -> list_contains(
+          ['el','la','de','y','un','una','es'], x))) AS INTEGER) AS es_hits
+      FROM t)
+    SELECT doc_id, en_hits, fr_hits, de_hits, es_hits,
+      CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits
+                AND en_hits >= es_hits THEN 'en'
+           WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+           WHEN de_hits >= es_hits THEN 'de'
+           ELSE 'es' END AS predicted_lang
+    FROM h
+    """,
+    doc="Stopword-overlap language ID heuristic; argmax with fixed tie "
+    "order, all JVM-side array ops (functions/text.py).",
+)
+def q_text_lang_id(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    hits = {
+        lang: TXT.lang_hits("text", lang) for lang in ("en", "fr", "de", "es")
+    }
+    d = d.select(
+        "doc_id", *[hits[lang].alias(f"{lang}_hits") for lang in hits]
+    )
+    en, fr, de, es = (F.col(f"{x}_hits") for x in ("en", "fr", "de", "es"))
+    predicted = (
+        F.when((en >= fr) & (en >= de) & (en >= es), F.lit("en"))
+        .when((fr >= de) & (fr >= es), F.lit("fr"))
+        .when(de >= es, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return d.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dis,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+          * 1.0 / length(text) AS digit_ratio
+      FROM t)
+    SELECT doc_id,
+      ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
+            + CASE WHEN n_tok > 0 THEN n_dis / n_tok ELSE 0.0 END * 0.4
+            + (1.0 - digit_ratio) * 0.2, 4) AS quality
+    FROM m
+    """,
+    doc="Composite document quality score: length + lexical diversity "
+    "+ digit-noise penalty (functions/text.py quality_score).",
+)
+def q_text_quality_score(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(TXT.quality_score("text"), 4).alias("quality")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Content fingerprint: md5 of whitespace-normalized lowercased "
+    "text — the exact-dedup key.",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.fingerprint("text").alias("fp"))
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS ws_tokens,
+           CAST(list_sum(list_transform(toks,
+                x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT)
+             AS bpe_estimate
+    FROM t
+    """,
+    doc="Whitespace token count + BPE-ish subword estimate "
+    "(sum(ceil(len/4)) — deterministic LLM-token proxy).",
+)
+def q_token_count_bpe(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("ws_tokens"),
+        TXT.subword_estimate("text").alias("bpe_estimate"),
+    )
+
+
+@register(
+    "dedup_exact",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT doc_id, MIN(doc_id) OVER w AS canonical_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_copies
+    FROM h WINDOW w AS (PARTITION BY fp)
+    """,
+    doc="Exact dedup groups: hash-groupBy on content fingerprint; "
+    "keep doc_id == canonical_id to dedup (operators/dedup.py).",
+)
+def q_dedup_exact(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_groups(d)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    doc="Exact 3-gram Jaccard similarity join via shingle inverted "
+    "index (one equi-join on the shingle key, never an n-squared "
+    "cross-join; operators/dedup.py ngram_jaccard_pairs).",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # probabilistic candidate generation — rows-only check
+    doc="MinHash LSH near-dup pairs: 32 xxhash64 min-hashes, 8 bands "
+    "x 4 rows, candidates from band-signature self-join, exact "
+    "Jaccard >= 0.5 verify (operators/dedup.py minhash_lsh_pairs).",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, verify_threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    None,  # sketch-based — rows-only check
+    doc="SimHash near-dup pairs: 64-bit token-vote sketch, 16-bit "
+    "chunk banding (pigeonhole for hamming<=3), exact popcount "
+    "filter (operators/dedup.py simhash_pairs).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@register(
+    "sim_search_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (SELECT query_id, vec_id,
+                 ROUND(list_cosine_similarity(cv, qv), 6) AS cosine
+          FROM c, q),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+    """,
+    doc="Exact top-10 cosine neighbors for 5 query vectors: broadcast "
+    "queries x corpus scan, zero corpus shuffle "
+    "(operators/similarity.py brute_force_topk).",
+)
+def q_sim_search_topk(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(e, queries, k=10)
+
+
+@register(
+    "sim_search_lsh",
+    None,  # ANN with recall<1 — rows-only check
+    doc="ANN top-k via random-hyperplane LSH buckets + exact re-rank "
+    "inside the bucket (operators/similarity.py lsh_bucketed_topk).",
+)
+def q_sim_search_lsh(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(e, queries, dim=64, k=5, n_planes=6)
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+    doc="Semantic near-dup pairs, cosine >= 0.3 — the exact-verify "
+    "stage; LSH bucketing (use_lsh=True) is the candidate-generation "
+    "path at corpus scale (operators/similarity.py).",
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.3)
+
+
+@register(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ord(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+           lower(hex(encode(substring(text, 1, 8)))) AS prefix_hex
+    FROM documents
+    """,
+    doc="Binary-column plumbing: synthesize payload bytes, extract "
+    "byte-level metadata via Arrow-batched mapInPandas; oracle checks "
+    "the pandas path byte-for-byte (operators/multimodal.py). "
+    "Oracle relies on the corpus being ASCII (verified) so "
+    "char-slicing equals byte-slicing.",
+)
+def q_multimodal_payload_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(d)
+    return multimodal.extract_payload_meta(payloads).select(
+        "doc_id", "n_bytes", "first_byte", "prefix_hex"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # binary output — rows-only check
+    doc="Frame sampling: 1 binary row -> n frame rows via mapInPandas "
+    "(the video-chunking shape; operators/multimodal.py).",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(d)
+    return multimodal.sample_frames(payloads, n_frames=4)
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured extraction: JSON props column -> typed field "
+    "-> aggregate (get_json_object, JVM-side).",
+)
+def q_events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

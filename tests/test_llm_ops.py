@@ -1,0 +1,149 @@
+"""Tests for the LLM-data-pipeline operators: dedup tiers, similarity
+search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "rivers banks and lazy dogs are entirely reordered words here now"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_groups(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_groups(docs).collect()}
+    assert out[1]["canonical_id"] == 1 and out[4]["canonical_id"] == 1
+    assert out[1]["n_copies"] == 2
+    assert out[3]["n_copies"] == 1
+
+
+def test_ngram_jaccard_finds_neardup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    # exact dup must always collide in every band; near-dup should too
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    assert sigs[1] == sigs[4]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_ordering(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(vectors, queries, k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 0          # itself, cosine 1
+    assert ranked[1] == 1          # nearest neighbor
+    assert 3 not in ranked         # opposite vector is rank 5
+
+
+def test_lsh_bucket_deterministic(vectors):
+    a = similarity.with_lsh_bucket(vectors, dim=4, n_planes=4).collect()
+    b = similarity.with_lsh_bucket(vectors, dim=4, n_planes=4).collect()
+    assert {(r["vec_id"], r["bucket"]) for r in a} == {
+        (r["vec_id"], r["bucket"]) for r in b
+    }
+
+
+def test_neardup_pairs_lsh_subset_of_exact(vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(vectors, 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            vectors, 0.9, use_lsh=True, dim=4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 1) in exact
+
+
+def test_multimodal_meta_roundtrip(docs):
+    payloads = multimodal.with_binary_payload(docs)
+    meta = {
+        r["doc_id"]: r
+        for r in multimodal.extract_payload_meta(payloads).collect()
+    }
+    assert meta[1]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    assert meta[1]["first_byte"] == ord("t")
+    assert meta[1]["prefix_hex"] == "the quic".encode().hex()
+
+
+def test_multimodal_decode_stub_raises(docs):
+    payloads = multimodal.with_binary_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        multimodal.decode_image_features(payloads, fake=False).collect()
+
+
+def test_multimodal_fake_decode_deterministic(docs):
+    payloads = multimodal.with_binary_payload(docs)
+    a = multimodal.decode_image_features(payloads, fake=True).collect()
+    b = multimodal.decode_image_features(payloads, fake=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # exact-dup docs 1 and 4 get identical fake features
+    by_id = {r["doc_id"]: r for r in a}
+    assert tuple(by_id[1])[1:] == tuple(by_id[4])[1:]
+
+
+def test_frame_sampling_cardinality(docs):
+    payloads = multimodal.with_binary_payload(docs)
+    frames = multimodal.sample_frames(payloads, n_frames=4)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v == 4 for v in counts.values())
