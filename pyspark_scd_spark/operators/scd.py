@@ -94,6 +94,40 @@ def snapshot_dedup(
     )
 
 
+def snapshot_dedup_aligned(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    tiebreak_cols: Sequence[str],
+) -> DataFrame:
+    """Dedup to one row per (key, time) WITHOUT leaving the per-key
+    partitioning.
+
+    ``snapshot_dedup`` partitions by (key, time) — an exchange the
+    downstream SCD windows (partitioned by key alone) cannot reuse, so
+    the pipeline pays two shuffles. Here rows are sorted (time ASC,
+    tiebreaks DESC) inside the per-KEY window and a row survives iff it
+    is the first of its time-run (``lag(time) != time``) — same
+    survivor as row_number()=1 per (key, time) ordered by tiebreaks
+    DESC, but the single hash(key) exchange now serves every later
+    window (Spark satisfies a required (key) clustering and
+    (key, time) sort prefix from it). One shuffle for the whole SCD
+    pipeline instead of two.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(time_col).asc(),
+        *[F.col(c).desc() for c in tiebreak_cols],
+    )
+    prev_t = F.lag(time_col).over(w)
+    return (
+        df.withColumn("__prev_t", prev_t)
+        .filter(
+            F.col("__prev_t").isNull() | (F.col("__prev_t") != F.col(time_col))
+        )
+        .drop("__prev_t")
+    )
+
+
 def union_snapshots(history: DataFrame, new_rows: DataFrame) -> DataFrame:
     """Append new snapshot rows to accumulated history, by column NAME.
 
@@ -106,7 +140,10 @@ def union_snapshots(history: DataFrame, new_rows: DataFrame) -> DataFrame:
 
 
 def _with_global_max(
-    df: DataFrame, time_col: str, out_col: str
+    df: DataFrame,
+    time_col: str,
+    out_col: str,
+    scalar_source: DataFrame | None = None,
 ) -> DataFrame:
     """Stamp the dataset-global max of ``time_col`` onto every row.
 
@@ -116,8 +153,14 @@ def _with_global_max(
     aggregates map-side down to one row per partition, and the broadcast
     cross-join adds the scalar to every row with no shuffle at all —
     Catalyst plans a BroadcastNestedLoopJoin over a 1-row table.
+
+    ``scalar_source``: optional cheaper lineage with the same max (e.g.
+    the raw pre-dedup scan) — the scalar branch is a separate plan
+    subtree, so pointing it at the raw scan avoids re-running the
+    dedup/hash stages just to take a max.
     """
-    scalar = df.agg(F.max(time_col).alias(out_col))
+    src = scalar_source if scalar_source is not None else df
+    scalar = src.agg(F.max(time_col).alias(out_col))
     return df.crossJoin(F.broadcast(scalar))
 
 
@@ -128,6 +171,7 @@ def with_change_status(
     hash_col: str = "row_hash",
     status_col: str = "change_status",
     treat_gap_as_delete: bool = False,
+    global_max_source: DataFrame | None = None,
 ) -> DataFrame:
     """Classify every snapshot row as New / Changed / No Change / Deleted.
 
@@ -174,7 +218,9 @@ def with_change_status(
         .withColumn("__prev_hash", F.lag(hash_col).over(w_ord))
         .withColumn("__next_hash", F.lead(hash_col).over(w_ord))
     )
-    df = _with_global_max(df, time_col, "__global_max_t")
+    df = _with_global_max(
+        df, time_col, "__global_max_t", scalar_source=global_max_source
+    )
 
     t = F.col(time_col)
     ended_early = F.col("__next_hash").isNull() & (
@@ -302,14 +348,26 @@ def scd_apply(
 ) -> DataFrame:
     """The full ``employee_all`` pipeline as one transform chain
     (reference jobs/create_employee_all.py:236-240): dedup → hash →
-    status → change date → drop helpers."""
-    df = snapshot_dedup(snapshots, [*key_cols, time_col], tiebreak_cols)
+    status → change date → drop helpers.
+
+    Plan shape: ONE hash exchange on ``key_cols`` feeds the dedup, the
+    status windows, and the islands windows (partition-aligned dedup +
+    prefix-compatible sorts); the global-max scalar comes from the raw
+    pre-dedup scan so its branch is scan+agg only.
+    """
+    if tiebreak_cols:
+        df = snapshot_dedup_aligned(
+            snapshots, key_cols, time_col, tiebreak_cols
+        )
+    else:
+        df = snapshot_dedup(snapshots, [*key_cols, time_col], ())
     df = with_row_hash(df, hash_cols, hardened=hardened_hash)
     df = with_change_status(
         df,
         key_cols,
         time_col,
         treat_gap_as_delete=treat_gap_as_delete,
+        global_max_source=snapshots.select(time_col),
     )
     df = with_change_date(df, key_cols, time_col)
     return drop_helpers(df)

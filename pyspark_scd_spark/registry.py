@@ -229,9 +229,24 @@ FROM g
     "per SURVEY.md §2 #11).",
 )
 def q_scd_employee_all(spark, sf_dir):
-    snaps = order_snapshots(spark, sf_dir)
+    # Raw (pre-dedup) snapshots go straight into scd_apply: the
+    # partition-aligned dedup runs inside the same per-key window
+    # pipeline, so the whole SCD computes off ONE hash(key) exchange
+    # and the global-max scalar branch is a bare scan+agg.
+    orders = _t(spark, sf_dir, "orders")
+    snaps = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.to_date("o_orderdate").alias("snap_date"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderkey",
+    )
     out = scd.scd_apply(
-        snaps, key_cols=["key"], time_col="snap_date", hash_cols=SCD_HASH_COLS
+        snaps,
+        key_cols=["key"],
+        time_col="snap_date",
+        hash_cols=SCD_HASH_COLS,
+        tiebreak_cols=["o_orderkey"],
     )
     return out.select(
         "key",
