@@ -55,6 +55,11 @@ def write_staged(
     os.replace(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+    # Spark keeps a session-level FileStatusCache of directory listings;
+    # after the swap it still points at the replaced part files — the
+    # reference's FileNotFoundException (README.md:109-112) by another
+    # route. Invalidate the path so the next read lists fresh.
+    df.sparkSession.catalog.refreshByPath(path)
     return path
 
 

@@ -1,0 +1,132 @@
+"""Structured Streaming tests: watermarked session windows and the
+file-source snapshot ingest, both run with availableNow triggers so
+they terminate deterministically in CI."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.sources.readers import read_parquet_table
+from pyspark_scd_spark.streaming import ingest, sessions
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a plain parquet dir (micros timestamps) so
+    readStream can consume it."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    read_parquet_table(spark, sf_dir, "events").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_streaming_sessionize_matches_batch(spark, events_dir, tmp_path):
+    ev_stream = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    sessionized = sessions.sessionize_stream(
+        ev_stream, gap="30 minutes", watermark="10 hours"
+    )
+    q = (
+        sessionized.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_out")
+
+    # batch twin: lag-gap sessionization over the same data. Counts of
+    # (user, n_events) multisets must agree for all sessions the
+    # watermark closed; with availableNow + bounded input, sessions not
+    # emitted are only those still open at end-of-stream.
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    batch = (
+        marked.withColumn(
+            "session_id",
+            F.sum("is_start").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    got_sessions = {
+        (r["user_id"], r["n_events"])
+        for r in got.groupBy("user_id", "n_events").count().collect()
+    }
+    batch_sessions = {
+        (r["user_id"], r["n_events"])
+        for r in batch.groupBy("user_id", "n_events").count().collect()
+    }
+    # every emitted streaming session exists in the batch result
+    assert got.count() > 0
+    assert got_sessions <= batch_sessions
+
+
+def test_file_source_scd_ingest(spark, tmp_path):
+    """foreachBatch + scd_merge over a file-source stream: the
+    streaming-native version of the reference's drop-directory loop."""
+    from pyspark_scd_spark.jobs import employee_dim
+    from tests.test_employee_job import _write_csvs
+
+    base = str(tmp_path / "stream_scd")
+    _write_csvs(base, days=range(1, 11))
+
+    from pyspark_scd_spark.profiles import EMP_SNAPSHOT_SCHEMA
+
+    cur_path = str(tmp_path / "cur")
+    stream = ingest.stream_csv_snapshots(
+        spark,
+        f"{base}/input/*.csv",
+        EMP_SNAPSHOT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # one micro-batch may carry several snapshot days; apply in
+        # day order so merge semantics hold
+        days = sorted(
+            r[0] for r in batch_df.select("snapshot_date").distinct().collect()
+        )
+        for d in days:
+            employee_dim.run_incremental(
+                spark,
+                batch_df.filter(F.col("snapshot_date") == F.lit(d)),
+                cur_path,
+            )
+
+    q = ingest.foreach_batch_scd(
+        stream, str(tmp_path / "ck2"), apply_batch
+    )
+    q.awaitTermination(180)
+
+    cur = spark.read.parquet(cur_path)
+    rows = {r["employee_number"]: r["change_status"] for r in cur.collect()}
+    assert rows[30] == "Deleted"
+    assert rows[1] == "No Change"
+    assert os.path.isdir(str(tmp_path / "ck2"))
