@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,89 @@ def semi_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
 def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
     """NOT EXISTS: rows of ``df`` with no match in ``other``."""
     return df.join(other, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (last-observation-carried-forward) join: for every left
+    row, the most recent right row with ``right_time <= left_time`` on
+    the same key. Spark has no native ASOF JOIN; the naive form is a
+    non-equi join + top-1 filter whose intermediate blows up with
+    match density.
+
+    This is the union-merge form: tag both sides, union, then
+    ``last_value(ignorenulls)`` over (key, time)-sorted rows — right
+    rows carry values, left rows carry nulls, so each left row reads
+    the latest right value at its position. Cost: ONE hash exchange on
+    the key + one sort — identical plan shape to the SCD windows,
+    O(|L|+|R|) regardless of match density. Right rows sort before
+    left rows at equal timestamps (asof "<=").
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}")
+          for c in right_value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
+          for c in tiebreak_cols],
+        *lcols,
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__t").asc(),
+        F.col("__is_left").asc(),
+        *[F.col(f"__tb_{c}").asc_nulls_first() for c in tiebreak_cols],
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    picked = [
+        F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(c)
+        for c in right_value_cols
+    ]
+    return (
+        u.select(*keys, "__t", "__is_left", *lcols, *picked)
+        .filter(F.col("__is_left") == 1)
+        .withColumnRenamed("__t", left_time)
+        .drop("__is_left")
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Band/interval join: fact rows matched to ranges
+    ``lo <= value < hi``. With a broadcast band table Catalyst plans a
+    BroadcastNestedLoopJoin — each fact partition scans the (tiny)
+    band list in memory, no shuffle of the fact side. For non-broadcast
+    interval joins, pre-bucketing both sides on a coarse grid turns it
+    into an equi-join; that variant is a composition of this + a
+    bucket column."""
+    b = F.broadcast(bands) if broadcast_bands else bands
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    return fact.join(b, cond, "left")
 
 
 def aggregate(

@@ -1228,3 +1228,328 @@ def q_events_json_extract(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ======================================================================
+# Relational breadth, batch 3: as-of/range joins, pivot, rank suite,
+# scalar functions, correlated subqueries, grouping sets, nested types
+# ======================================================================
+
+
+@register(
+    "asof_join",
+    """
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey
+    FROM cand WHERE rn = 1
+    """,
+    doc="As-of join (latest order at or before each event) via the "
+    "union-merge window form: O(|L|+|R|), one key exchange, no "
+    "match-density blowup (operators/relational.py asof_join). The "
+    "oracle states the same semantics as a top-1-per-left-row rank.",
+)
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = relational.asof_join(
+        ev,
+        o,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["o_orderkey"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
+    )
+
+
+@register(
+    "range_join_bands",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, 900.0 + i * 10.0 AS lo, 910.0 + i * 10.0 AS hi
+      FROM generate_series(0, 9) t(i))
+    SELECT band_id, CAST(COUNT(p_partkey) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part LEFT JOIN bands
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+    doc="Interval/band join: fact x broadcast range table -> "
+    "BroadcastNestedLoopJoin, zero fact shuffle "
+    "(operators/relational.py range_join).",
+)
+def q_range_join_bands(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    # part prices span [900, 1000) in the testdata; 10 bands of 10
+    bands = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("band_id"),
+        (900.0 + F.col("id") * 10.0).alias("lo"),
+        (910.0 + F.col("id") * 10.0).alias("hi"),
+    )
+    joined = relational.range_join(p, bands, "p_retailprice", "lo", "hi")
+    return joined.groupBy("band_id").agg(
+        F.count("p_partkey").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+@register(
+    "pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS F,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS O,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (long->wide) with an explicit value list so the output "
+    "schema is static — the scalable form; pivot without values needs "
+    "a distinct-scan first.",
+)
+def q_pivot_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+
+
+@register(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-function suite over a deterministic total order.",
+)
+def q_window_rank_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_function_suite",
+    """
+    SELECT o_orderkey,
+           upper(substring(o_orderpriority, 3)) AS prio_name,
+           length(o_orderpriority) AS prio_len,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_eoy,
+           ROUND(abs(o_totalprice - 100000.0), 2) AS price_dist,
+           ROUND(greatest(o_totalprice, 50000.0), 2) AS floored_price,
+           CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END
+             AS status_name,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio
+    FROM orders
+    """,
+    doc="Scalar-function surface: string, date arithmetic, extraction, "
+    "conditional, null-handling — all codegen'd JVM expressions.",
+)
+def q_scalar_function_suite(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 2147483647)).alias(
+            "prio_name"
+        ),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate")
+        ).alias("days_to_eoy"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias(
+            "price_dist"
+        ),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(50000.0)), 2).alias(
+            "floored_price"
+        ),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("closed")
+        .alias("status_name"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending")
+        ).alias("status_or_pending"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias(
+            "status_prio"
+        ),
+    )
+
+
+@register(
+    "exists_correlated",
+    """
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc="Correlated scalar subquery (above-customer-average orders) — "
+    "decorrelated into a per-key aggregate + self-equi-join, the plan "
+    "Catalyst produces for the SQL form too.",
+)
+def q_exists_correlated(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("__avg_price")
+    )
+    return (
+        o.join(avg_per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("__avg_price"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+@register(
+    "grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS with GROUPING() markers (SQL API form "
+    "— same Expand+Aggregate plan as rollup/cube).",
+)
+def q_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "nested_types_explode",
+    """
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, toks[u.i] AS tok
+    FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+    """,
+    doc="Nested-type surface: array column built, posexploded to rows "
+    "with ordinal (multimodal_cols checklist item — ArrayType as a "
+    "first-class column).",
+)
+def q_nested_types_explode(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(TXT.tokens("text")).alias("pos", "tok")
+    )
+
+
+@register(
+    "percentiles_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "quantile_cont). At 100 TB swap for approx_percentile and accept "
+    "sketch error; exact needs a per-group sort.",
+)
+def q_percentiles_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_discount), 6) AS sd_discount,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (stddev/var/corr/covar).",
+)
+def q_stats_aggregates(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
+    "width_bucket_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-grid histogram (explicit floor arithmetic — DuckDB 1.0 "
+    "lacks width_bucket) — the shuffle key is the bucket id, tiny "
+    "cardinality, fully parallel partial aggs.",
+)
+def q_width_bucket_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
