@@ -32,6 +32,13 @@ HEADLINE = [
     "events_sessionize",
     "window_running_sum",
     "global_topk",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_topk",
+    "embedding_neardup_pairs",
+    "text_stats",
+    "multimodal_payload_meta",
 ]
 
 

