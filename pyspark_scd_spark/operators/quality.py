@@ -53,6 +53,40 @@ def assert_not_empty(df: DataFrame) -> None:
         raise QualityError("DataFrame has 0 records")
 
 
+def observed_write_metrics(
+    df: DataFrame, key_cols: Sequence[str] | None = None, name: str = "quality"
+):
+    """Attach zero-cost quality metrics to a DataFrame via
+    ``observe()``: they are computed DURING whatever action consumes
+    the df (typically the write), so validation adds no extra pass at
+    all — the SURVEY.md §3 fix for the reference's 3-jobs-per-write
+    pattern taken to its limit.
+
+    Returns (df, observation); read ``observation.get`` AFTER the
+    action. Example::
+
+        df2, obs = observed_write_metrics(df, keys)
+        df2.write.parquet(path)
+        m = obs.get          # {'n_rows': ..., 'n_null_keys': ...}
+    """
+    import functools
+    import operator
+
+    from pyspark.sql import Observation
+
+    keys = list(key_cols) if key_cols else df.columns[:1]
+    null_key = functools.reduce(
+        operator.or_, [F.col(c).isNull() for c in keys]
+    )
+    obs = Observation(name)
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null_keys"),
+    )
+    return out, obs
+
+
 def validate(
     df: DataFrame,
     keys: Sequence[str],

@@ -760,23 +760,23 @@ def q_anti_join(spark, sf_dir):
 @register(
     "set_ops",
     """
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1994
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
     INTERSECT
-    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      AND EXTRACT(year FROM o_orderdate) = 1996
+      AND EXTRACT(year FROM o_orderdate) = 1998
     """,
     doc="INTERSECT / EXCEPT set algebra.",
 )
 def q_set_ops(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
-    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    f96 = o.filter(
-        (F.col("o_orderstatus") == "F") & (F.year("o_orderdate") == 1996)
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    f98 = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.year("o_orderdate") == 1998)
     ).select("o_custkey")
-    return y94.intersect(y95).subtract(f96)
+    return y96.intersect(y97).subtract(f98)
 
 
 # ======================================================================
@@ -1554,3 +1554,221 @@ def q_width_bucket_histogram(spark, sf_dir):
     return o.groupBy(
         F.floor(F.col("o_totalprice") / 50000.0).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ======================================================================
+# Relational breadth, batch 4: TPC-H-style decorrelation shapes
+# ======================================================================
+
+
+@register(
+    "q2_min_per_group_joinback",
+    """
+    WITH min_price AS (
+      SELECT p_type, MIN(p_retailprice) AS min_price
+      FROM part GROUP BY p_type)
+    SELECT p.p_partkey, p.p_type, ROUND(p.p_retailprice, 2) AS price
+    FROM part p JOIN min_price m
+      ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
+    """,
+    doc="TPC-H Q2 shape: min-per-group then join back to recover the "
+    "full row (the classic argmin pattern when max_by can't carry "
+    "every column).",
+)
+def q2_min_per_group_joinback(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").alias("p")
+    min_price = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("mp_type"))
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .alias("m")
+    )
+    return (
+        p.join(
+            F.broadcast(min_price),
+            (F.col("p.p_type") == F.col("m.mp_type"))
+            & (F.col("p.p_retailprice") == F.col("m.min_price")),
+        )
+        .select(
+            F.col("p.p_partkey").alias("p_partkey"),
+            F.col("p.p_type").alias("p_type"),
+            F.round(F.col("p.p_retailprice"), 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "q4_exists_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4: EXISTS with a correlated inequality -> left-semi "
+    "join with a post-join filter condition.",
+)
+def q4_exists_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13: outer join preserving empty groups, then a "
+    "histogram of group sizes (two-level aggregation).",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q16_notin_distinct",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: NOT IN subquery -> left-anti join (null-safe "
+    "here because s_suppkey is never null) + distinct aggregation.",
+)
+def q16_notin_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    filtered = li.join(
+        bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    )
+    return (
+        filtered.join(F.broadcast(p), filtered.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price,
+           ROUND(sum_qty, 2) AS sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) big
+      ON o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18 shape: IN over a HAVING aggregate -> pre-aggregate "
+    "then equi-join (Catalyst's decorrelation of the IN form).",
+)
+def q18_large_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "map_type_ops",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '[^a-z0-9]+'))
+                AS INTEGER) AS n_raw,
+           lower(source) AS src_key,
+           CAST(n_chars AS BIGINT) AS src_val
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="MapType surface: build map<string,bigint> from columns, "
+    "access by key, enumerate keys (map_from_arrays / element_at). "
+    "The oracle states the equivalent flat projection — the map is "
+    "transparent to results by construction.",
+)
+def q_map_type_ops(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    withmap = d.select(
+        "doc_id",
+        F.split(F.lower("text"), "[^a-z0-9]+").alias("__raw"),
+        F.create_map(
+            F.lower("source"), F.col("n_chars").cast("long")
+        ).alias("m"),
+    )
+    return withmap.select(
+        "doc_id",
+        F.size("__raw").alias("n_raw"),
+        F.explode("m").alias("src_key", "src_val"),
+    )
+
+
+@register(
+    "salted_agg_skew",
+    """
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 2) AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="Skew-tolerant two-phase salted aggregation — result is "
+    "EQUAL to the plain groupBy (the oracle states exactly that); "
+    "the first shuffle spreads each key over 16 salt partitions "
+    "(operators/skew.py salted_sum_count).",
+)
+def q_salted_agg_skew(spark, sf_dir):
+    from pyspark_scd_spark.operators import skew
+
+    o = _t(spark, sf_dir, "orders")
+    out = skew.salted_sum_count(
+        o, ["o_custkey"], ["o_totalprice"], n_salts=16
+    )
+    return out.select(
+        "o_custkey",
+        F.round("sum_o_totalprice", 2).alias("spend"),
+        "n_rows",
+    )

@@ -147,3 +147,46 @@ def test_frame_sampling_cardinality(docs):
         for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     }
     assert all(v == 4 for v in counts.values())
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark_scd_spark.operators import skew
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    salted = {
+        (r["k"]): (round(r["sum_v"], 6), r["n_rows"])
+        for r in skew.salted_sum_count(df, ["k"], ["v"], n_salts=8).collect()
+    }
+    plain = {
+        (r["k"]): (round(r["s"], 6), r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_hot_key_detector(spark):
+    from pyspark_scd_spark.operators import skew
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.col("id").cast("string")
+        ).alias("k")
+    )
+    top = skew.top_frequent_keys(df, ["k"], k=1).collect()
+    assert top[0]["k"] == "hot" and top[0]["n_rows"] == 900
+
+
+def test_observed_metrics_piggyback(spark):
+    from pyspark_scd_spark.operators.quality import observed_write_metrics
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("k")
+    )
+    df2, obs = observed_write_metrics(df, ["k"])
+    assert df2.count() == 100  # the consuming action
+    assert obs.get["n_rows"] == 100
+    assert obs.get["n_null_keys"] == 5
