@@ -248,12 +248,19 @@ def ivf_assign(
     constants); at query time only matching cells are scanned —
     partition-prune the corpus by writing it partitioned on
     ``ivf_cell``."""
-    best_cell = F.lit(-1)
-    best_score = F.lit(-math.inf)
-    for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(x) for x in c])
-        s = V.cosine(F.col(vec_col), cc)
-        better = s > best_score
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_score = F.when(better, s).otherwise(best_score)
-    return df.withColumn(out_col, best_cell)
+    # argmax via array_max over (score, cell) structs: each centroid's
+    # cosine expression appears exactly ONCE. A chained when/otherwise
+    # fold would embed the running best twice per step — 2^n expression
+    # blowup that stalls the analyzer beyond ~6 centroids.
+    scored = F.array(
+        *[
+            F.struct(
+                V.cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias(
+                    "s"
+                ),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(scored)["c"])

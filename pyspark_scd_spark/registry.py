@@ -1772,3 +1772,61 @@ def q_salted_agg_skew(spark, sf_dir):
         F.round("sum_o_totalprice", 2).alias("spend"),
         "n_rows",
     )
+
+
+@register(
+    "doc_winnow_fingerprint",
+    None,  # xxhash64 has no DuckDB twin — rows-only check
+    doc="Winnowing fingerprints (MOSS rolling k-gram hash + window "
+    "min): shared substrings of length >= k+w-1 guarantee shared "
+    "fingerprints; dedup joins on the fingerprint rows "
+    "(functions/text.py winnow_fingerprint_rows).",
+)
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return TXT.winnow_fingerprint_rows(d.select("doc_id", "text"))
+
+
+@register(
+    "sim_search_ivf",
+    None,  # ANN with recall<1 — rows-only check
+    doc="IVF-partitioned ANN: corpus assigned to centroid cells "
+    "(deterministic centroids), queries probe only their own cell, "
+    "exact cosine re-rank inside — at rest the corpus is partitioned "
+    "by ivf_cell so a probe scans one partition "
+    "(operators/similarity.py ivf_assign).",
+)
+def q_sim_search_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+    from pyspark_scd_spark.functions import vectors as V
+
+    e = _t(spark, sf_dir, "embeddings")
+    # deterministic centroids: the 8 lowest-id embeddings
+    centroids = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    corpus = similarity.ivf_assign(e, centroids)
+    queries = similarity.ivf_assign(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)),
+        centroids,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        "ivf_cell",
+    )
+    scored = corpus.join(F.broadcast(queries), "ivf_cell").select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("embedding"), F.col("__qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -63,6 +63,32 @@ def write_staged(
     return path
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on the same keys with the same bucket count
+    join with ZERO shuffle — each task reads bucket i of both sides —
+    and sorted buckets skip the sort-merge sort too. This is the
+    at-rest layout for the incremental SCD current-view table: daily
+    ``scd_merge`` joins then move no data at all. (Plain
+    ``DataFrameWriter.save`` paths cannot carry bucket metadata;
+    bucketing requires the catalog, hence ``saveAsTable``.)
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def archive_files(files: Sequence[str], dest_dir: str) -> list[str]:
     """Move ingested input files to an archive directory (reference
     ``move_files``, jobs/create_employee_all.py:198-214). Driver-side

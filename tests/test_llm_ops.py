@@ -190,3 +190,41 @@ def test_observed_metrics_piggyback(spark):
     assert df2.count() == 100  # the consuming action
     assert obs.get["n_rows"] == 100
     assert obs.get["n_null_keys"] == 5
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from pyspark_scd_spark.functions import text as TXT
+
+    # docs 1 and 2 share a 40-char substring; 3 shares nothing
+    shared = "the quick brown fox jumps over lazy dogs"
+    rows = [
+        (1, "PREFIX_A " + shared + " SUFFIX_A"),
+        (2, "totally different opening " + shared),
+        (3, "no overlap here at all with anything else whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = TXT.winnow_fingerprint_rows(df, k=5, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: shared substring of len >= k+w-1 (8) ->
+    # at least one shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_ivf_assignment_matches_brute_force(spark):
+    from pyspark_scd_spark.operators import similarity
+    from pyspark_scd_spark.functions import vectors as V
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in similarity.ivf_assign(df, centroids).collect()
+    }
+    assert got[0] == 0 and got[1] == 1
+    _ = V
