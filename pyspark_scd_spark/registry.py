@@ -1830,3 +1830,98 @@ def q_sim_search_ivf(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+@register(
+    "collect_list_ordered",
+    """
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey)
+             AS status_concat
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+    doc="Ordered array/string aggregation: collect_list has no "
+    "deterministic order in a distributed agg, so determinism comes "
+    "from collecting (sort_key, value) structs and sorting the array "
+    "after the fact — the scalable pattern for ordered group concat.",
+)
+def q_collect_list_ordered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    packed = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.col("o_orderkey"))).alias("order_keys"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("o_orderkey", "o_orderstatus")
+                    )
+                ),
+                lambda s: s["o_orderstatus"],
+            ),
+            ",",
+        ).alias("status_concat"),
+    )
+    return packed
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY
+             CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS orders_trailing_90d
+    FROM orders
+    """,
+    doc="RANGE frame over event time: trailing-90-day count per "
+    "customer — value-based frames, not row-based.",
+)
+def q_window_range_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+    o.createOrReplaceTempView("__rf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, order_date,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY order_date
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                 AS orders_trailing_90d
+        FROM __rf_orders
+        """
+    )
+
+
+@register(
+    "first_last_value",
+    """
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value with explicit full frames (the "
+    "default frame makes last_value a footgun — reference's running-"
+    "max bug class, SURVEY.md §2 #7).",
+)
+def q_first_last_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
