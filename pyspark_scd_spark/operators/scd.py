@@ -314,6 +314,7 @@ def current_view(
     key_cols: Sequence[str],
     time_col: str,
     stamp_global_max: bool = True,
+    global_max_source: DataFrame | None = None,
 ) -> DataFrame:
     """Latest row per entity (the SCD Type-1 "current" table).
 
@@ -324,6 +325,10 @@ def current_view(
     ``stamp_global_max=True`` overwrites ``time_col`` with the global
     max snapshot date on every row (reference behavior, :58,63) via the
     broadcast-scalar pattern, not a single-partition window.
+
+    ``global_max_source``: cheaper lineage with the same max — without
+    it the scalar branch re-executes ``df``'s whole upstream pipeline
+    just to take one max (observed: the SCD window chain ran twice).
     """
     w = Window.partitionBy(*key_cols).orderBy(F.col(time_col).desc())
     latest = (
@@ -332,7 +337,9 @@ def current_view(
         .drop("__rn")
     )
     if stamp_global_max:
-        latest = _with_global_max(latest, time_col, "__stamp")
+        latest = _with_global_max(
+            latest, time_col, "__stamp", scalar_source=global_max_source
+        )
         latest = latest.withColumn(time_col, F.col("__stamp")).drop("__stamp")
     return latest
 

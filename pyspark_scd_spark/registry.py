@@ -279,7 +279,14 @@ FROM ranked WHERE rn = 1
 )
 def q_scd_employee_current(spark, sf_dir):
     hist = q_scd_employee_all(spark, sf_dir)
-    cur = scd.current_view(hist, ["key"], "snap_date")
+    # stamp scalar from the raw scan: without it the scalar branch
+    # re-executes the whole SCD window chain for one max()
+    raw_dates = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("snap_date")
+    )
+    cur = scd.current_view(
+        hist, ["key"], "snap_date", global_max_source=raw_dates
+    )
     return cur.select(
         "key",
         "snap_date",
@@ -1925,3 +1932,29 @@ def q_first_last_value(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     ).distinct()
+
+
+@register(
+    "variant_semi_structured",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY 1
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into "
+    "a binary variant, then typed try_variant_get extraction — unlike "
+    "get_json_object, repeated field reads don't re-parse the JSON "
+    "text. Oracle states the same result via DuckDB JSON functions.",
+)
+def q_variant_semi_structured(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select(k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
