@@ -189,8 +189,10 @@ def minhash_lsh_pairs(
     # blowup LSH exists to avoid).
     sh = _shingles(df, id_col, text_col, n, None).cache()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    cand_sh = cand.join(
-        sh.select(F.col("__id").alias("doc_a"), "shingle"), "doc_a"
+    # candidates are bounded by the true near-dup count — broadcast
+    # them so the verify joins never shuffle the shingle index
+    cand_sh = sh.select(F.col("__id").alias("doc_a"), "shingle").join(
+        F.broadcast(cand), "doc_a"
     )
     inter = (
         cand_sh.join(

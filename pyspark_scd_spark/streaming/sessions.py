@@ -69,3 +69,98 @@ def tumbling_counts_stream(
             "n",
         )
     )
+
+
+def sessionize_stateful(
+    events,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Custom stateful sessionizer via ``applyInPandasWithState`` —
+    the escape hatch when ``session_window`` can't express the
+    semantics (e.g. dynamic per-user gaps, session caps, custom
+    emission rules).
+
+    State per user: (session_start_us, last_ts_us, n_events, value_sum).
+    Each micro-batch folds its events into the state; sessions close
+    when the inactivity gap passes (emitted rows) and the final open
+    session is flushed on state timeout. State size is O(active users),
+    bounded by the timeout — the knob that keeps 100 TB streams from
+    accreting state forever.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def _fold(key, pdfs, state: GroupState):
+        (user,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, _, n, v = state.get
+                closed.append((user, s, n, v))
+                state.remove()
+        else:
+            rows = []
+            for pdf in pdfs:
+                ts_us = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                )
+                rows.extend(
+                    zip(ts_us.tolist(), pdf[value_col].tolist())
+                )
+            rows.sort()
+            if state.exists:
+                s, last, n, v = state.get
+            else:
+                s = last = None
+                n, v = 0, 0.0
+            for t_us, val in rows:
+                if last is not None and t_us - last > gap_us:
+                    closed.append((user, s, n, v))
+                    s, n, v = t_us, 0, 0.0
+                if s is None:
+                    s = t_us
+                last = t_us
+                n += 1
+                v += float(val)
+            state.update((s, last, n, v))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "n_events", "value_sum"],
+        )
+
+    return (
+        events.groupBy(user_col)
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -134,3 +134,24 @@ def test_validate_blocks_bad_output(spark, tmp_path):
     with pytest.raises(QualityError, match="duplicate keys"):
         validate(dup, ["snapshot_date", "employee_number"])
     _ = F2
+
+
+def test_failfast_rejects_malformed_csv(spark, tmp_path):
+    """FAILFAST schema enforcement: a malformed row aborts the read
+    instead of silently nulling (reference convention,
+    jobs/create_employee_all.py:40-47)."""
+    from pyspark_scd_spark.profiles import EMP_SNAPSHOT_SCHEMA
+    from pyspark_scd_spark.sources.readers import read_csv_snapshots
+
+    bad = tmp_path / "2020-01-01.csv"
+    bad.write_text(
+        "snapshot_date,employee_number,status,first_name,last_name,"
+        "gender,email,phone_number,salary,termination_date\n"
+        "2020-01-01,not_a_number,Active,A,B,F,a@b.c,000,50000,NULL\n"
+    )
+    df, files = read_csv_snapshots(
+        spark, str(tmp_path / "*.csv"), EMP_SNAPSHOT_SCHEMA
+    )
+    assert files
+    with pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        df.collect()

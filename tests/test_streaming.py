@@ -130,3 +130,56 @@ def test_file_source_scd_ingest(spark, tmp_path):
     assert rows[30] == "Deleted"
     assert rows[1] == "No Change"
     assert os.path.isdir(str(tmp_path / "ck2"))
+
+
+def test_stateful_sessionizer(spark, events_dir, tmp_path):
+    """applyInPandasWithState custom sessionizer: closed sessions from
+    a bounded stream must match the batch sessionizer's closed
+    sessions (the open tail session per user is withheld by design)."""
+    ev_stream = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    sessions_out = sessions.sessionize_stateful(ev_stream, gap_seconds=1800)
+    q = (
+        sessions_out.writeStream.format("memory")
+        .queryName("stateful_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT user_id, n_events FROM stateful_sess"
+    ).collect()
+    got_multiset = sorted((r["user_id"], r["n_events"]) for r in got)
+
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    d = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+    batch = (
+        ev.withColumn(
+            "is_start", F.when(d.isNull() | (d > gap_us), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+    )
+    # closed sessions = all but each user's final session
+    w_last = Window.partitionBy("user_id")
+    closed_batch = batch.withColumn(
+        "max_last", F.max("last_ts").over(w_last)
+    ).filter(F.col("last_ts") != F.col("max_last"))
+    want_multiset = sorted(
+        (r["user_id"], r["n_events"]) for r in closed_batch.collect()
+    )
+    assert got_multiset == want_multiset
+    assert len(got_multiset) > 0
