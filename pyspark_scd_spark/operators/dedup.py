@@ -189,10 +189,12 @@ def minhash_lsh_pairs(
     # blowup LSH exists to avoid).
     sh = _shingles(df, id_col, text_col, n, None).cache()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    # candidates are bounded by the true near-dup count — broadcast
-    # them so the verify joins never shuffle the shingle index
+    # No broadcast hint: a cluster of k near-identical docs yields
+    # ~k²/2 candidate pairs, so cand is NOT bounded in adversarial
+    # corpora — AQE picks broadcast when it actually fits and degrades
+    # to a shuffle join when it doesn't.
     cand_sh = sh.select(F.col("__id").alias("doc_a"), "shingle").join(
-        F.broadcast(cand), "doc_a"
+        cand, "doc_a"
     )
     inter = (
         cand_sh.join(

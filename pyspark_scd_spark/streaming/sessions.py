@@ -97,9 +97,10 @@ def sessionize_stateful(
         GroupStateTimeout,
     )
 
+    key_field = events.schema[user_col]
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(user_col, key_field.dataType),
             T.StructField("session_start_us", T.LongType()),
             T.StructField("n_events", T.LongType()),
             T.StructField("value_sum", T.DoubleType()),
@@ -144,14 +145,19 @@ def sessionize_stateful(
                     s, n, v = t_us, 0, 0.0
                 if s is None:
                     s = t_us
-                last = t_us
+                # late event (cross-batch out-of-order): fold it into
+                # the current session without moving `last` backwards —
+                # a regressed `last` would fake an inactivity gap and
+                # split a live session
+                s = min(s, t_us)
+                last = t_us if last is None else max(last, t_us)
                 n += 1
                 v += float(val)
             state.update((s, last, n, v))
             state.setTimeoutDuration(gap_seconds * 1000)
         yield pd.DataFrame(
             closed,
-            columns=["user_id", "session_start_us", "n_events", "value_sum"],
+            columns=[user_col, "session_start_us", "n_events", "value_sum"],
         )
 
     return (
