@@ -1958,3 +1958,72 @@ def q_variant_semi_structured(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "hash_split_sample",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS INTEGER) AS bucket
+      FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic train/valid/test split: md5-prefix bucket per "
+    "key — reproducible across runs, engines, and cluster sizes "
+    "(unlike rand()-based sampling), and stable under data growth: a "
+    "document never changes split when others are added.",
+)
+def q_hash_split_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "udtf_word_positions",
+    r"""
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 20)
+    SELECT doc_id, toks[u.i] AS word, CAST(u.i - 1 AS INTEGER) AS pos
+    FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+    """,
+    doc="Python UDTF (Spark 4): table function exploding words with "
+    "positions via LATERAL join — the UDF tier for one-row-to-many "
+    "transforms where arrays don't fit (stateful generators, "
+    "external parsers).",
+)
+def q_udtf_word_positions(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class WordPositions:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("__word_positions", WordPositions)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.word, t.pos
+        FROM __udtf_docs, LATERAL __word_positions(text) t
+        """
+    )
