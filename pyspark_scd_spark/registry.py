@@ -2027,3 +2027,57 @@ def q_udtf_word_positions(spark, sf_dir):
         FROM __udtf_docs, LATERAL __word_positions(text) t
         """
     )
+
+
+@register(
+    "approx_distinct_hll",
+    None,  # sketch-based: HLL estimates differ across engines — the
+    # pytest tolerance check (tests/test_llm_ops.py) is the gate
+    doc="HyperLogLog++ approximate distinct counts (2% target rsd): "
+    "the sketch path for cardinality at 100 TB — mergeable partial "
+    "sketches, constant memory, vs the exact count's expand+2-phase.",
+)
+def q_approx_distinct_hll(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "array_function_suite",
+    """
+    WITH t AS (SELECT doc_id,
+        list_distinct(list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), x -> x <> '')) AS toks
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           list_sort(list_intersect(toks,
+             ['the','a','of','and','to','in','is'])) AS stop_overlap,
+           CAST(len(list_distinct(list_concat(toks,
+             ['the','a','of','and','to','in','is']))) AS INTEGER)
+             AS n_union,
+           list_contains(toks, 'spark') AS mentions_spark
+    FROM t
+    """,
+    doc="Array set algebra (intersect/union/contains) over token "
+    "arrays — results sorted on both engines because set ops have no "
+    "canonical order (DuckDB list_intersect returns reverse order).",
+)
+def q_array_function_suite(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    stop = F.array(
+        *[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is"]]
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = d.select(
+        "doc_id", F.array_distinct(TXT.tokens("text")).alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_intersect("toks", stop)).alias("stop_overlap"),
+        F.size(F.array_distinct(F.array_union("toks", stop))).alias("n_union"),
+        F.array_contains("toks", "spark").alias("mentions_spark"),
+    )

@@ -228,3 +228,28 @@ def test_ivf_assignment_matches_brute_force(spark):
     }
     assert got[0] == 0 and got[1] == 1
     _ = V
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from pyspark_scd_spark.registry import REGISTRY
+
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+        for r in REGISTRY["approx_distinct_hll"].builder(spark, sf_dir).collect()
+    }
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["p"], r["o"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("p"),
+            F.count_distinct("l_orderkey").alias("o"),
+        )
+        .collect()
+    }
+    for k, (ap, ao) in approx.items():
+        ep, eo = exact[k]
+        assert abs(ap - ep) / ep < 0.1, (k, ap, ep)
+        assert abs(ao - eo) / eo < 0.1, (k, ao, eo)
