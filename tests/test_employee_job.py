@@ -155,3 +155,22 @@ def test_failfast_rejects_malformed_csv(spark, tmp_path):
     assert files
     with pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         df.collect()
+
+
+def test_write_staged_recovers_from_stale_staging(spark, tmp_path):
+    """A crash between stage and swap leaves <path>.__staging__ behind;
+    the next run must overwrite it and commit cleanly."""
+    import os
+
+    from pyspark_scd_spark.sources.writers import write_staged
+
+    path = str(tmp_path / "out")
+    os.makedirs(f"{path}.__staging__")
+    with open(f"{path}.__staging__/garbage.txt", "w") as f:
+        f.write("leftover from a crashed run")
+
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    write_staged(df, path)
+    assert spark.read.parquet(path).count() == 10
+    assert not os.path.exists(f"{path}.__staging__")
+    assert not os.path.exists(f"{path}.__old__")

@@ -89,3 +89,67 @@ def test_scd_apply_matches_model(spark, obs):
     }
     want = python_scd_model(obs)
     assert got == want
+
+
+def python_merge_model(obs: dict[tuple[int, int], str], days: list[int]):
+    """Day-by-day merge fold semantics (scd_merge): state per entity =
+    (time, value_or_None, status, date). Gap handling differs from the
+    window model by design: absence marks Deleted immediately and the
+    change date tracks merge state, not pre-gap islands."""
+    state: dict[int, tuple] = {}
+    for i, day in enumerate(days):
+        today = {e: v for (e, d), v in obs.items() if d == day}
+        if i == 0:
+            for e, v in today.items():
+                state[e] = (day, v, "New", day)
+            continue
+        for e in set(state) | set(today):
+            if e not in state:
+                state[e] = (day, today[e], "New", day)
+            elif e not in today:
+                t, v, st, dt = state[e]
+                state[e] = (t, v, "Deleted", t)
+            else:
+                t, v, st, dt = state[e]
+                nv = today[e]
+                if nv != v:
+                    state[e] = (day, nv, "Changed", day)
+                else:
+                    state[e] = (day, nv, "No Change", dt)
+    return {e: (st, dt) for e, (t, v, st, dt) in state.items()}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=histories())
+def test_scd_merge_fold_matches_merge_model(spark, obs):
+    """The scd_merge fold must implement exactly the merge-state
+    semantics (which legitimately diverge from the windowed rebuild on
+    gap patterns — documented in scd_merge's docstring)."""
+    if not obs:
+        return
+    days = sorted({d for _, d in obs})
+    current = None
+    for day in days:
+        rows = [
+            (e, BASE + dt.timedelta(days=dd), v)
+            for (e, dd), v in obs.items()
+            if dd == day
+        ]
+        day_df = spark.createDataFrame(rows, ["entity", "snap_date", "val"])
+        if current is None:
+            current = scd.scd_bootstrap(day_df, ["entity"], "snap_date")
+        else:
+            current = scd.scd_merge(
+                current, day_df, ["entity"], "snap_date", ["val"]
+            )
+        current = current.localCheckpoint()
+    got = {
+        r["entity"]: (r["change_status"], (r["changed_status_date"] - BASE).days)
+        for r in current.collect()
+    }
+    want = python_merge_model(obs, days)
+    assert got == want
