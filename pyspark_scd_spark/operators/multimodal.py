@@ -124,6 +124,53 @@ def decode_image_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    target_bytes: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Resize: binary in → smaller binary out (the image-thumbnail /
+    audio-downsample shape — output schema identical in kind, smaller
+    payload). ``fake=True`` stride-samples every k-th byte
+    deterministically; ``fake=False`` raises (real resizing needs
+    PIL/ffmpeg, absent in this container). Either way the Arrow batch
+    path, schema, and cardinality contract (1:1) are the real thing.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image/audio resize requires PIL/ffmpeg; use "
+                    "fake=True for plumbing tests"
+                )
+            out = {"doc_id": [], "resized": [], "n_bytes_in": [], "n_bytes_out": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                stride = max(len(payload) // target_bytes, 1)
+                small = payload[::stride][:target_bytes]
+                out["doc_id"].append(int(doc_id))
+                out["resized"].append(small)
+                out["n_bytes_in"].append(len(payload))
+                out["n_bytes_out"].append(len(small))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

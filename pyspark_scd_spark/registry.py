@@ -2225,3 +2225,18 @@ def q22_inactive_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "multimodal_resize",
+    None,  # binary output — rows-only check
+    doc="Resize/downsample: binary payload in -> smaller binary out "
+    "via Arrow-batched mapInPandas (deterministic stride stub; real "
+    "codec gated behind fake=False NotImplementedError) "
+    "(operators/multimodal.py resize_payload).",
+)
+def q_multimodal_resize(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.resize_payload(multimodal.with_binary_payload(d))

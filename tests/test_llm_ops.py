@@ -253,3 +253,14 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         ep, eo = exact[k]
         assert abs(ap - ep) / ep < 0.1, (k, ap, ep)
         assert abs(ao - eo) / eo < 0.1, (k, ao, eo)
+
+
+def test_resize_payload_contract(docs):
+    out = multimodal.resize_payload(
+        multimodal.with_binary_payload(docs), target_bytes=16
+    ).collect()
+    assert len(out) == docs.count()  # 1:1 cardinality
+    for r in out:
+        assert r["n_bytes_out"] <= 16
+        assert r["n_bytes_out"] <= r["n_bytes_in"]
+        assert isinstance(r["resized"], (bytes, bytearray))
