@@ -2240,3 +2240,71 @@ def q_multimodal_resize(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return multimodal.resize_payload(multimodal.with_binary_payload(d))
+
+
+_SCD_COMPOSITE_SQL = """
+WITH snaps AS (
+  SELECT l_partkey, l_suppkey, snap_date, l_quantity, l_returnflag FROM (
+    SELECT l_partkey, l_suppkey, CAST(l_shipdate AS DATE) AS snap_date,
+           l_quantity, l_returnflag,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey,
+                              CAST(l_shipdate AS DATE)
+                              ORDER BY l_orderkey DESC, l_linenumber DESC)
+             AS rn
+    FROM lineitem) WHERE rn = 1),
+h AS (
+  SELECT *, sha256(concat_ws('||', CAST(CAST(l_quantity AS INTEGER)
+           AS VARCHAR), l_returnflag)) AS row_hash
+  FROM snaps),
+s AS (
+  SELECT *,
+    MIN(snap_date) OVER w AS min_t,
+    MAX(snap_date) OVER w AS max_t,
+    LAG(row_hash)  OVER wo AS prev_hash,
+    LEAD(row_hash) OVER wo AS next_hash,
+    MAX(snap_date) OVER () AS global_max_t
+  FROM h
+  WINDOW w  AS (PARTITION BY l_partkey, l_suppkey),
+         wo AS (PARTITION BY l_partkey, l_suppkey ORDER BY snap_date)),
+st AS (
+  SELECT *,
+    CASE WHEN snap_date = min_t THEN 'New'
+         WHEN next_hash IS NULL AND max_t <> global_max_t THEN 'Deleted'
+         WHEN prev_hash <> row_hash THEN 'Changed'
+         ELSE 'No Change' END AS change_status
+  FROM s)
+SELECT l_partkey, l_suppkey, snap_date, change_status
+FROM st
+"""
+
+
+@register(
+    "scd_composite_key",
+    _SCD_COMPOSITE_SQL,
+    doc="SCD change classification over a COMPOSITE entity key "
+    "(part, supplier) on the 4x-larger lineitem table — exercises the "
+    "multi-column key_cols path of the same single-shuffle pipeline.",
+)
+def q_scd_composite_key(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    snaps = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("snap_date"),
+        # stringify exactly as the oracle does: quantity is integral
+        F.col("l_quantity").cast("int").cast("string").alias("l_quantity"),
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    keys = ["l_partkey", "l_suppkey"]
+    df = scd.snapshot_dedup_aligned(
+        snaps, keys, "snap_date", tiebreak_cols=["l_orderkey", "l_linenumber"]
+    )
+    df = scd.with_row_hash(df, ["l_quantity", "l_returnflag"])
+    df = scd.with_change_status(
+        df, keys, "snap_date", global_max_source=snaps.select("snap_date")
+    )
+    return df.select(
+        "l_partkey", "l_suppkey", "snap_date", "change_status"
+    )
