@@ -24,6 +24,7 @@ from pyspark_scd_spark.session import get_spark
 HEADLINE = [
     "scd_employee_all",
     "scd_employee_current",
+    "scd_composite_key",
     "top1_per_group",
     "latest_per_group_maxby",
     "q1_pricing_summary",
