@@ -264,3 +264,47 @@ def test_resize_payload_contract(docs):
         assert r["n_bytes_out"] <= 16
         assert r["n_bytes_out"] <= r["n_bytes_in"]
         assert isinstance(r["resized"], (bytes, bytearray))
+
+
+def test_lsh_topk_high_recall_on_clustered_data(spark):
+    """On data with real near neighbors (10 tight clusters), bucketed
+    LSH must recover most of the brute-force top-k. (On the testdata's
+    near-orthogonal random embeddings recall is ~1/k by construction —
+    only the query itself is a true near neighbor.)"""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 10, 20
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c in centers:
+        norm = math.sqrt(sum(x * x for x in c))
+        base = [x / norm for x in c]
+        for _ in range(per_cluster):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.05) for x in base])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    queries = df.filter(F.col("vec_id") % per_cluster == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.brute_force_topk(df, queries, k=5)
+    lsh = similarity.lsh_bucketed_topk(df, queries, dim=dim, k=5, n_planes=4)
+    bf_sets: dict = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    lsh_sets: dict = {}
+    for r in lsh.collect():
+        lsh_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
