@@ -540,8 +540,8 @@ def q_global_topk(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)      AS avg_qty,
            ROUND(AVG(l_discount), 6)      AS avg_disc,
            CAST(COUNT(*) AS BIGINT)       AS count_order
@@ -559,10 +559,8 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+            (F.sum(F.round((F.col("l_extendedprice")) * 100).cast("long")) / 100.0).alias("sum_base_price"),
+            (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -597,7 +595,7 @@ def q_agg_rollup(spark, sf_dir):
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0 AS sum_price,
            CAST(COUNT(*) AS BIGINT)       AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -609,7 +607,7 @@ def q_agg_cube(spark, sf_dir):
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (F.sum(F.round((F.col("l_extendedprice")) * 100).cast("long")) / 100.0).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         ],
         kind="cube",
@@ -643,7 +641,7 @@ def q_distinct_agg(spark, sf_dir):
     "q3_top_unshipped",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS revenue,
            CAST(o_orderdate AS DATE) AS order_date
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -675,9 +673,7 @@ def q3_top_unshipped(spark, sf_dir):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0).alias("revenue")
     )
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -692,7 +688,7 @@ def q3_top_unshipped(spark, sf_dir):
     "q5_nation_revenue",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -725,9 +721,7 @@ def q5_nation_revenue(spark, sf_dir):
         )
     )
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0).alias("revenue")
     )
 
 
@@ -810,7 +804,7 @@ def q_set_ops(spark, sf_dir):
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(MIN(ts) AS DATE) AS session_start_day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           SUM(CAST(ROUND((value) * 100) AS BIGINT)) / 100.0 AS session_value
     FROM sess GROUP BY user_id, session_id
     """,
     doc="Batch sessionization: lag-gap mark + running-sum session ids "
@@ -832,7 +826,7 @@ def q_events_sessionize(spark, sf_dir):
     return sess.groupBy("user_id", "session_id").agg(
         F.to_date(F.min("ts")).alias("session_start_day"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.sum(F.round((F.col("value")) * 100).cast("long")) / 100.0).alias("session_value"),
     )
 
 
@@ -842,7 +836,7 @@ def q_events_sessionize(spark, sf_dir):
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           SUM(CAST(ROUND((value) * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     doc="Tumbling event-time window aggregate (batch form of the "
@@ -858,7 +852,7 @@ def q_events_tumbling(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round((F.col("value")) * 100).cast("long")) / 100.0).alias("total_value"),
         )
     )
 
@@ -1218,7 +1212,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           SUM(CAST(ROUND((value) * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -1233,7 +1227,7 @@ def q_events_json_extract(spark, sf_dir):
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(F.round((F.col("value")) * 100).cast("long")) / 100.0).alias("total_value"),
         )
     )
 
@@ -1758,7 +1752,7 @@ def q_map_type_ops(spark, sf_dir):
     "salted_agg_skew",
     """
     SELECT o_custkey,
-           ROUND(SUM(o_totalprice), 2) AS spend,
+           SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) / 100.0 AS spend,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM orders GROUP BY o_custkey
     """,
@@ -1770,13 +1764,13 @@ def q_map_type_ops(spark, sf_dir):
 def q_salted_agg_skew(spark, sf_dir):
     from pyspark_scd_spark.operators import skew
 
-    o = _t(spark, sf_dir, "orders")
-    out = skew.salted_sum_count(
-        o, ["o_custkey"], ["o_totalprice"], n_salts=16
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
+    out = skew.salted_sum_count(o, ["o_custkey"], ["price_cents"], n_salts=16)
     return out.select(
         "o_custkey",
-        F.round("sum_o_totalprice", 2).alias("spend"),
+        (F.col("sum_price_cents") / 100.0).alias("spend"),
         "n_rows",
     )
 
@@ -2086,7 +2080,7 @@ def q_array_function_suite(spark, sf_dir):
 @register(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2108,9 +2102,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            (F.sum(F.round((F.col("l_extendedprice") * F.col("l_discount")) * 100).cast("long")) / 100.0).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -2149,7 +2141,7 @@ def q14_promo_ratio(spark, sf_dir):
 @register(
     "q19_disjunctive_predicates",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2183,9 +2175,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2197,7 +2187,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
       SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           SUM(CAST(ROUND((c_acctbal) * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -2223,7 +2213,7 @@ def q22_inactive_customers(spark, sf_dir):
     )
     return inactive.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        (F.sum(F.round((F.col("c_acctbal")) * 100).cast("long")) / 100.0).alias("totacctbal"),
     )
 
 
@@ -2313,7 +2303,7 @@ def q_scd_composite_key(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0) / 7.0, 2) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l1
     WHERE l_quantity < (
@@ -2332,7 +2322,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         li.join(per_part, li.l_partkey == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            (F.round((F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0) / 7.0, 2)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -2388,4 +2378,87 @@ def q21_waiting_supplier(spark, sf_dir):
     )
     return no_other_returned.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("numwait")
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: 4-way join, returned-item revenue per "
+    "customer, top-20.",
+)
+def q10_returned_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    # exact-cents aggregation: each term is rounded to an integer cent
+    # (identical doubles -> identical rounding in every engine), the
+    # BIGINT sum is order-independent, so no cross-engine ulp/rounding
+    # boundary can flip the result
+    rev_cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+    ).cast("long")
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(rev_cents) / 100.0).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: conditional counts split by a dimension "
+    "attribute after an equi-join.",
+)
+def q12_shipmode_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
