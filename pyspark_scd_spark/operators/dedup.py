@@ -115,6 +115,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures from an (``__id``, shingle) pair set."""
+    # k independent seeded hashes. (Kirsch-Mitzenmacher double hashing
+    # — h_i = h1 + i*h2 from two base hashes — was benchmarked here:
+    # it saved nothing measurable because the banded self-join, not
+    # shingle hashing, dominates, and its linear dependence cost ~4%
+    # candidate recall at j>=0.5. Independent hashes win.)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -128,16 +142,9 @@ def minhash_signatures(
     aggregates — map-side partial aggregation keeps the shuffle at
     |docs|·k, independent of shingle count."""
     sh = _shingles(df, id_col, text_col, n, None)
-    # k independent seeded hashes. (Kirsch-Mitzenmacher double hashing
-    # — h_i = h1 + i*h2 from two base hashes — was benchmarked here:
-    # it saved nothing measurable because the banded self-join, not
-    # shingle hashing, dominates, and its linear dependence cost ~4%
-    # candidate recall at j>=0.5. Independent hashes win.)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+    return _signatures_from_shingles(sh, num_hashes).withColumnRenamed(
+        "__id", id_col
+    )
 
 
 def minhash_lsh_pairs(
@@ -160,7 +167,15 @@ def minhash_lsh_pairs(
     hash, so bucket sizes stay tiny unless docs truly collide.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # ONE shingle pass feeds both the signature build and the exact
+    # verify below — shingling (tokenize + explode + distinct) is the
+    # widest stage in the whole pipeline, so computing it twice doubled
+    # the dominant cost. Cache is per-partition columnar and bounded by
+    # the distinct (id, shingle) set.
+    sh = _shingles(df, id_col, text_col, n, None).cache()
+    sig = _signatures_from_shingles(sh, num_hashes).withColumnRenamed(
+        "__id", id_col
+    )
 
     band_cols = []
     for b in range(bands):
@@ -192,7 +207,6 @@ def minhash_lsh_pairs(
     # work ∝ |candidates|·shingles/doc, not all co-occurring pairs
     # (verifying via a full-corpus jaccard join would redo the O(df²)
     # blowup LSH exists to avoid).
-    sh = _shingles(df, id_col, text_col, n, None).cache()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     # No broadcast hint: a cluster of k near-identical docs yields
     # ~k²/2 candidate pairs, so cand is NOT bounded in adversarial
