@@ -2525,3 +2525,343 @@ def q12_shipmode_priority(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ======================================================================
+# TPC-H relational shapes, batch 4: q7/q8/q9/q11/q15/q20.
+# The testdata has no partsupp table, so q9/q11/q20 keep the reference
+# query's JOIN/decorrelation SHAPE with a stand-in measure
+# (p_retailprice for ps_supplycost, lineitem volume for ps_availqty);
+# the point of each entry is the plan structure, not TPC-H compliance.
+# ======================================================================
+
+
+_CENTS = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
+
+
+def _rev_cents():
+    """Exact-cents revenue term (see q10 comment: integer cents make
+    the sum order-independent, so no cross-engine ulp flake)."""
+    return F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+    ).cast("long")
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(volume_cents) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+             {_CENTS} AS volume_cents
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: fact-fact join (lineitem x orders) with two "
+    "independent dim hops to nation, a symmetric two-nation "
+    "disjunction, and a year rollup. Both nation lookups broadcast; "
+    "the only shuffles are the orderkey join and the final group.",
+)
+def q7_volume_shipping(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    # Pre-filtering both nation sides to the two named nations makes
+    # the inner joins themselves enforce the disjunction's nation
+    # membership; only the asymmetric pairing (1,2)/(2,1) remains as a
+    # residual filter.
+    sn = s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+    cn = c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7'
+                     THEN volume_cents ELSE 0 END) * 1.0
+                 / SUM(volume_cents), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             {_CENTS} AS volume_cents,
+             n1.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-way star join, then a conditional-sum / "
+    "total-sum ratio per year. Numerator and denominator are both "
+    "exact integer cents, so the double division rounds identically "
+    "in both engines.",
+)
+def q8_market_share(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    # customer-side nation is filtered to the ASIA region before the
+    # fact join, so non-qualifying customers never reach the shuffle
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk2")
+    )
+    sn = s.join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+    cn = c.join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+    )
+    cents = _rev_cents()
+    nat_cents = F.when(F.col("supp_nation") == "NATION_7", cents).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nat_cents) * 1.0 / F.sum(cents), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, SUM(amount_cents) / 100.0 AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(ROUND((l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT)
+               AS amount_cents
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%')
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: profit per supplier-nation per year over a "
+    "part-name LIKE filter. The testdata has no partsupp, so "
+    "0.5 * p_retailprice stands in for ps_supplycost — the 5-way "
+    "join-through-part structure is what this entry pins.",
+)
+def q9_product_profit(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    )
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum(amount_cents) / 100.0).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH nat_value AS (
+      SELECT l_partkey, SUM({_CENTS}) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey, value_cents / 100.0 AS part_value
+    FROM nat_value
+    WHERE value_cents > (SELECT 2.0 * AVG(value_cents) FROM nat_value)
+    """,
+    doc="TPC-H Q11 shape: per-part value within one nation, kept only "
+    "when above a multiple of the average per-part value (TPC-H's "
+    "fixed fraction-of-total is not scale-stable: the part count "
+    "grows with SF, so every share shrinks and the result empties) "
+    "— a scalar "
+    "subquery over the same aggregate, decorrelated into agg + "
+    "broadcast cross-join. lineitem revenue stands in for "
+    "ps_supplycost*ps_availqty (no partsupp in testdata).",
+)
+def q11_important_stock(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    per_part = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_cents()).alias("value_cents"))
+    )
+    # The threshold is a second aggregate OVER the per-part aggregate
+    # (not over lineitem), so per_part is the shared subplan; Spark
+    # evaluates it twice unless cached, but it is already the small
+    # side (|parts| rows), so recompute beats a persist at scale.
+    total = per_part.agg(
+        (2.0 * F.avg("value_cents")).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select(
+            "l_partkey", (F.col("value_cents") / 100.0).alias("part_value")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM({_CENTS}) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue view per supplier, then "
+    "keep the argmax row(s) via a scalar-max subquery over the same "
+    "view. Exact integer cents make the WHERE = comparison safe "
+    "(double equality would be a cross-engine flake).",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_cents")
+    )
+    top = revenue.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    SELECT s_name FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: IN over a grouped+HAVING subquery -> "
+    "aggregate then left-semi join. The availqty comparison against "
+    "partsupp becomes a shipped-quantity threshold (no partsupp in "
+    "testdata); the nested-semi-join plan is what this entry pins.",
+)
+def q20_potential_promotion(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(heavy),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
