@@ -335,3 +335,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set.
+
+    The last mile of dedup: pair emitters (ngram_jaccard_pairs,
+    minhash_lsh_pairs, simhash_pairs) find edges; clustering them and
+    electing one survivor per component is what actually removes rows.
+    The reference has no analogue (its dedup is single-table
+    row_number, jobs/create_employee_all.py:74-81); this is the
+    standard closure step of a corpus pipeline.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    relaxes labels across edges (label(v) := min over neighbors) and
+    then jumps (label(v) := label(label(v))), so chains collapse in
+    O(log diameter) rounds, not O(diameter). Rounds are two shuffles
+    plus one exact-decimal aggregate for the convergence test; lineage
+    is cut with localCheckpoint every round (iterative DataFrame plans
+    otherwise grow without bound and re-execute under AQE). Labels
+    only decrease, so the label-sum is strictly decreasing until the
+    fixpoint — equality of consecutive sums is the stop test, with no
+    old-vs-new join.
+
+    Returns one row per node appearing in ``pairs``:
+    (``src_col``, ``component``), component = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(
+            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        # materialized once: every round re-reads the edge set, and the
+        # upstream pair generator (a similarity self-join) must not be
+        # re-executed per round
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        cand = edges.join(labels, edges.a == labels.id).select(
+            F.col("b").alias("id"), F.col("label")
+        )
+        relaxed = (
+            labels.union(cand).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        parent = relaxed.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            relaxed.join(parent, relaxed.label == F.col("pid"))
+            .select("id", F.col("plabel").alias("label"))
+            .localCheckpoint()
+        )
+        labels = jumped
+        s = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("id").alias(src_col), F.col("label").alias("component")
+    )

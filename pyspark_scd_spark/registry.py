@@ -2865,3 +2865,55 @@ def q20_potential_promotion(spark, sf_dir):
         .select("s_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "dedup_cc_clusters",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a)
+    """,
+    doc="Near-dup clusters: exact 3-gram jaccard pairs closed into "
+    "connected components (operators/dedup.py connected_components — "
+    "min-label propagation + pointer jumping, O(log diameter) "
+    "rounds). Oracle is a recursive-CTE transitive closure, so this "
+    "iterative algorithm IS value-checked, not rows-only.",
+)
+def q_dedup_cc_clusters(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup.connected_components(pairs)
+    w = Window.partitionBy("component")
+    return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w)).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -308,3 +308,29 @@ def test_lsh_topk_high_recall_on_clustered_data(spark):
         for q in bf_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_connected_components_chain_and_island(spark):
+    # A chain (1-2-3-4-5) exercises pointer jumping (diameter 4 must
+    # converge, not just star graphs); (10,11) is a separate island.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_a"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merges_tiers(docs):
+    # jaccard pairs over the fixture: 1-2 (near) and 1-4 (exact) chain
+    # into one cluster {1, 2, 4} even though 2-4 never co-occurs as an
+    # emitted pair below threshold ordering.
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup.connected_components(pairs).collect()
+    comp = {r["doc_a"]: r["component"] for r in cc}
+    assert comp[1] == comp[2] == comp[4] == 1
+    assert 3 not in comp and 5 not in comp  # singletons not in pairs
