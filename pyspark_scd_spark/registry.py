@@ -3029,3 +3029,79 @@ def q_profile_table(spark, sf_dir):
         numeric_cols=["o_orderkey", "o_custkey"],
         string_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+@register(
+    "corpus_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS token
+      FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    doc="Vocabulary building: global token frequencies, top-100 heavy "
+    "hitters. explode -> groupBy gets map-side partial aggregation "
+    "(per-partition combine BEFORE the shuffle, so shuffle volume is "
+    "|vocab| per partition, not |tokens|); the top-k is a "
+    "TakeOrdered, never a global sort.",
+)
+def q_corpus_vocab_topk(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TXT.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "doc_pack_bins",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens, shard,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 2048) AS BIGINT) AS bin_id
+    FROM (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM sized)
+    """,
+    doc="Sequence packing for training batches: deterministic "
+    "next-fit within 32 hash shards — each doc lands in bin "
+    "(shard, floor(prefix_token_sum / budget)). The running-sum "
+    "window is PARTITIONED by shard, so no data ever moves to a "
+    "single task (a global ORDER BY pack would); at 100 TB shard "
+    "count scales with the cluster and bins stay equally tight.",
+)
+def q_doc_pack_bins(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 32).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)
+        ),
+    )
