@@ -59,10 +59,22 @@ def _shingles(
     toks = df.select(
         F.col(id_col).alias("__id"), TXT.tokens(text_col).alias("__toks")
     )
-    sh = toks.select(
-        "__id",
-        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("shingle"),
-    ).distinct()
+    # Shingles leave this function as 64-bit xxhash64 values, not
+    # strings: every downstream consumer (the distinct here, the k
+    # seeded min-hashes, the inverted-index verify joins) only needs
+    # identity, and hashing/shuffling a long costs a fraction of a
+    # ~20-char string — the k signature hashes alone were k string
+    # hashes per (doc, shingle) row. Collision risk at 64 bits is
+    # |shingles|²/2⁶⁵ (~4e-9 for a 260k-shingle corpus) and only
+    # perturbs a jaccard count by 1.
+    sh = (
+        toks.select(
+            "__id",
+            F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
+        )
+        .select("__id", F.xxhash64("__s").alias("shingle"))
+        .distinct()
+    )
     if max_df is not None:
         doc_freq = sh.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("__df")
