@@ -36,10 +36,15 @@ HEADLINE = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cc_clusters",
     "sim_search_topk",
     "embedding_neardup_pairs",
     "text_stats",
     "multimodal_payload_meta",
+    "q8_market_share",
+    "profile_table",
+    "corpus_vocab_topk",
+    "doc_pack_bins",
 ]
 
 
@@ -59,6 +64,7 @@ def main() -> None:
     for name in HEADLINE:
         if name in queries:
             queries[name](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -69,6 +75,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
+        # Some operators cache intermediates (shingle sets, edge sets)
+        # and cannot unpersist before their consumer executes; drop
+        # those blocks here so a query's leftover cache never distorts
+        # the next query's timing (measured: a leaked 260k-row cache
+        # pushed an unrelated BLAS query from 0.8s to 6s via GC).
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
