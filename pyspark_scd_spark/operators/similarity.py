@@ -301,3 +301,31 @@ def ivf_assign(
         ]
     )
     return df.withColumn(out_col, F.array_max(scored)["c"])
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale).
+
+    4x storage/bandwidth reduction for ANN candidate generation (the
+    exact-rerank tier keeps fp32); per-VECTOR scales need no global
+    pass, so this is a pure map — no shuffle, whole-stage codegen,
+    works identically on a stream. Arithmetic is forced to double on
+    the float input so that rounding is engine-reproducible.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),  # all-zero vector guard: emits zeros, not NaN
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(
+            v, lambda x: F.round(x / scale).cast("tinyint")
+        ).alias("qvec"),
+    )

@@ -3105,3 +3105,27 @@ def q_doc_pack_bins(spark, sf_dir):
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)
         ),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id, emb,
+                 GREATEST(list_max(list_transform(emb, x -> ABS(x))) / 127.0,
+                          1e-12) AS scale
+          FROM v)
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           list_transform(emb, x -> CAST(ROUND(x / scale) AS TINYINT)) AS qvec
+    FROM s
+    """,
+    doc="Symmetric per-vector int8 quantization (operators/"
+    "similarity.py quantize_int8): 4x compression for the ANN "
+    "candidate tier; per-vector scales, pure map, zero shuffle.",
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    from pyspark_scd_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e)

@@ -87,3 +87,33 @@ def read_csv_snapshots(
         .csv(files)
     )
     return df, files
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Format-generic table reader (parquet / orc / json / csv / avro
+    where the runtime provides it).
+
+    Self-describing formats (parquet, orc) carry their schema; text
+    formats (json, csv) REQUIRE an explicit one — schema inference is
+    a full extra pass over the data at 100 TB and silently widens
+    types (an int column with one stray float becomes double
+    corpus-wide). Passing ``schema`` also pins nullability for the
+    strict write-gate (operators/quality.py assert_schema).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(
+            f"{fmt} requires an explicit schema: inference is a full "
+            "extra data pass and widens types silently"
+        )
+    if options:
+        reader = reader.options(**options)
+    return reader.load(path)

@@ -183,3 +183,27 @@ def test_stateful_sessionizer(spark, events_dir, tmp_path):
     )
     assert got_multiset == want_multiset
     assert len(got_multiset) > 0
+
+
+def test_stream_dedup_bounded_state(spark, events_dir, tmp_path):
+    from pyspark_scd_spark.streaming.dedup import dedup_stream
+
+    # Double every event: an at-least-once redelivery in the same
+    # micro-batch window must collapse to one row per event_id.
+    ev = spark.read.parquet(events_dir).limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    ev.union(ev).write.mode("overwrite").parquet(dup_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(dup_dir)
+    deduped = dedup_stream(stream, ["event_id"], horizon="30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM dedup_sink").first()["n"]
+    assert got == ev.count()
