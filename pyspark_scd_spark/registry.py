@@ -3129,3 +3129,41 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return quantize_int8(e)
+
+
+@register(
+    "stratified_balance_sample",
+    """
+    WITH h AS (
+      SELECT event_id, event_type,
+             md5(CAST(event_id AS VARCHAR)) AS hk
+      FROM events),
+    r AS (SELECT event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hk, event_id) AS rn
+          FROM h),
+    m AS (SELECT MIN(cnt) AS n_min FROM (
+            SELECT COUNT(*) AS cnt FROM events GROUP BY event_type))
+    SELECT event_id, event_type FROM r, m WHERE rn <= n_min
+    """,
+    doc="Class-balanced deterministic downsample: every event_type "
+    "keeps exactly n_min rows (the smallest class's size), chosen by "
+    "md5-hash order — reproducible across runs and engines, unlike "
+    "sampleBy(). One window per class partition + a broadcast scalar; "
+    "the md5 order also makes the kept subset uniform within class.",
+)
+def q_stratified_balance_sample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    hk = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(hk.asc(), F.col("event_id"))
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n_min = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("n_min"))
+    )
+    return (
+        ranked.join(F.broadcast(n_min))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .select("event_id", "event_type")
+    )
