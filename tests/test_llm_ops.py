@@ -334,3 +334,25 @@ def test_connected_components_merges_tiers(docs):
     comp = {r["doc_a"]: r["component"] for r in cc}
     assert comp[1] == comp[2] == comp[4] == 1
     assert 3 not in comp and 5 not in comp  # singletons not in pairs
+
+
+def test_connected_components_properties(spark):
+    # Random-ish but deterministic edge set: 60 nodes, edges between
+    # i and i*2+1 mod 60 — verifies the two CC invariants that hold
+    # for ANY graph: (1) both endpoints of every edge share a label,
+    # (2) labels are fixpoints (label(label(v)) == label(v)) and
+    # every label is the min id of its member set.
+    edges = [(i, (i * 2 + 1) % 60) for i in range(0, 60, 3)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lab = {
+        r["doc_a"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    for a, b in edges:
+        assert lab[a] == lab[b], (a, b)
+    members: dict[int, list[int]] = {}
+    for node, c in lab.items():
+        members.setdefault(c, []).append(node)
+    for c, nodes in members.items():
+        assert c == min(nodes)
+        assert lab[c] == c
