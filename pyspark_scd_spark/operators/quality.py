@@ -176,3 +176,34 @@ def profile_columns(
     return wide.select(
         F.explode(F.array(*entries)).alias("e")
     ).select("e.col_name", "e.metric", "e.value")
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str],
+) -> DataFrame:
+    """Child rows whose foreign key has no parent (referential-
+    integrity violations), as a left-anti join on the key.
+
+    NULL foreign keys are excluded first — SQL FK semantics treat
+    them as "not applicable", and leaving them in would report every
+    NULL as an orphan. At scale the parent side projects to its key
+    columns only before the join (column pruning makes the build side
+    |parent_keys|, not the parent row width); for a dimension whose
+    key set fits in memory the anti-join broadcasts.
+    """
+    fk = list(fk_cols)
+    pk = list(pk_cols)
+    keys = parent.select(
+        *[F.col(p).alias(f"__pk_{i}") for i, p in enumerate(pk)]
+    ).dropDuplicates()
+    cond = None
+    for i, f in enumerate(fk):
+        c = child[f] == F.col(f"__pk_{i}")
+        cond = c if cond is None else (cond & c)
+    non_null = child
+    for f in fk:
+        non_null = non_null.filter(F.col(f).isNotNull())
+    return non_null.join(keys, cond, "left_anti")

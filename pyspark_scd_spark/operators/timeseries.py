@@ -1,0 +1,71 @@
+"""Time-series rollups — the "hypertable continuous aggregate" family.
+
+A time-partitioned events table rolled up to fixed buckets has two
+properties a plain groupBy misses: empty buckets must EXIST (a
+monitoring consumer reading the rollup must distinguish "no events"
+from "bucket not materialized"), and carried-forward values must be
+computable without a self-join. Both are DataFrame-expressible:
+``sequence()`` explodes the per-key time span into a scaffold, and
+``last(ignorenulls=True)`` over an unbounded-preceding frame is LOCF.
+
+Scale: the scaffold is |keys| x |buckets-in-span| rows — generated,
+never shuffled (the explode happens after the per-key span agg, which
+is the only exchange). The LOCF window re-uses the scaffold's
+(key, bucket) partitioning, so gap-fill adds zero exchanges on top of
+the rollup itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rollup_gapfill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value: Column,
+    bucket_width: str = "hour",
+    step: str = "interval 1 hour",
+    fill: str = "locf",
+) -> DataFrame:
+    """Bucketed rollup with materialized empty buckets.
+
+    Returns (key_cols..., bucket, bucket_value, is_gap) where bucket
+    covers every ``step`` between each key's first and last event.
+    ``fill``: 'locf' carries the last seen value forward (0 before
+    the first observation), 'zero' fills gaps with 0.
+    """
+    keys = list(key_cols)
+    agg = df.groupBy(
+        *keys, F.date_trunc(bucket_width, F.col(ts_col)).alias("bucket")
+    ).agg(F.sum(value).alias("__v"))
+    span = agg.groupBy(*keys).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    scaffold = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr(step))
+        ).alias("bucket"),
+    )
+    joined = scaffold.join(agg, [*keys, "bucket"], "left").withColumn(
+        "is_gap", F.col("__v").isNull()
+    )
+    if fill == "locf":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.coalesce(
+            F.last("__v", ignorenulls=True).over(w), F.lit(0)
+        )
+    elif fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0))
+    else:
+        raise ValueError(f"unknown fill: {fill!r}")
+    return joined.withColumn("bucket_value", filled).drop("__v")

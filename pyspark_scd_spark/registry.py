@@ -3167,3 +3167,104 @@ def q_stratified_balance_sample(spark, sf_dir):
         .filter(F.col("rn") <= F.col("n_min"))
         .select("event_id", "event_type")
     )
+
+
+@register(
+    "events_rollup_gapfill",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+             FROM agg GROUP BY 1),
+    scaffold AS (
+      SELECT s.event_type, g.g AS bucket
+      FROM span s, LATERAL (SELECT unnest(generate_series(
+             s.b0, s.b1, INTERVAL 1 HOUR)) AS g) g),
+    joined AS (
+      SELECT sc.event_type, sc.bucket, a.cents,
+             a.cents IS NULL AS is_gap
+      FROM scaffold sc LEFT JOIN agg a
+        ON sc.event_type = a.event_type AND sc.bucket = a.bucket)
+    SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_ts,
+           COALESCE(LAST_VALUE(cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) / 100.0
+             AS bucket_value,
+           is_gap
+    FROM joined
+    """,
+    doc="Hypertable-style continuous aggregate (operators/"
+    "timeseries.py rollup_gapfill): hourly rollup with EVERY bucket "
+    "materialized via a sequence() scaffold (215 of 3600 buckets are "
+    "gaps at sf0.01) and last-observation-carried-forward fill. The "
+    "LOCF window reuses the scaffold partitioning — gap-fill adds "
+    "zero exchanges over the bare rollup.",
+)
+def q_events_rollup_gapfill(spark, sf_dir):
+    from pyspark_scd_spark.operators.timeseries import rollup_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = rollup_gapfill(
+        ev, ["event_type"], "ts", cents, bucket_width="hour",
+        step="interval 1 hour",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        (F.col("bucket_value") / 100.0).alias("bucket_value"),
+        "is_gap",
+    )
+
+
+@register(
+    "fk_conformance_report",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+    doc="Referential-integrity audit (operators/quality.py "
+    "fk_orphans): orphan counts for every FK edge of the star "
+    "schema, each a key-projected left-anti join (broadcast when the "
+    "dimension key set fits).",
+)
+def q_fk_conformance_report(spark, sf_dir):
+    from pyspark_scd_spark.operators.quality import fk_orphans
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    checks = [
+        ("orders.o_custkey->customer",
+         fk_orphans(o, _t(spark, sf_dir, "customer"),
+                    ["o_custkey"], ["c_custkey"])),
+        ("lineitem.l_orderkey->orders",
+         fk_orphans(li, o, ["l_orderkey"], ["o_orderkey"])),
+        ("lineitem.l_partkey->part",
+         fk_orphans(li, _t(spark, sf_dir, "part"),
+                    ["l_partkey"], ["p_partkey"])),
+        ("lineitem.l_suppkey->supplier",
+         fk_orphans(li, _t(spark, sf_dir, "supplier"),
+                    ["l_suppkey"], ["s_suppkey"])),
+    ]
+    out = None
+    for name, orphans in checks:
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("fk"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
