@@ -354,6 +354,8 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    strategy: str = "auto",
+    local_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set.
 
@@ -364,16 +366,25 @@ def connected_components(
     row_number, jobs/create_employee_all.py:74-81); this is the
     standard closure step of a corpus pipeline.
 
-    Algorithm: min-label propagation with pointer jumping — each round
-    relaxes labels across edges (label(v) := min over neighbors) and
-    then jumps (label(v) := label(label(v))), so chains collapse in
-    O(log diameter) rounds, not O(diameter). Rounds are two shuffles
-    plus one exact-decimal aggregate for the convergence test; lineage
-    is cut with localCheckpoint every round (iterative DataFrame plans
-    otherwise grow without bound and re-execute under AQE). Labels
-    only decrease, so the label-sum is strictly decreasing until the
-    fixpoint — equality of consecutive sums is the stop test, with no
-    old-vs-new join.
+    Distributed algorithm: min-label propagation with pointer jumping
+    — each round relaxes labels across edges (label(v) := min over
+    neighbors) and then jumps (label(v) := label(label(v))), so chains
+    collapse in O(log diameter) rounds, not O(diameter). Rounds are
+    two shuffles plus one exact-decimal aggregate for the convergence
+    test; lineage is cut with localCheckpoint every round (iterative
+    DataFrame plans otherwise grow without bound and re-execute under
+    AQE). Labels only decrease, so the label-sum is strictly
+    decreasing until the fixpoint — equality of consecutive sums is
+    the stop test, with no old-vs-new join.
+
+    ``strategy``: the edge set of a deduplicated corpus is typically
+    tiny relative to the corpus (pairs, not documents). 'auto' counts
+    edges once and, below ``local_edge_limit``, solves with a driver
+    union-find instead of 3-5 distributed rounds — the same
+    small-side-goes-local call Spark itself makes when it broadcasts
+    a join side. 'distributed' / 'local' force a path ('local' raises
+    if the edge count exceeds the limit rather than silently OOMing
+    the driver).
 
     Returns one row per node appearing in ``pairs``:
     (``src_col``, ``component``), component = min node id reachable.
@@ -389,6 +400,17 @@ def connected_components(
         # re-executed per round
         .localCheckpoint()
     )
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy != "distributed":
+        n_edges = edges.count()  # free: localCheckpoint already ran
+        if n_edges <= local_edge_limit:
+            return _cc_union_find_local(edges, src_col)
+        if strategy == "local":
+            raise ValueError(
+                f"{n_edges} edges exceeds local_edge_limit="
+                f"{local_edge_limit}; use strategy='distributed'"
+            )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -443,3 +465,30 @@ def survivors(
     return df.join(
         drop, df[id_col] == F.col("__drop_id"), "left_anti"
     )
+
+
+def _cc_union_find_local(edges: DataFrame, src_col: str) -> DataFrame:
+    """Driver union-find for small edge sets (path compression +
+    union by min root, so labels match the distributed path exactly:
+    every component is labeled by its minimum node id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {r["a"] for r in rows}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(
+        out, schema=edges.select(F.col("a"), F.col("a")).schema
+    ).toDF(src_col, "component")

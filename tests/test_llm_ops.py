@@ -310,17 +310,25 @@ def test_lsh_topk_high_recall_on_clustered_data(spark):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
-def test_connected_components_chain_and_island(spark):
+@pytest.mark.parametrize("strategy", ["distributed", "local", "auto"])
+def test_connected_components_chain_and_island(spark, strategy):
     # A chain (1-2-3-4-5) exercises pointer jumping (diameter 4 must
     # converge, not just star graphs); (10,11) is a separate island.
+    # All three strategies must produce identical min-id labels.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
     )
     out = {
         r["doc_a"]: r["component"]
-        for r in dedup.connected_components(pairs).collect()
+        for r in dedup.connected_components(pairs, strategy=strategy).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_local_limit_raises(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="exceeds local_edge_limit"):
+        dedup.connected_components(pairs, strategy="local", local_edge_limit=1)
 
 
 def test_connected_components_merges_tiers(docs):
