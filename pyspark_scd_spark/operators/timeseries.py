@@ -37,7 +37,9 @@ def rollup_gapfill(
     Returns (key_cols..., bucket, bucket_value, is_gap) where bucket
     covers every ``step`` between each key's first and last event.
     ``fill``: 'locf' carries the last seen value forward (0 before
-    the first observation), 'zero' fills gaps with 0.
+    the first observation), 'zero' fills gaps with 0, 'interp'
+    linearly interpolates between the neighboring observed buckets
+    (falling back to the nearest observed value at the span edges).
     """
     keys = list(key_cols)
     agg = df.groupBy(
@@ -66,6 +68,35 @@ def rollup_gapfill(
         )
     elif fill == "zero":
         filled = F.coalesce(F.col("__v"), F.lit(0))
+    elif fill == "interp":
+        # prev/next OBSERVED value and bucket; the interpolation
+        # fraction is computed on epoch seconds so irregular bucket
+        # spacing (DST, month buckets) still interpolates linearly in
+        # physical time. Both windows reuse the (keys, bucket)
+        # ordering — no extra exchange.
+        wp = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        ep = F.unix_timestamp("bucket").cast("double")
+        obs_ep = F.when(F.col("__v").isNotNull(), ep)
+        pv = F.last("__v", ignorenulls=True).over(wp)
+        pb = F.last(obs_ep, ignorenulls=True).over(wp)
+        nv = F.first("__v", ignorenulls=True).over(wn)
+        nb = F.first(obs_ep, ignorenulls=True).over(wn)
+        interp = pv + (nv - pv) * (ep - pb) / (nb - pb)
+        filled = F.coalesce(
+            F.col("__v").cast("double"),
+            interp,
+            pv.cast("double"),
+            nv.cast("double"),
+        )
     else:
         raise ValueError(f"unknown fill: {fill!r}")
     return joined.withColumn("bucket_value", filled).drop("__v")

@@ -3268,3 +3268,72 @@ def q_fk_conformance_report(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "events_rollup_interp",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+             FROM agg GROUP BY 1),
+    scaffold AS (
+      SELECT s.event_type, g.g AS bucket
+      FROM span s, LATERAL (SELECT unnest(generate_series(
+             s.b0, s.b1, INTERVAL 1 HOUR)) AS g) g),
+    joined AS (
+      SELECT sc.event_type, sc.bucket, a.cents,
+             a.cents IS NULL AS is_gap
+      FROM scaffold sc LEFT JOIN agg a
+        ON sc.event_type = a.event_type AND sc.bucket = a.bucket),
+    w AS (
+      SELECT event_type, bucket, cents, is_gap,
+             CAST(epoch(bucket) AS DOUBLE) AS ep,
+             LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN cents IS NOT NULL
+                             THEN CAST(epoch(bucket) AS DOUBLE) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             FIRST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN cents IS NOT NULL
+                              THEN CAST(epoch(bucket) AS DOUBLE) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM joined)
+    SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_ts,
+           ROUND(COALESCE(CAST(cents AS DOUBLE),
+                          pv + (nv - pv) * (ep - pb) / (nb - pb),
+                          CAST(pv AS DOUBLE), CAST(nv AS DOUBLE))
+                 / 100.0, 4) AS bucket_value,
+           is_gap
+    FROM w
+    """,
+    doc="Gap-filled rollup with linear interpolation (operators/"
+    "timeseries.py rollup_gapfill fill='interp'): gaps take the "
+    "time-weighted value between neighboring observations, computed "
+    "on epoch seconds so irregular bucket spacing stays linear in "
+    "physical time; span edges fall back to the nearest observation.",
+)
+def q_events_rollup_interp(spark, sf_dir):
+    from pyspark_scd_spark.operators.timeseries import rollup_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = rollup_gapfill(
+        ev, ["event_type"], "ts", cents, bucket_width="hour",
+        step="interval 1 hour", fill="interp",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        F.round(F.col("bucket_value") / 100.0, 4).alias("bucket_value"),
+        "is_gap",
+    )

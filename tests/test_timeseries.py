@@ -1,0 +1,53 @@
+"""rollup_gapfill: bucket scaffolding and the three fill modes."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators.timeseries import rollup_gapfill
+
+
+def _rows(spark):
+    # key 'a': observations at hours 0 and 3 (two-gap hole), so
+    # interp must produce 20 and 30 at hours 1 and 2.
+    return spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 0, 30), 10.0),
+            ("a", datetime(2024, 1, 1, 3, 10), 40.0),
+            ("b", datetime(2024, 1, 1, 1, 5), 7.0),
+        ],
+        ["k", "ts", "v"],
+    )
+
+
+def _run(spark, fill):
+    out = rollup_gapfill(
+        _rows(spark), ["k"], "ts", F.col("v"), bucket_width="hour",
+        step="interval 1 hour", fill=fill,
+    )
+    return {
+        (r["k"], r["bucket"].hour): (r["bucket_value"], r["is_gap"])
+        for r in out.collect()
+    }
+
+
+def test_scaffold_materializes_gaps(spark):
+    got = _run(spark, "zero")
+    assert set(got) == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("b", 1)}
+    assert got[("a", 1)] == (0.0, True)
+    assert got[("a", 0)] == (10.0, False)
+
+
+def test_locf(spark):
+    got = _run(spark, "locf")
+    assert got[("a", 1)][0] == 10.0 and got[("a", 2)][0] == 10.0
+    assert got[("a", 3)][0] == 40.0
+
+
+def test_interp(spark):
+    got = _run(spark, "interp")
+    assert got[("a", 1)][0] == 20.0
+    assert got[("a", 2)][0] == 30.0
+    assert got[("b", 1)][0] == 7.0  # single observation: no gaps
