@@ -475,3 +475,44 @@ def scd_merge(
         status.alias(status_col),
         change_date.alias(date_col),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """CDC-style diff of two table versions keyed on ``key_cols``:
+    every key classified added / removed / changed / unchanged.
+
+    The SCD pipeline answers "how did each entity evolve over all
+    history"; this answers the cheaper operational question "what
+    moved between these two versions" with ONE full-outer join on the
+    key — no windows, no history scan. Comparisons are null-safe
+    (``<=>``): a column going NULL->value or value->NULL is 'changed',
+    never silently 'unchanged'.
+
+    Output: key_cols, ``status_col``, and old_/new_ copies of every
+    compare column.
+    """
+    keys = list(key_cols)
+    cmp_cols = list(compare_cols)
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in cmp_cols]
+    ).withColumn("__in_old", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"new_{c}") for c in cmp_cols]
+    ).withColumn("__in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    changed = F.lit(False)
+    for c in cmp_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return j.withColumn(status_col, status).drop("__in_old", "__in_new")

@@ -3337,3 +3337,104 @@ def q_events_rollup_interp(spark, sf_dir):
         F.round(F.col("bucket_value") / 100.0, 4).alias("bucket_value"),
         "is_gap",
     )
+
+
+@register(
+    "snapshot_diff_cdc",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    old_v AS (
+      SELECT key, o_orderstatus, o_orderpriority FROM (
+        SELECT key, o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY snap_date DESC) AS rn
+        FROM snaps WHERE snap_date < DATE '1999-01-01') WHERE rn = 1),
+    new_v AS (
+      SELECT key, o_orderstatus, o_orderpriority FROM (
+        SELECT key, o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY snap_date DESC) AS rn
+        FROM snaps) WHERE rn = 1)
+    SELECT COALESCE(o.key, n.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                  THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus
+    FROM old_v o FULL OUTER JOIN new_v n ON o.key = n.key
+    WHERE NOT (o.key IS NOT NULL AND n.key IS NOT NULL
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+    """,
+    doc="CDC between two table versions (operators/scd.py "
+    "snapshot_diff): current view as of 1999-01-01 vs latest, one "
+    "null-safe full-outer join on the key — answers 'what moved' "
+    "without windows or a history scan.",
+)
+def q_snapshot_diff_cdc(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    old = scd.current_view(
+        snaps.filter(F.col("snap_date") < "1999-01-01"),
+        ["key"], "snap_date", stamp_global_max=False,
+    )
+    new = scd.current_view(
+        snaps, ["key"], "snap_date", stamp_global_max=False
+    )
+    d = scd.snapshot_diff(
+        old, new, ["key"], ["o_orderstatus", "o_orderpriority"]
+    )
+    return d.filter(F.col("diff_status") != "unchanged").select(
+        "key", "diff_status", "old_o_orderstatus", "new_o_orderstatus"
+    )
+
+
+@register(
+    "feature_quantile_bins",
+    """
+    WITH b AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS bs
+               FROM orders)
+    SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) + 1 AS INTEGER)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders, b
+    GROUP BY 1
+    """,
+    doc="Quantile feature binning the scale-safe way: exact quartile "
+    "boundaries from one aggregate (broadcast as a 1-row side), then "
+    "bucket = count of boundaries below the value via an array "
+    "filter — never a global-ntile window, which would funnel every "
+    "row through one task.",
+)
+def q_feature_quantile_bins(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("bs")
+    )
+    return (
+        o.join(F.broadcast(b))
+        .withColumn(
+            "bucket",
+            (
+                F.size(
+                    F.filter(
+                        F.col("bs"),
+                        lambda x: F.col("o_totalprice") > x,
+                    )
+                )
+                + 1
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
