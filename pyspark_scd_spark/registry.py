@@ -3438,3 +3438,60 @@ def q_feature_quantile_bins(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT stage, users FROM (
+      SELECT 1 AS ord, 'view' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS users
+      UNION ALL SELECT 2, 'click_after_view',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+      UNION ALL SELECT 3, 'purchase_after_click',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p))
+    ORDER BY ord
+    """,
+    doc="Strict-order funnel (view -> click -> purchase): each "
+    "stage's first event must follow the previous stage's first "
+    "event. Three user-keyed aggregates; the stage joins are "
+    "co-partitioned on user_id, so AQE reuses one exchange per "
+    "stage, never a per-user window over all events.",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(etype, prev, tcol, out):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_after("view", None, None, "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    rows = [
+        ("view", v), ("click_after_view", c), ("purchase_after_click", p)
+    ]
+    out = None
+    for stage, df in rows:
+        r = df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(stage).alias("stage"), "users"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
