@@ -3495,3 +3495,36 @@ def q_events_funnel(spark, sf_dir):
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register(
+    "pii_tokenize",
+    """
+    SELECT c_custkey,
+           sha256('v1|' || c_name) AS name_token,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+    doc="PII pseudonymization: deterministic salted-hash tokens "
+    "(joinable across tables without exposing the value; rotate the "
+    "salt to break linkage) + generalization of a quasi-identifier "
+    "into bands. The production form of the reference's PII "
+    "remove_columns intent (jobs/create_employee_all.py:85-97, an "
+    "empty-list no-op there); pure projection, zero shuffle.",
+)
+def q_pii_tokenize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat(F.lit("v1|"), F.col("c_name")), 256).alias(
+            "name_token"
+        ),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
