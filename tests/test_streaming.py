@@ -207,3 +207,34 @@ def test_stream_dedup_bounded_state(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT COUNT(*) AS n FROM dedup_sink").first()["n"]
     assert got == ev.count()
+
+
+def test_stream_static_enrichment_join(spark, events_dir, sf_dir, tmp_path):
+    # Stream-static join: the static dim is re-read per micro-batch
+    # (picking up dim updates), the stream side never buffers state.
+    ev = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(events_dir)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"),
+         ("error", "ops")],
+        ["event_type", "category"],
+    )
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT category, COUNT(*) AS n FROM enrich_sink GROUP BY 1"
+    ).collect()
+    by_cat = {r["category"]: r["n"] for r in got}
+    assert by_cat["engagement"] == ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).count()
+    assert set(by_cat) == {"engagement", "revenue", "growth", "ops"}
