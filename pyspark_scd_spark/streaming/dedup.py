@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -37,3 +38,101 @@ def dedup_stream(
     return events.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def neardup_filter_batch(
+    signature_store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    accept_sink=None,
+):
+    """foreachBatch near-duplicate filter against a persisted
+    MinHash signature store — the continuous-ingest form of the batch
+    dedup tiers.
+
+    Per micro-batch:
+      1. band signatures are computed for the batch's documents
+         (operators/dedup.py minhash pipeline, same parameters);
+      2. a document is REJECTED if any of its band signatures already
+         exists in the store (near-dup of previously accepted corpus)
+         — or collides with an earlier doc of the same batch (the
+         within-batch tiebreak keeps the minimum id);
+      3. survivors' band signatures are appended to the store and the
+         surviving rows handed to ``accept_sink(df, batch_id)``.
+
+    The store holds (band, sig) pairs only — |accepted docs| x bands
+    rows of two longs, independent of document size, so state stays
+    compact at corpus scale; the membership check is one join per
+    batch (broadcast while the store is small, shuffle after). Band
+    membership without an exact-verify tier is the standard
+    signature-store trade: it admits the LSH false-positive rate
+    (~(1-(1-j^r)^b) at jaccard j) in exchange for never re-reading
+    accepted documents' text.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from pyspark_scd_spark.operators.dedup import (
+        _shingles,
+        _signatures_from_shingles,
+    )
+
+    def _band_sigs(df):
+        sh = _shingles(df, id_col, text_col, n, None)
+        sig = _signatures_from_shingles(sh, num_hashes)
+        rows_per_band = num_hashes // bands
+        cols = []
+        for b in range(bands):
+            members = [
+                F.col(f"mh_{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band"), F.xxhash64(*members).alias("sig")
+                )
+            )
+        return sig.select(
+            F.col("__id").alias(id_col),
+            F.explode(F.array(*cols)).alias("bs"),
+        ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        bsig = _band_sigs(batch_df).localCheckpoint()
+
+        rejected = None
+        if os.path.exists(signature_store_dir):
+            store = spark.read.parquet(signature_store_dir)
+            rejected = (
+                bsig.join(store, ["band", "sig"], "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+        # within-batch: of docs sharing a band signature, keep min id
+        w = W.partitionBy("band", "sig")
+        batch_losers = (
+            bsig.withColumn("__min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("__min_id"))
+            .select(id_col)
+            .distinct()
+        )
+        drop = (
+            batch_losers
+            if rejected is None
+            else rejected.unionByName(batch_losers).distinct()
+        )
+        survivors = batch_df.join(drop, id_col, "left_anti").localCheckpoint()
+        surv_sigs = bsig.join(
+            survivors.select(id_col), id_col, "left_semi"
+        )
+        surv_sigs.write.mode("append").parquet(signature_store_dir)
+        if accept_sink is not None:
+            accept_sink(survivors, batch_id)
+
+    return _process

@@ -238,3 +238,49 @@ def test_stream_static_enrichment_join(spark, events_dir, sf_dir, tmp_path):
         F.col("event_type").isin("click", "view")
     ).count()
     assert set(by_cat) == {"engagement", "revenue", "growth", "ops"}
+
+
+def test_stream_neardup_signature_store(spark, tmp_path):
+    from pyspark_scd_spark.streaming.dedup import neardup_filter_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank while the sun sets slowly behind the old stone "
+        "bridge and birds sing"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffles "
+                        "catalyst plans and adaptive query execution at "
+                        "scale with many executors")],
+        ["doc_id", "text"],
+    )
+    # 11 = near-dup of 1 (one word changed), 12 = fresh content
+    batch2 = spark.createDataFrame(
+        [(11, base.replace("slowly", "quickly")),
+         (12, "a third corpus document with entirely novel words "
+              "flamingo zeppelin quartz marble typhoon ledger apricot "
+              "monsoon gravel lantern")],
+        ["doc_id", "text"],
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f1"))
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f2"))
+
+    accepted: list[int] = []
+
+    def sink(df, batch_id):
+        accepted.extend(r["doc_id"] for r in df.select("doc_id").collect())
+
+    process = neardup_filter_batch(
+        str(tmp_path / "sigstore"), accept_sink=sink
+    )
+    # drive the two parquet dirs as two micro-batches, in order
+    b1 = spark.read.parquet(str(in_dir / "f1"))
+    b2 = spark.read.parquet(str(in_dir / "f2"))
+    process(b1, 0)
+    process(b2, 1)
+
+    # 11 must be rejected (near-dup of already-accepted 1);
+    # 1, 2, 12 accepted
+    assert sorted(accepted) == [1, 2, 12]
