@@ -329,3 +329,84 @@ def quantize_int8(
             v, lambda x: F.round(x / scale).cast("tinyint")
         ).alias("qvec"),
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd's k-means — trains the IVF centroids that
+    ivf_assign / the partition-pruned ANN path consume.
+
+    Each round: (1) assignment is a blocked BLAS matmul against the
+    broadcast k x d centroid matrix inside ``mapInPandas`` (argmin of
+    squared euclidean == argmax of dot minus half-norm; one Arrow hop
+    per batch, never per-row Python); (2) new centroids come from ONE
+    groupBy(cell, dim) mean over posexploded components — map-side
+    partial aggregation shrinks the shuffle to k·d rows per task; the
+    k x d result is collected to the driver (tiny) where the shift
+    test runs. Iteration state (the centroid matrix) lives driver-side
+    and is re-broadcast, so there is NO growing Spark lineage across
+    rounds — unlike label propagation, nothing needs checkpointing.
+
+    Deterministic: initial centroids are the k lowest-id vectors;
+    every subsequent step is deterministic given the data.
+
+    Returns (centroids, assignments) — assignments is (id_col, cell).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.select(id_col, vec_col).localCheckpoint()
+    init = base.orderBy(id_col).limit(k).collect()
+    centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    sc = df.sparkSession.sparkContext
+
+    def assigner(b_cent):
+        def _assign(batches):
+            cent = b_cent.value  # k x d
+            half = 0.5 * (cent * cent).sum(axis=1)  # k
+            for pdf in batches:
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cells = np.argmax(q @ cent.T - half, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {"id": pdf[id_col].to_numpy(dtype=np.int64), "cell": cells}
+                )
+
+        return _assign
+
+    assigned = None
+    for _ in range(max_iter):
+        b_cent = sc.broadcast(centroids)
+        assigned = base.mapInPandas(assigner(b_cent), schema=schema)
+        comp = (
+            assigned.join(base, assigned.id == base[id_col])
+            .select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cent = centroids.copy()  # empty cells keep their position
+        for r in comp:
+            new_cent[r["cell"], r["dim"]] = r["m"]
+        shift = float(np.max(np.linalg.norm(new_cent - centroids, axis=1)))
+        centroids = new_cent
+        if shift < tol:
+            break
+    b_cent = sc.broadcast(centroids)
+    assigned = base.mapInPandas(assigner(b_cent), schema=schema).withColumnRenamed(
+        "id", id_col
+    )
+    return centroids.tolist(), assigned

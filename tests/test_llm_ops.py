@@ -364,3 +364,42 @@ def test_connected_components_properties(spark):
     for c, nodes in members.items():
         assert c == min(nodes)
         assert lab[c] == c
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    # two tight blobs far apart in 8-d
+    a = rng.normal(0, 0.05, (30, 8)) + np.array([5.0] * 8)
+    b = rng.normal(0, 0.05, (30, 8)) + np.array([-5.0] * 8)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([a, b]))
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, assigned = similarity.kmeans_train(df, k=2, max_iter=10)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    blob_a = {got[i] for i in range(30)}
+    blob_b = {got[i] for i in range(30, 60)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # centroids land on the blob means (within noise)
+    import math
+    means = sorted(c[0] for c in cents)
+    assert math.isclose(means[0], -5.0, abs_tol=0.1)
+    assert math.isclose(means[1], 5.0, abs_tol=0.1)
+
+
+def test_kmeans_feeds_ivf_assign(spark, sf_dir):
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+
+    e = read_parquet_table(spark, sf_dir, "embeddings")
+    cents, assigned = similarity.kmeans_train(e, k=4, max_iter=5)
+    # every vector gets a cell in range, and the trained centroids
+    # plug straight into the expression-side assigner
+    n = assigned.filter(
+        (F.col("cell") >= 0) & (F.col("cell") < 4)
+    ).count()
+    assert n == e.count()
+    via_expr = similarity.ivf_assign(e, cents)
+    assert via_expr.select("ivf_cell").distinct().count() <= 4
