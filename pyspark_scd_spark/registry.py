@@ -3528,3 +3528,45 @@ def q_pii_tokenize(spark, sf_dir):
         .alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+@register(
+    "sim_search_ivf_trained",
+    None,  # trained ANN index, recall<1 — rows-only check
+    doc="Full IVF lifecycle: Lloyd's k-means trains the centroids "
+    "(operators/similarity.py kmeans_train — BLAS assignment, "
+    "map-side-combined centroid means, driver-side shift test), the "
+    "corpus is cell-assigned with the trained centroids, and each "
+    "query probes only its own cell with an exact cosine re-rank "
+    "inside — vs sim_search_ivf's fixed deterministic centroids.",
+)
+def q_sim_search_ivf_trained(spark, sf_dir):
+    from pyspark_scd_spark.functions import vectors as V
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids, corpus = similarity.kmeans_train(e, k=8, max_iter=5)
+    queries = similarity.ivf_assign(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)),
+        centroids,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("ivf_cell").alias("cell"),
+    )
+    corpus_vec = corpus.join(e, "vec_id")
+    scored = corpus_vec.join(F.broadcast(queries), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(V.cosine(F.col("embedding"), F.col("__qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
