@@ -3570,3 +3570,48 @@ def q_sim_search_ivf_trained(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    freq AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM freq)
+    SELECT doc_id,
+           ROUND(AVG(-LN(c * 1.0 / n)), 4) AS avg_neg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN freq USING (token), tot
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality score: per-document average "
+    "negative log-probability of its tokens under the corpus unigram "
+    "distribution — high values flag gibberish/outlier documents for "
+    "corpus filtering. Two aggregates over one tokenization; the "
+    "frequency table joins back token-keyed (broadcast while the "
+    "vocab fits) and the total is a broadcast scalar.",
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(freq, "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") * 1.0 / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
