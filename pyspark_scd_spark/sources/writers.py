@@ -17,6 +17,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_staged(
@@ -102,3 +103,60 @@ def archive_files(files: Sequence[str], dest_dir: str) -> list[str]:
         shutil.move(f, target)
         moved.append(target)
     return moved
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a directory so each output file
+    is ~``target_bytes``.
+
+    Streaming ingest and per-batch appends (e.g. the signature store,
+    foreachBatch sinks) accumulate thousands of small files; at scale
+    every reader then pays open/footer costs per file and the
+    NameNode/listing layer degrades. Compaction = read, repartition to
+    ceil(total/target), staged rewrite (write_staged keeps the swap
+    atomic and invalidates listing caches). Returns the new partition
+    count. Run it on cold partitions (yesterday's date dirs), never
+    concurrently with a writer.
+    """
+    import math
+
+    df = spark.read.format(fmt).load(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    write_staged(df.repartition(n), path, fmt=fmt)
+    return n
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+) -> str:
+    """Range-clustered write: rows globally range-partitioned on
+    ``cluster_cols`` and sorted within each file.
+
+    Parquet footers carry per-column min/max; when files hold
+    disjoint key ranges, a reader's filter on the cluster column
+    prunes whole files (zone-map skipping) instead of scanning and
+    discarding. This is the single-dimension form of Z-ordering —
+    the right default when one column dominates the filter workload
+    (e.g. event time).
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    out = df.repartitionByRange(*cols) if n_files is None else (
+        df.repartitionByRange(n_files, *cols)
+    )
+    out = out.sortWithinPartitions(*cols)
+    return write_staged(out, path, fmt=fmt)

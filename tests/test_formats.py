@@ -41,3 +41,47 @@ def test_roundtrip(spark, orders, tmp_path_factory, fmt, options):
 def test_text_formats_require_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_compact_files(spark, orders, tmp_path_factory):
+    from pyspark_scd_spark.sources.writers import compact_files, write_staged
+
+    path = str(tmp_path_factory.mktemp("compact") / "orders")
+    write_staged(orders.repartition(32), path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before == 32
+    n = compact_files(spark, path, target_bytes=1 << 30)  # force 1 file
+    after = len(glob.glob(f"{path}/part-*"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_write_clustered_disjoint_ranges(spark, orders, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import glob
+
+    from pyspark_scd_spark.sources.writers import write_clustered
+
+    path = str(tmp_path_factory.mktemp("clustered") / "orders")
+    write_clustered(orders, path, ["o_orderdate"], n_files=4)
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*")):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_orderdate")
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    # range clustering -> file key ranges are pairwise disjoint, so a
+    # date-filtered reader prunes whole files on footer min/max
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    assert spark.read.parquet(path).count() == orders.count()
