@@ -85,3 +85,20 @@ def test_write_clustered_disjoint_ranges(spark, orders, tmp_path_factory):
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # v1 writers emit 3 columns; a later deploy adds a 4th. Readers
+    # with mergeSchema get the superset, v1 rows NULL-filled — the
+    # additive-evolution contract a long-lived 100 TB table relies on.
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a", 10)], ["id", "name", "v"]
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 20, "extra")], ["id", "name", "v", "tag"]
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "v", "tag"}
+    rows = {r["id"]: r["tag"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == "extra"
