@@ -3615,3 +3615,53 @@ def q_text_unigram_logprob(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "scd_gap_as_delete",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    ranks AS (
+      SELECT snap_date,
+             ROW_NUMBER() OVER (ORDER BY snap_date) AS t_rank
+      FROM (SELECT DISTINCT snap_date FROM snaps)),
+    h AS (
+      SELECT s.*, r.t_rank,
+             sha256(concat_ws('||', o_orderstatus, o_orderpriority))
+               AS row_hash
+      FROM snaps s JOIN ranks r USING (snap_date)),
+    s AS (
+      SELECT *,
+        MIN(snap_date) OVER (PARTITION BY key) AS min_t,
+        MAX(snap_date) OVER (PARTITION BY key) AS max_t,
+        LAG(row_hash)  OVER (PARTITION BY key ORDER BY snap_date) AS prev_hash,
+        LEAD(row_hash) OVER (PARTITION BY key ORDER BY snap_date) AS next_hash,
+        LAG(t_rank)    OVER (PARTITION BY key ORDER BY snap_date) AS prev_rank,
+        LEAD(t_rank)   OVER (PARTITION BY key ORDER BY snap_date) AS next_rank,
+        MAX(snap_date) OVER () AS global_max_t
+      FROM h)
+    SELECT key, snap_date,
+      CASE WHEN snap_date = min_t THEN 'New'
+           WHEN t_rank - prev_rank > 1 THEN 'New'
+           WHEN (next_rank - t_rank > 1)
+             OR (next_hash IS NULL AND max_t <> global_max_t)
+             THEN 'Deleted'
+           WHEN prev_hash <> row_hash THEN 'Changed'
+           ELSE 'No Change' END AS change_status
+    FROM s
+    """,
+    doc="SCD status with treat_gap_as_delete=True (operators/scd.py "
+    "with_change_status): an entity absent from intermediate "
+    "snapshots gets Deleted on its pre-gap row and New on "
+    "reappearance — vs the reference's gap-invisible default "
+    "(SURVEY.md §2 #10). Snapshot-date ranks come from a broadcast "
+    "over the tiny distinct-date set, so gap detection adds no "
+    "per-row shuffle.",
+)
+def q_scd_gap_as_delete(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    df = scd.with_row_hash(snaps, SCD_HASH_COLS)
+    df = scd.with_change_status(
+        df, ["key"], "snap_date", treat_gap_as_delete=True
+    )
+    return df.select("key", "snap_date", "change_status")
