@@ -1,0 +1,244 @@
+"""Corpus-level training-data operators: decontamination, repetition
+quality filters, and temperature-weighted source mixing.
+
+These are the pipeline stages between "documents exist" and "documents
+are a training mix": remove eval-set leakage (n-gram overlap), drop
+degenerate repetitive documents (Gopher-style repetition signals), and
+compute per-source sampling weights/rates so the final mix follows
+n_tokens^alpha temperature sampling instead of raw corpus proportions.
+
+The reference engine has no corpus operators (its surface is the SCD
+pipeline, reference jobs/create_employee_all.py); these extend the
+BASELINE.json north star (LLM data pipeline at 100 TB).
+
+Scale notes (100 TB design point):
+- Decontamination joins the corpus against the *eval* gram set, which
+  is tiny (benchmarks are MBs, corpora are TBs) — the eval set is
+  aggregated and broadcast, so the corpus side never shuffles; grams
+  are xxhash64 longs, never strings, on the wire.
+- Repetition stats shuffle only (doc_id, gram) partial counts with
+  map-side combine; no arrays cross a shuffle.
+- Mixing weights aggregate to one row per source (dozens), then
+  broadcast back — the document scan is the only full pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyspark_scd_spark.functions import text as TXT
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """All n-word grams (NOT distinct — callers needing counts keep
+    duplicates; wrap in array_distinct for set semantics)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+
+
+def decontaminate_report(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/eval n-gram-overlap decontamination report.
+
+    Rows ``eval_pred`` selects form the held-out eval set; every other
+    row is training corpus. A training document is contaminated when it
+    shares at least one word n-gram with any eval document (the
+    GPT-3/PaLM 13-gram rule, scaled to this corpus's ~30-token docs).
+
+    Returns one row per contaminated training doc:
+    (id, n_overlap_grams, n_eval_docs_hit).
+
+    Plan shape: eval grams aggregate to a distinct set (small — eval
+    benchmarks don't grow with corpus size) and BROADCAST to the train
+    side; the corpus-sized train relation never shuffles. Grams are
+    hashed to 64-bit longs at explode so the broadcast table and join
+    keys are fixed-width, not strings.
+    """
+    toks = TXT.tokens(text_col)
+    grams = df.select(
+        F.col(id_col),
+        eval_pred.alias("__is_eval"),
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(toks, n), lambda g: F.xxhash64(g))
+            )
+        ).alias("__g"),
+    )
+    eval_grams = (
+        grams.filter("__is_eval")
+        .groupBy("__g")
+        .agg(F.collect_set(id_col).alias("__eval_ids"))
+    )
+    train = grams.filter(~F.col("__is_eval"))
+    hits = train.join(F.broadcast(eval_grams), "__g")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_overlap_grams"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__eval_ids")))
+            ).alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals.
+
+    Per document: token count, duplicate-token fraction
+    (1 − distinct/total), the occurrence count of the most frequent
+    bigram, the fraction of tokens covered by that bigram's
+    occurrences, and a ``repetitive`` flag at the Gopher-ish
+    thresholds (dup_token_frac > 0.60, or a bigram that actually
+    repeats AND covers > 0.18 of the tokens — the count > 1 guard
+    keeps short documents, where any single bigram clears the
+    coverage bar, from false-flagging).
+
+    Bigram counting explodes to rows and aggregates (map-side combine)
+    rather than nesting higher-order functions over a bound token
+    array — Catalyst's CollapseProject re-inlines the array into each
+    lambda, going quadratic per document.
+    """
+    toks = TXT.tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(toks, 2)).alias("__g"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "__g")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").cast("long").alias("top_bigram_count"))
+    )
+    j = base.join(top, id_col, "left").select(
+        id_col,
+        "n_tok",
+        F.round(
+            F.when(
+                F.col("n_tok") > 0,
+                1.0 - F.col("n_distinct") / F.col("n_tok"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_token_frac"),
+        F.coalesce("top_bigram_count", F.lit(0).cast("long")).alias(
+            "top_bigram_count"
+        ),
+    )
+    top_frac = F.round(
+        F.when(
+            F.col("n_tok") > 0,
+            F.col("top_bigram_count") * 2.0 / F.col("n_tok"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return j.withColumn("top_bigram_frac", top_frac).withColumn(
+        "repetitive",
+        (F.col("dup_token_frac") > 0.60)
+        | (
+            (F.col("top_bigram_count") > 1)
+            & (F.col("top_bigram_frac") > 0.18)
+        ),
+    )
+
+
+def mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing table.
+
+    Per source: document count, token count, the normalized sampling
+    weight w_s ∝ n_tokens_s^alpha (alpha < 1 flattens the mix toward
+    small sources — the multilingual-LM sampling rule), and the
+    effective epochs each source is read under a budget of
+    ``sum(n_tokens)`` output tokens (epochs_s = w_s · total / n_s).
+
+    One full scan aggregates to |sources| rows; the normalizing sum is
+    a broadcast cross-join of a 1-row aggregate (never a
+    single-partition window).
+    """
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(TXT.token_count(text_col)).cast("long").alias("n_tokens"),
+    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    per_src = per_src.withColumn("__raw", raw)
+    totals = per_src.agg(
+        F.sum("__raw").alias("__sum_raw"),
+        F.sum("n_tokens").alias("__total_tokens"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__raw") / F.col("__sum_raw"), 6).alias("weight"),
+            F.round(
+                (F.col("__raw") / F.col("__sum_raw"))
+                * F.col("__total_tokens")
+                / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-sampled corpus downsample.
+
+    Each source gets keep-rate r_s = min(1, w_s · B / n_tokens_s)
+    where w_s is the ``mix_weights`` weight and B = budget_frac ·
+    total tokens; a document survives iff its md5 32-bit fraction is
+    below its source's rate — reproducible across runs, engines, and
+    cluster sizes, and stable under corpus growth (a doc's fate
+    depends only on its id and its source's rate).
+
+    The per-source rate table is broadcast back onto the corpus scan:
+    sampling is one full pass with zero corpus-side shuffles.
+    """
+    # rate = min(1, weight * B / n_tokens_s) with B = budget_frac *
+    # total_tokens; since epochs = weight * total / n_tokens, this is
+    # exactly min(1, budget_frac * epochs).
+    rates = mix_weights(df, source_col, text_col, alpha).select(
+        source_col,
+        F.round(
+            F.least(F.lit(1.0), F.lit(budget_frac) * F.col("epochs")), 6
+        ).alias("keep_rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(frac < F.col("keep_rate"))
+        .select(id_col, source_col, "keep_rate")
+    )

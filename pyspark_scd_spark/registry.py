@@ -3665,3 +3665,141 @@ def q_scd_gap_as_delete(spark, sf_dir):
         df, ["key"], "snap_date", treat_gap_as_delete=True
     )
     return df.select("key", "snap_date", "change_status")
+
+
+# ======================================================================
+# Corpus operators: decontamination, repetition filters, source mixing
+# ======================================================================
+
+
+@register(
+    "decontaminate_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+                      {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, is_eval,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+              || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    hits AS (SELECT tr.doc_id, tr.gram, ev.doc_id AS eval_id
+             FROM g tr JOIN g ev ON tr.gram = ev.gram
+             WHERE ev.is_eval AND NOT tr.is_eval)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_overlap_grams,
+           CAST(COUNT(DISTINCT eval_id) AS INTEGER) AS n_eval_docs_hit
+    FROM hits GROUP BY doc_id
+    """,
+    doc="Train/eval 5-gram decontamination (GPT-3/PaLM n-gram-overlap "
+    "rule): eval set = doc_id % 10 == 0; reports each training doc "
+    "sharing a word 5-gram with any eval doc. Eval gram set is "
+    "aggregated and BROADCAST (benchmarks stay small while the corpus "
+    "grows); grams are xxhash64 longs on the wire "
+    "(operators/corpus.py decontaminate_report).",
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.decontaminate_report(
+        d, eval_pred=(F.col("doc_id") % 10 == 0), n=5
+    )
+
+
+@register(
+    "text_repetition_gopher",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok,
+                    len(list_distinct(toks)) AS n_dis FROM t),
+    bg AS (SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY 1)
+    SELECT b.doc_id, b.n_tok,
+      ROUND(CASE WHEN b.n_tok > 0
+                 THEN 1.0 - b.n_dis * 1.0 / b.n_tok ELSE 0.0 END, 4)
+        AS dup_token_frac,
+      CAST(COALESCE(tp.top_c, 0) AS BIGINT) AS top_bigram_count,
+      ROUND(CASE WHEN b.n_tok > 0
+                 THEN COALESCE(tp.top_c, 0) * 2.0 / b.n_tok
+                 ELSE 0.0 END, 4) AS top_bigram_frac,
+      (ROUND(CASE WHEN b.n_tok > 0
+                  THEN 1.0 - b.n_dis * 1.0 / b.n_tok ELSE 0.0 END, 4) > 0.60
+       OR (COALESCE(tp.top_c, 0) > 1
+           AND ROUND(CASE WHEN b.n_tok > 0
+                          THEN COALESCE(tp.top_c, 0) * 2.0 / b.n_tok
+                          ELSE 0.0 END, 4) > 0.18)) AS repetitive
+    FROM base b LEFT JOIN top tp ON b.doc_id = tp.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: "
+    "duplicate-token fraction and top-bigram coverage, with the "
+    "repetitive flag at Gopher-ish thresholds. Bigram counts explode "
+    "to rows (map-side combine) — never nested array lambdas "
+    "(operators/corpus.py repetition_stats).",
+)
+def q_text_repetition_gopher(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.repetition_stats(d)
+
+
+_MIX_SQL_CTE = f"""
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+    tot AS (SELECT SUM(pow(n_tokens, 0.7)) AS sum_raw,
+                   SUM(n_tokens) AS total_tokens FROM per)
+"""
+
+
+@register(
+    "corpus_mix_weights",
+    f"""
+    WITH {_MIX_SQL_CTE}
+    SELECT source, n_docs, n_tokens,
+           ROUND(pow(n_tokens, 0.7) / sum_raw, 6) AS weight,
+           ROUND(pow(n_tokens, 0.7) / sum_raw * total_tokens / n_tokens, 4)
+             AS epochs
+    FROM per, tot
+    """,
+    doc="Temperature-weighted corpus mixing table: per-source sampling "
+    "weight ∝ n_tokens^0.7 (the multilingual-LM rule flattening toward "
+    "small sources) and effective epochs under a total-token budget. "
+    "One scan → |sources| rows; normalizer is a broadcast 1-row "
+    "aggregate (operators/corpus.py mix_weights).",
+)
+def q_corpus_mix_weights(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.mix_weights(d, alpha=0.7)
+
+
+@register(
+    "corpus_temperature_sample",
+    f"""
+    WITH {_MIX_SQL_CTE},
+    w AS (SELECT source,
+            ROUND(pow(n_tokens, 0.7) / sum_raw * total_tokens / n_tokens, 4)
+              AS epochs
+          FROM per, tot),
+    r AS (SELECT source, ROUND(LEAST(1.0, 0.5 * epochs), 6) AS keep_rate
+          FROM w)
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS DOUBLE) / 4294967296.0 < r.keep_rate
+    """,
+    doc="Deterministic temperature-sampled downsample: per-source "
+    "keep-rate min(1, budget_frac·epochs), membership by md5 32-bit "
+    "fraction of doc_id — reproducible across engines/cluster sizes, "
+    "stable under corpus growth. Rate table broadcast onto the scan: "
+    "zero corpus-side shuffles (operators/corpus.py "
+    "temperature_sample).",
+)
+def q_corpus_temperature_sample(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.temperature_sample(d, alpha=0.7, budget_frac=0.5)

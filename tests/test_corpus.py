@@ -1,0 +1,78 @@
+"""Tests for corpus operators: decontamination, repetition stats,
+temperature mixing/sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 10 is "eval" under pred doc_id % 10 == 0; doc 1 copies a
+        # 5-gram from it, doc 2 shares nothing, doc 3 is repetitive.
+        (10, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+        (1, "x y alpha beta gamma delta epsilon q r s", "web"),
+        (2, "entirely disjoint vocabulary with no overlap at all", "web"),
+        (3, "spam spam spam spam spam spam spam spam spam spam", "books"),
+        (4, "one two three four five six seven eight nine ten", "books"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_decontaminate_report(docs):
+    out = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_report(
+            docs, eval_pred=(F.col("doc_id") % 10 == 0), n=5
+        ).collect()
+    }
+    # Only doc 1 shares a 5-gram with the eval doc; eval docs
+    # themselves never appear in the report.
+    assert set(out) == {1}
+    assert out[1]["n_eval_docs_hit"] == 1
+    # "alpha beta gamma delta epsilon" is the single shared 5-gram.
+    assert out[1]["n_overlap_grams"] == 1
+
+
+def test_repetition_stats(docs):
+    out = {
+        r["doc_id"]: r for r in corpus.repetition_stats(docs).collect()
+    }
+    assert set(out) == {10, 1, 2, 3, 4}
+    # doc 3: 10 copies of one token -> dup frac 0.9, top bigram
+    # "spam spam" occurs 9 times covering 18/10 tokens (capped concept
+    # not applied; raw ratio is 1.8).
+    assert out[3]["dup_token_frac"] == pytest.approx(0.9)
+    assert out[3]["top_bigram_count"] == 9
+    assert out[3]["repetitive"] is True
+    # doc 4: all distinct -> zero repetition, unique bigrams only.
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[4]["top_bigram_count"] == 1
+    assert out[4]["repetitive"] is False
+
+
+def test_mix_weights_normalized(docs):
+    rows = corpus.mix_weights(docs, alpha=0.7).collect()
+    assert {r["source"] for r in rows} == {"web", "books"}
+    assert sum(r["weight"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert r["epochs"] > 0
+        # alpha<1 flattens: every source's weight exceeds what a
+        # proportional-to-tokens mix would give the smaller source.
+        assert 0 < r["weight"] < 1
+
+
+def test_temperature_sample_deterministic(docs):
+    a = corpus.temperature_sample(docs, alpha=0.7, budget_frac=0.5)
+    b = corpus.temperature_sample(docs, alpha=0.7, budget_frac=0.5)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb  # reproducible: no rand() anywhere
+    rates = {r["source"]: r["keep_rate"] for r in a.collect()}
+    assert all(0 < v <= 1.0 for v in rates.values())
+    # Sampled docs are a subset of the corpus.
+    assert set(ra) <= {1, 2, 3, 4, 10}
