@@ -242,3 +242,56 @@ def temperature_sample(
         .filter(frac < F.col("keep_rate"))
         .select(id_col, source_col, "keep_rate")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the standard
+    pretraining prep step that turns variable-length documents into
+    training-window-sized pieces (stride < chunk_tokens gives
+    overlapping context across chunk boundaries).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens); the
+    number of chunks is 1 for docs that fit one window, else
+    ceil((n − chunk)/stride) + 1 so the final window reaches the last
+    token. Returns (id, chunk_id, chunk_text, n_tokens).
+
+    Pure array expressions (sequence → slice → concat_ws) in one
+    codegen stage, then a single explode: no shuffle at all — chunking
+    is a flatMap over the scan, so it scales with input bytes
+    regardless of cluster size.
+    """
+    toks = TXT.tokens(text_col)
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1).cast("long"))
+        .otherwise(
+            F.ceil((n - F.lit(chunk_tokens)) / float(stride)).cast("long")
+            + 1
+        )
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens)
+            ).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunk_structs).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )

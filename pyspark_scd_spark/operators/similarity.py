@@ -410,3 +410,81 @@ def kmeans_train(
         "id", id_col
     )
     return centroids.tolist(), assigned
+
+
+def knn_label_vote(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit: majority label vote among each vector's k
+    nearest cosine neighbors (self excluded).
+
+    Returns (id, label, predicted_label, n_agree, mislabeled) — rows
+    whose neighborhood disagrees with their own label are candidate
+    annotation errors, the standard kNN-consistency data-quality check
+    before training.
+
+    Same blocked-BLAS shape as ``embedding_neardup_pairs_blas``: the
+    corpus matrix is L2-normalized and broadcast, ``mapInPandas``
+    streams batches through one dense matmul, so the scan never
+    shuffles. Determinism for oracle parity: similarities are rounded
+    to 6 dp, neighbors rank by (cosine DESC, id ASC), and vote ties
+    break toward the smaller label — all mirrored in the DuckDB twin.
+    At 100 TB the candidate set comes from IVF/LSH first; the dense
+    broadcast path holds to ~1M vectors at d=64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col, label_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[2] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, labels, mat))
+
+    def _vote(batches):
+        all_ids, all_labels, all_mat = b.value
+        # Rank by (-cosine, id): argsort a stable composite via lexsort.
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ all_mat.T, 6)
+            qid = pdf[id_col].to_numpy(dtype=np.int64)
+            qlab = pdf[label_col].to_numpy(dtype=np.int64)
+            out = {c: [] for c in
+                   (id_col, label_col, "predicted_label", "n_agree")}
+            for i in range(sims.shape[0]):
+                s = sims[i].copy()
+                s[all_ids == qid[i]] = -np.inf  # exclude self
+                order = np.lexsort((all_ids, -s))[:k]
+                votes: dict[int, int] = {}
+                for lb in all_labels[order]:
+                    votes[int(lb)] = votes.get(int(lb), 0) + 1
+                pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                out[id_col].append(qid[i])
+                out[label_col].append(qlab[i])
+                out["predicted_label"].append(pred)
+                out["n_agree"].append(n)
+            res = pd.DataFrame(out)
+            res["mislabeled"] = res["predicted_label"] != res[label_col]
+            yield res
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(label_col, T.IntegerType()),
+            T.StructField("predicted_label", T.IntegerType()),
+            T.StructField("n_agree", T.IntegerType()),
+            T.StructField("mislabeled", T.BooleanType()),
+        ]
+    )
+    return df.select(id_col, vec_col, label_col).mapInPandas(
+        _vote, schema=schema
+    )

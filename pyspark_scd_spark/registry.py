@@ -3803,3 +3803,67 @@ def q_corpus_temperature_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.temperature_sample(d, alpha=0.7, budget_frac=0.5)
+
+
+@register(
+    "knn_label_vote",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT a.vec_id AS vec_id, a.label AS label,
+                 b.vec_id AS nid, b.label AS nlabel,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS c
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, nid ASC) AS rk FROM s),
+    v AS (SELECT vec_id, label, nlabel, COUNT(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label, nlabel AS predicted_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY votes DESC, nlabel ASC) AS pr FROM v)
+    SELECT vec_id, label, predicted_label,
+           CAST(votes AS INTEGER) AS n_agree,
+           predicted_label <> label AS mislabeled
+    FROM p WHERE pr = 1
+    """,
+    doc="kNN label-consistency audit (k=5): majority label among each "
+    "vector's nearest cosine neighbors, self excluded — disagreements "
+    "are candidate annotation errors. Blocked-BLAS matmul over a "
+    "broadcast normalized matrix, zero corpus shuffle; deterministic "
+    "ranking (cosine 6dp DESC, id ASC) and tie-break (smaller label) "
+    "mirrored in the oracle (operators/similarity.py knn_label_vote).",
+)
+def q_knn_label_vote(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(e, k=5)
+
+
+@register(
+    "doc_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok,
+            CASE WHEN len(toks) <= 16 THEN 1
+                 ELSE CAST(ceil((len(toks) - 16) / 12.0) AS BIGINT) + 1
+            END AS n_chunks
+          FROM t)
+    SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_id,
+           array_to_string(toks[i.i * 12 + 1 : i.i * 12 + 16], ' ')
+             AS chunk_text,
+           CAST(len(toks[i.i * 12 + 1 : i.i * 12 + 16]) AS INTEGER)
+             AS n_tokens
+    FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) i
+    """,
+    doc="Fixed-window token chunking (16-token windows, stride 12): "
+    "pretraining prep that cuts documents into training-window pieces "
+    "with overlapping context. Pure array ops + one explode — a "
+    "shuffle-free flatMap over the scan "
+    "(operators/corpus.py chunk_documents).",
+)
+def q_doc_chunk_windows(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_documents(d, chunk_tokens=16, stride=12)

@@ -76,3 +76,42 @@ def test_temperature_sample_deterministic(docs):
     assert all(0 < v <= 1.0 for v in rates.values())
     # Sampled docs are a subset of the corpus.
     assert set(ra) <= {1, 2, 3, 4, 10}
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(30))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    out = corpus.chunk_documents(df, chunk_tokens=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 30 tokens -> ceil((30-16)/12)+1 = 3 chunks; short doc -> 1 chunk.
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    c = {r["chunk_id"]: r for r in by_doc[1]}
+    assert c[0]["chunk_text"].split()[0] == "t0"
+    assert c[1]["chunk_text"].split()[0] == "t12"  # stride overlap
+    assert c[2]["n_tokens"] == 6  # tokens 24..29
+    # Every token appears in at least one chunk.
+    covered = {t for r in by_doc[1] for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(30)}
+
+
+def test_knn_label_vote_flags_planted_outlier(spark):
+    from pyspark_scd_spark.operators import similarity
+
+    # Two tight clusters; vec 99 sits in cluster A but is labeled B.
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + 0.01 * i, 0.0, 0.1], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0 + 0.01 * i, 0.1], 1))
+    rows.append((99, [1.0, 0.001, 0.1], 1))  # geometrically cluster 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in similarity.knn_label_vote(df, k=5).collect()}
+    assert out[99]["mislabeled"] is True
+    assert out[99]["predicted_label"] == 0
+    assert out[0]["mislabeled"] is False
+    # n_agree is a majority of k=5.
+    assert out[99]["n_agree"] >= 3
