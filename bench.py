@@ -45,6 +45,11 @@ HEADLINE = [
     "profile_table",
     "corpus_vocab_topk",
     "doc_pack_bins",
+    "decontaminate_ngram",
+    "text_repetition_gopher",
+    "corpus_temperature_sample",
+    "knn_label_vote",
+    "doc_chunk_windows",
 ]
 
 

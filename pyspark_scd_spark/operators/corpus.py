@@ -63,16 +63,22 @@ def decontaminate_report(
     hashed to 64-bit longs at explode so the broadcast table and join
     keys are fixed-width, not strings.
     """
-    toks = TXT.tokens(text_col)
-    grams = df.select(
+    # Bind the token array to a real column BEFORE the gram lambda and
+    # hash AFTER the explode: inlining tokens(text) into the n-gram
+    # transform makes Catalyst re-evaluate split+filter per element_at
+    # (O(len·n) per gram), and nesting xxhash64 inside a second
+    # transform re-inlines the whole gram array per element. Same fix
+    # as dedup._shingles (measured here: 20.9s -> ~1s at sf0.1).
+    toks_df = df.select(
         F.col(id_col),
         eval_pred.alias("__is_eval"),
-        F.explode(
-            F.array_distinct(
-                F.transform(_word_ngrams(toks, n), lambda g: F.xxhash64(g))
-            )
-        ).alias("__g"),
+        TXT.tokens(text_col).alias("__toks"),
     )
+    grams = toks_df.select(
+        F.col(id_col),
+        "__is_eval",
+        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__gs"),
+    ).select(id_col, "__is_eval", F.xxhash64("__gs").alias("__g"))
     eval_grams = (
         grams.filter("__is_eval")
         .groupBy("__g")
