@@ -301,3 +301,63 @@ def chunk_documents(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_tokens").alias("n_tokens"),
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    eval_pred: Column,
+    quality_threshold: float = 0.5,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """The composed clean-training-corpus pipeline: one DataFrame that
+    applies, in order, the standard pretraining filters —
+
+    1. drop eval-set rows (they are held out, not trained on);
+    2. quality gate: composite quality score ≥ threshold;
+    3. exact dedup: keep only each fingerprint group's canonical
+       (minimum-id) document;
+    4. repetition gate: drop Gopher-flagged repetitive docs;
+    5. decontamination: drop training docs sharing a word n-gram with
+       any eval doc.
+
+    Returns surviving (id, *keep_cols, n_tok, quality).
+
+    Composition stays declarative, so Catalyst sees ONE plan: the
+    quality/fingerprint scalars ride the initial scan, the canonical
+    pick is a window over the fingerprint hash, and the two drop
+    lists (repetitive, contaminated) are doc-id anti-joins — the
+    contaminated list is tiny (it is bounded by eval-overlap) and
+    broadcasts.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        eval_pred.alias("__is_eval"),
+        TXT.token_count(text_col).alias("n_tok"),
+        F.round(TXT.quality_score(text_col), 4).alias("quality"),
+        TXT.fingerprint(text_col).alias("__fp"),
+    )
+    base = base.withColumn(
+        "__canonical", F.min(id_col).over(W.partitionBy("__fp"))
+    )
+    repetitive = (
+        repetition_stats(df, id_col=id_col, text_col=text_col)
+        .filter("repetitive")
+        .select(id_col)
+    )
+    contaminated = decontaminate_report(
+        df, eval_pred, id_col=id_col, text_col=text_col, n=n
+    ).select(id_col)
+    return (
+        base.filter(~F.col("__is_eval"))
+        .filter(F.col("quality") >= quality_threshold)
+        .filter(F.col(id_col) == F.col("__canonical"))
+        .join(repetitive, id_col, "left_anti")
+        .join(F.broadcast(contaminated), id_col, "left_anti")
+        .select(id_col, *keep_cols, "n_tok", "quality")
+    )

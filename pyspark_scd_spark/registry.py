@@ -3867,3 +3867,95 @@ def q_doc_chunk_windows(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.chunk_documents(d, chunk_tokens=16, stride=12)
+
+
+@register(
+    "corpus_clean_pipeline",
+    rf"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks,
+                      doc_id % 10 = 0 AS is_eval FROM documents),
+    m AS (SELECT doc_id, source, is_eval, toks,
+                 CAST(len(toks) AS INTEGER) AS n_tok,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dis,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1.0 / length(text) AS digit_ratio,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM t),
+    q AS (SELECT *, ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
+              + CASE WHEN n_tok > 0 THEN n_dis / n_tok ELSE 0.0 END * 0.4
+              + (1.0 - digit_ratio) * 0.2, 4) AS quality,
+              MIN(doc_id) OVER (PARTITION BY fp) AS canonical
+          FROM m),
+    bg AS (SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY 1),
+    rep AS (SELECT m.doc_id FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+            WHERE ROUND(CASE WHEN m.n_tok > 0
+                             THEN 1.0 - m.n_dis / m.n_tok
+                             ELSE 0.0 END, 4) > 0.60
+               OR (COALESCE(top.top_c, 0) > 1
+                   AND ROUND(CASE WHEN m.n_tok > 0
+                                  THEN COALESCE(top.top_c, 0) * 2.0 / m.n_tok
+                                  ELSE 0.0 END, 4) > 0.18)),
+    g5 AS (SELECT DISTINCT doc_id, is_eval,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+               || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    cont AS (SELECT DISTINCT tr.doc_id FROM g5 tr JOIN g5 ev
+             ON tr.gram = ev.gram WHERE ev.is_eval AND NOT tr.is_eval)
+    SELECT doc_id, source, n_tok, quality
+    FROM q
+    WHERE NOT is_eval AND quality >= 0.5 AND doc_id = canonical
+      AND doc_id NOT IN (SELECT doc_id FROM rep)
+      AND doc_id NOT IN (SELECT doc_id FROM cont)
+    """,
+    doc="The composed clean-training-corpus pipeline: drop eval rows, "
+    "quality-gate (score >= 0.5), exact-dedup to canonical docs, drop "
+    "Gopher-repetitive docs, drop eval-contaminated docs — one "
+    "declarative plan where drop lists are doc-id anti-joins and the "
+    "contaminated list broadcasts (operators/corpus.py clean_corpus).",
+)
+def q_corpus_clean_pipeline(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.clean_corpus(
+        d, eval_pred=(F.col("doc_id") % 10 == 0), quality_threshold=0.5, n=5
+    )
+
+
+@register(
+    "approx_sketch_stats",
+    None,  # HLL++/KLL sketch results are engine-specific; rows-only.
+    doc="Sketch-based approximate statistics in ONE aggregation pass: "
+    "HLL++ approx_count_distinct on the lineitem join keys and KLL-ish "
+    "approx_percentile on price, beside their exact twins for observed "
+    "relative error. At 100 TB the exact column drops and the sketch "
+    "pass is the only affordable form (mergeable partial sketches, "
+    "map-side combine, |result| = 1 row regardless of input). "
+    "Accuracy asserted within 5% in tests/test_corpus.py.",
+)
+def q_approx_sketch_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_price"),
+    )
+    return agg.select(
+        "approx_orders",
+        "exact_orders",
+        F.round(
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders"),
+            4,
+        ).alias("rel_err_orders"),
+        "approx_parts",
+        "exact_parts",
+        "approx_p50_price",
+        F.round("exact_p50_price", 2).alias("exact_p50_price"),
+    )

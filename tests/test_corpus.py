@@ -115,3 +115,38 @@ def test_knn_label_vote_flags_planted_outlier(spark):
     assert out[0]["mislabeled"] is False
     # n_agree is a majority of k=5.
     assert out[99]["n_agree"] >= 3
+
+
+def test_clean_corpus_invariants(spark, sf_dir):
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    out = corpus.clean_corpus(
+        d, eval_pred=(F.col("doc_id") % 10 == 0), quality_threshold=0.5
+    )
+    rows = out.collect()
+    ids = [r["doc_id"] for r in rows]
+    # No eval docs, no duplicates, all above the quality gate.
+    assert all(i % 10 != 0 for i in ids)
+    assert len(ids) == len(set(ids))
+    assert all(r["quality"] >= 0.5 for r in rows)
+    # Survivors are a strict subset of the corpus.
+    assert 0 < len(ids) < d.count()
+    # Contaminated docs are really gone.
+    cont = {
+        r["doc_id"]
+        for r in corpus.decontaminate_report(
+            d, eval_pred=(F.col("doc_id") % 10 == 0)
+        ).collect()
+    }
+    assert not (set(ids) & cont)
+
+
+def test_approx_sketch_within_tolerance(spark, sf_dir):
+    from pyspark_scd_spark.registry import REGISTRY
+
+    r = REGISTRY["approx_sketch_stats"].builder(spark, sf_dir).collect()[0]
+    assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.05 * r["exact_orders"]
+    assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"]
+    # approx_percentile is exact-rank-within-accuracy: sanity bound.
+    assert abs(r["approx_p50_price"] - r["exact_p50_price"]) <= 0.05 * r["exact_p50_price"]
