@@ -100,3 +100,60 @@ def rollup_gapfill(
     else:
         raise ValueError(f"unknown fill: {fill!r}")
     return joined.withColumn("bucket_value", filled).drop("__v")
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group OLS slope of y over x via grouped ``applyInPandas`` —
+    the grouped-UDAF pattern: each key's rows arrive as one pandas
+    frame over Arrow, the closed-form population slope
+    cov_pop(x,y)/var_pop(x) is vectorized numpy, and groups with
+    degenerate x (fewer than 2 points, or zero variance) emit nothing.
+
+    The shuffle is the groupBy's hash exchange on the key — identical
+    to any aggregate — and per-group state is one group's rows, so
+    skew, not scale, is the limit (a hot key's rows must fit one
+    task; salting or a two-stage moment aggregation is the fallback).
+    Built-ins (covar_pop/var_pop) could express this exact statistic;
+    the operator exists as the template for group-wise model fits that
+    Catalyst genuinely cannot (regularized/robust fits, per-key
+    seasonal decomposition).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_key = key_col
+
+    def _fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        if len(x) < 2:
+            return pd.DataFrame(
+                {out_key: [], "n_points": [], "slope": []}
+            )
+        xm = x.mean()
+        varx = ((x - xm) ** 2).sum()
+        if varx == 0.0:
+            return pd.DataFrame(
+                {out_key: [], "n_points": [], "slope": []}
+            )
+        slope = ((x - xm) * (y - y.mean())).sum() / varx
+        return pd.DataFrame(
+            {
+                out_key: [pdf[key_col].iloc[0]],
+                "n_points": [len(x)],
+                "slope": [round(float(slope), round_to)],
+            }
+        )
+
+    schema = f"{out_key} long, n_points int, slope double"
+    return (
+        df.select(key_col, x_col, y_col)
+        .groupBy(key_col)
+        .applyInPandas(_fit, schema=schema)
+    )

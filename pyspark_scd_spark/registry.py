@@ -3959,3 +3959,82 @@ def q_approx_sketch_stats(spark, sf_dir):
         "approx_p50_price",
         F.round("exact_p50_price", 2).alias("exact_p50_price"),
     )
+
+
+@register(
+    "grouped_trend_ols",
+    """
+    WITH pts AS (SELECT o_custkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS DOUBLE) AS x,
+                   o_totalprice AS y
+                 FROM orders)
+    SELECT o_custkey, CAST(COUNT(*) AS INTEGER) AS n_points,
+           ROUND(covar_pop(y, x) / var_pop(x), 4) AS slope
+    FROM pts GROUP BY o_custkey
+    HAVING COUNT(*) >= 2 AND var_pop(x) > 0
+    """,
+    doc="Per-customer OLS spend trend (slope of order total over "
+    "order date) via grouped applyInPandas — the grouped-UDAF "
+    "template: Arrow batches per key, closed-form population slope in "
+    "numpy, degenerate groups emit nothing; shuffle identical to any "
+    "groupBy (operators/timeseries.py grouped_linear_trend).",
+)
+def q_grouped_trend_ols(spark, sf_dir):
+    from pyspark_scd_spark.operators import timeseries
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return timeseries.grouped_linear_trend(
+        pts, key_col="o_custkey", x_col="x", y_col="y"
+    )
+
+
+@register(
+    "unpivot_nation_metrics",
+    """
+    WITH w AS (SELECT n_name,
+                 ROUND(SUM(l_quantity), 2) AS sum_qty,
+                 ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                 ROUND(AVG(l_discount), 4) AS avg_disc
+               FROM lineitem
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               GROUP BY n_name)
+    SELECT n_name, 'sum_qty' AS metric, sum_qty AS value FROM w
+    UNION ALL
+    SELECT n_name, 'sum_price' AS metric, sum_price AS value FROM w
+    UNION ALL
+    SELECT n_name, 'avg_disc' AS metric, avg_disc AS value FROM w
+    """,
+    doc="Wide-to-long unpivot (DataFrame.unpivot / melt) of a "
+    "per-nation aggregate: three measure columns become (metric, "
+    "value) rows — the inverse of pivot_status_priority. Unpivot is a "
+    "zero-shuffle expression (Expand node) over the aggregate.",
+)
+def q_unpivot_nation_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    w = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+    return w.unpivot(
+        ids=["n_name"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
