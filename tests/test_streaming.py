@@ -284,3 +284,112 @@ def test_stream_neardup_signature_store(spark, tmp_path):
     # 11 must be rejected (near-dup of already-accepted 1);
     # 1, 2, 12 accepted
     assert sorted(accepted) == [1, 2, 12]
+
+
+def _scd_stream_expected(spark, snaps):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("snap_date")
+    return {
+        (r["key"], r["snap_date"]): r["status"]
+        for r in snaps.withColumn(
+            "status",
+            F.when(F.lag("row_hash").over(w).isNull(), "New")
+            .when(F.lag("row_hash").over(w) != F.col("row_hash"), "Changed")
+            .otherwise("No Change"),
+        ).collect()
+    }
+
+
+def _scd_snaps(spark, sf_dir):
+    from pyspark_scd_spark.operators import scd
+    from pyspark_scd_spark.registry import order_snapshots, SCD_HASH_COLS
+
+    return scd.with_row_hash(
+        order_snapshots(spark, sf_dir), SCD_HASH_COLS
+    ).select("key", "snap_date", "row_hash")
+
+
+def test_stateful_stream_scd_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming SCD (applyInPandasWithState) must classify every
+    snapshot row exactly as the batch lag-window does, minus Deleted
+    (absence is undetectable in a row stream — documented
+    divergence)."""
+    from pyspark_scd_spark.streaming import scd_stream
+
+    snaps = _scd_snaps(spark, sf_dir)
+    src = str(tmp_path / "snaps")
+    snaps.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = scd_stream.scd_status_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["key"], r["snap_date"]): r["change_status"]
+        for r in spark.sql("SELECT * FROM scd_stream_out").collect()
+    }
+    expected = _scd_stream_expected(spark, snaps)
+    assert len(got) == len(expected) > 0
+    assert got == expected
+
+
+def test_scd_stream_tws_gated(spark, sf_dir, tmp_path):
+    """The Spark-4 transformWithStateInPandas variant: runs the same
+    equivalence when protobuf is available, otherwise asserts the
+    documented clear-error gate."""
+    from pyspark_scd_spark.streaming import scd_stream
+
+    snaps = _scd_snaps(spark, sf_dir)
+    if not scd_stream.tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            scd_stream.scd_status_stream_tws(snaps)
+        return
+
+    src = str(tmp_path / "snaps_tws")
+    snaps.write.mode("overwrite").parquet(src)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = scd_stream.scd_status_stream_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("scd_tws_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["key"], r["snap_date"]): r["change_status"]
+            for r in spark.sql("SELECT * FROM scd_tws_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert got == _scd_stream_expected(spark, snaps)
