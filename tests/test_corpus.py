@@ -150,3 +150,30 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
     assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"]
     # approx_percentile is exact-rank-within-accuracy: sanity bound.
     assert abs(r["approx_p50_price"] - r["exact_p50_price"]) <= 0.05 * r["exact_p50_price"]
+
+
+def test_corpus_prep_job_end_to_end(spark, sf_dir, tmp_path):
+    from pyspark_scd_spark.jobs import corpus_prep
+
+    out = str(tmp_path / "corpus_out")
+    chunks, mix = corpus_prep.run(spark, sf_dir, out)
+    n1 = chunks.count()
+    assert n1 > 0 and mix.count() > 0
+    # Chunk grain unique; every chunk's doc survived cleaning (no
+    # eval docs by construction of the default predicate).
+    assert (
+        chunks.select("doc_id", "chunk_id").distinct().count() == n1
+    )
+    assert chunks.filter(F.col("doc_id") % 10 == 0).count() == 0
+    # Partitioned layout by source on disk.
+    import os
+    assert any(
+        p.startswith("source=") for p in os.listdir(out + "/chunks")
+    )
+    # Weights in the manifest are normalized over the CLEAN corpus.
+    assert sum(r["weight"] for r in mix.collect()) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    # Re-run is idempotent (staged overwrite, same input -> same rows).
+    chunks2, _ = corpus_prep.run(spark, sf_dir, out)
+    assert chunks2.count() == n1
