@@ -4038,3 +4038,103 @@ def q_unpivot_nation_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_date FROM ud GROUP BY 1),
+    act AS (SELECT f.cohort_date,
+                   CAST(ud.day - f.cohort_date AS INTEGER) AS offset_days,
+                   ud.user_id
+            FROM ud JOIN first f ON ud.user_id = f.user_id),
+    cohort_n AS (SELECT cohort_date, COUNT(DISTINCT user_id) AS n_cohort
+                 FROM act WHERE offset_days = 0 GROUP BY 1)
+    SELECT a.cohort_date, a.offset_days,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           ROUND(COUNT(DISTINCT a.user_id) * 1.0 / c.n_cohort, 4)
+             AS retention
+    FROM act a JOIN cohort_n c ON a.cohort_date = c.cohort_date
+    GROUP BY a.cohort_date, a.offset_days, c.n_cohort
+    """,
+    doc="Cohort retention: users grouped by first-activity date, "
+    "fraction still active at each day offset. Activity collapses to "
+    "distinct (user, day) first (the cardinality reducer), cohorts "
+    "come from a user-keyed min, and the per-cohort size joins back "
+    "broadcast — all further aggregation runs on |users x days|, "
+    "never raw events.",
+)
+def q_events_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    act = ud.join(first, "user_id").select(
+        "cohort_date",
+        F.datediff("day", "cohort_date").alias("offset_days"),
+        "user_id",
+    )
+    cohort_n = (
+        act.filter(F.col("offset_days") == 0)
+        .groupBy("cohort_date")
+        .agg(F.count_distinct("user_id").alias("n_cohort"))
+    )
+    return (
+        act.groupBy("cohort_date", "offset_days")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(cohort_n), "cohort_date")
+        .select(
+            "cohort_date",
+            "offset_days",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
+    "events_dau_wau",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM (SELECT DISTINCT day FROM ud) d
+            JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    doc="Rolling activity: daily actives, trailing-7-day actives, and "
+    "DAU/WAU stickiness. Distinct (user, day) first; the WAU window is "
+    "an explode of each activity day onto the 7 days it covers, then a "
+    "plain count-distinct — COUNT(DISTINCT) over a RANGE frame does "
+    "not exist, and the explode form shuffles |users x days x 7| tiny "
+    "rows instead of range-joining raw events.",
+)
+def q_events_dau_wau(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    cov = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = cov.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
