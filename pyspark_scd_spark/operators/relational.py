@@ -154,3 +154,45 @@ def aggregate(
     else:
         grouped = df.groupBy(*group_cols)
     return grouped.agg(*aggs)
+
+
+def fuzzy_match_blocked(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str,
+    id_col: str,
+    max_distance: int = 5,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: Levenshtein distance ≤
+    ``max_distance`` between rows sharing a blocking key.
+
+    The blocking join is the whole design: edit distance is O(len²)
+    per pair and cannot be indexed, so the only scalable form is an
+    equi-join on cheap block keys (brand+size here; phonetic codes or
+    sorted-neighborhood keys in general) that bounds each block to a
+    handful of rows, THEN the quadratic-per-pair distance inside the
+    block. An unblocked fuzzy join is n² edit distances — a
+    non-starter at any scale; block-key skew is the thing to monitor
+    (a hot block re-introduces the n² locally).
+
+    Emits (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+    """
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("name_a"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("name_b"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

@@ -4138,3 +4138,67 @@ def q_events_dau_wau(spark, sf_dir):
             F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+@register(
+    "fuzzy_match_blocked",
+    """
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+    doc="Blocked fuzzy entity matching: Levenshtein <= 5 between part "
+    "names sharing a (brand, size) block — the equi-join block bounds "
+    "the quadratic edit-distance work to a handful of rows per block; "
+    "an unblocked fuzzy join is n-squared and a non-starter "
+    "(operators/relational.py fuzzy_match_blocked).",
+)
+def q_fuzzy_match_blocked(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return relational.fuzzy_match_blocked(
+        part.select("p_partkey", "p_name", "p_brand", "p_size"),
+        block_cols=["p_brand", "p_size"],
+        text_col="p_name",
+        id_col="p_partkey",
+        max_distance=5,
+    )
+
+
+@register(
+    "table_checksum_audit",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substring(md5(
+             o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+             || '|' || o_orderpriority || '|' || CAST(o_orderdate AS DATE)
+           ), 1, 15)) AS BIGINT)) AS checksum
+    FROM orders
+    """,
+    doc="Order-insensitive table fingerprint: bit_xor of a 60-bit "
+    "md5 prefix over each row's key+state string — one aggregate "
+    "pass, one output row, engine-independent. The anti-entropy "
+    "primitive for verifying replication/migration of a 100 TB table "
+    "without moving it (compare two 8-byte checksums, not two "
+    "tables); xor makes it order- and partitioning-insensitive and "
+    "incrementally maintainable (xor in the delta's checksum).",
+)
+def q_table_checksum_audit(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.to_date("o_orderdate").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(h).alias("checksum"),
+    )
