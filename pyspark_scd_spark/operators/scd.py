@@ -516,3 +516,53 @@ def snapshot_diff(
         .otherwise("unchanged")
     )
     return j.withColumn(status_col, status).drop("__in_old", "__in_new")
+
+
+def type2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    state_cols: Sequence[str],
+    hash_col: str = "row_hash",
+) -> DataFrame:
+    """Collapse a snapshot history into SCD Type-2 effective-dated rows.
+
+    The reference's ``employee_all`` keeps one row per (snapshot, key)
+    with a change_status; a Type-2 dimension keeps one row per
+    *contiguous run* of identical state: ``valid_from`` (first snapshot
+    of the run), ``valid_to`` (next run's valid_from, exclusive; NULL on
+    the open run), ``last_seen``, ``n_snaps``, ``is_current``.
+
+    Islands are found with the single-window form: change flag =
+    "fingerprint differs from the previous row" (null-safe), island id
+    = running sum of the flag. Every window here partitions by the
+    entity key only, so the whole pass costs ONE exchange on the key
+    (the two-row_number gap-group trick needs a second (key, hash)
+    exchange); the groupBy that follows re-uses tiny per-island rows.
+    Reference semantics source: jobs/create_employee_all.py:136-150.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        ~F.lag(hash_col).over(w).eqNullSafe(F.col(hash_col))
+    ).cast("int")
+    runs = df.withColumn("__chg", changed).withColumn(
+        "__island", F.sum("__chg").over(wrun)
+    )
+    g = runs.groupBy(*keys, "__island", *state_cols).agg(
+        F.min(time_col).alias("valid_from"),
+        F.max(time_col).alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_snaps"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return g.select(
+        *keys,
+        *state_cols,
+        "valid_from",
+        "last_seen",
+        "n_snaps",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

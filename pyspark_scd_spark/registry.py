@@ -4202,3 +4202,274 @@ def q_table_checksum_audit(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.bit_xor(h).alias("checksum"),
     )
+
+
+@register(
+    "scd_type2_intervals",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    h AS (
+      SELECT key, snap_date, o_orderstatus, o_orderpriority,
+        CASE WHEN LAG(o_orderstatus || '||' || o_orderpriority)
+                    OVER (PARTITION BY key ORDER BY snap_date)
+               IS DISTINCT FROM (o_orderstatus || '||' || o_orderpriority)
+             THEN 1 ELSE 0 END AS chg
+      FROM snaps),
+    i AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY key ORDER BY snap_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM h),
+    g AS (
+      SELECT key, island, o_orderstatus, o_orderpriority,
+             MIN(snap_date) AS valid_from, MAX(snap_date) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_snaps
+      FROM i GROUP BY 1, 2, 3, 4)
+    SELECT key, o_orderstatus, o_orderpriority, valid_from, last_seen,
+           n_snaps,
+           LEAD(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM g
+    """,
+    doc="SCD Type-2 effective-dated dimension: contiguous runs of "
+    "identical state collapse to one row with [valid_from, valid_to) "
+    "+ is_current (operators/scd.py type2_intervals). The reference "
+    "stops at per-snapshot change_status rows (jobs/"
+    "create_employee_all.py:136-150); this is the classic "
+    "interval-form output built on the same islands, via the "
+    "single-exchange lag-flag + running-sum form. At 100 TB the "
+    "output is |state changes|, orders of magnitude smaller than "
+    "the snapshot history it summarizes.",
+)
+def q_scd_type2_intervals(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    df = scd.with_row_hash(snaps, SCD_HASH_COLS)
+    return scd.type2_intervals(
+        df, key_cols=["key"], time_col="snap_date",
+        state_cols=SCD_HASH_COLS,
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT day, event_type, cnt,
+        AVG(cnt) OVER w AS mu,
+        stddev_pop(cnt) OVER w AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT day, event_type, cnt,
+           ROUND(mu, 4) AS trailing_avg,
+           ROUND((cnt - mu) / NULLIF(sd, 0), 4) AS zscore,
+           COALESCE(ABS((cnt - mu) / NULLIF(sd, 0)) >= 3.0, FALSE)
+             AS is_anomaly
+    FROM scored
+    """,
+    doc="Time-series anomaly detection: daily event counts scored "
+    "against a trailing-28-day rolling mean/stddev per event_type; "
+    "|z| >= 3 flags. One groupBy (map-side combined, |days x types| "
+    "rows) then windows over the tiny daily series — the rolling "
+    "stats never touch raw events, so the pattern costs the same at "
+    "100 TB as the daily rollup itself.",
+)
+def q_events_anomaly_zscore(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-27, Window.currentRow)
+    )
+    mu = F.avg("cnt").over(w)
+    sd = F.stddev_pop("cnt").over(w)
+    z = (F.col("cnt") - mu) / F.nullif(sd, F.lit(0.0))
+    return daily.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.round(mu, 4).alias("trailing_avg"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) >= 3.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+        last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          OVER w AS click_ts,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END
+                   IGNORE NULLS) OVER w AS click_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS DATE) AS purchase_day,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_id END AS click_event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN CAST(FLOOR((epoch_us(ts) - epoch_us(click_ts))
+                                / 1000000) AS BIGINT)
+                END AS seconds_since_click,
+           COALESCE(epoch_us(ts) - epoch_us(click_ts) <= 3600000000, FALSE)
+             AS attributed
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+    doc="Last-click attribution: each purchase joined to the same "
+    "user's most recent click within 1 hour — computed as ONE "
+    "user-keyed window carrying the last click forward "
+    "(last_value IGNORE NULLS), never an O(n^2) range self-join. "
+    "One exchange on user_id; the streaming twin is the watermarked "
+    "stream-stream interval join in streaming/join.py.",
+)
+def q_events_attribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    click_id = F.last(
+        F.when(is_click, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    sec_us = F.unix_micros(F.col("ts")) - F.unix_micros(click_ts)
+    within = sec_us <= 3600 * 1_000_000
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", "event_type",
+            click_ts.alias("__click_ts"), click_id.alias("__click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.to_date("ts").alias("purchase_day"),
+            F.when(
+                (F.unix_micros(F.col("ts"))
+                 - F.unix_micros(F.col("__click_ts"))) <= 3600 * 1_000_000,
+                F.col("__click_id"),
+            ).alias("click_event_id"),
+            F.when(
+                (F.unix_micros(F.col("ts"))
+                 - F.unix_micros(F.col("__click_ts"))) <= 3600 * 1_000_000,
+                F.floor(
+                    (F.unix_micros(F.col("ts"))
+                     - F.unix_micros(F.col("__click_ts"))) / 1_000_000
+                ).cast("long"),
+            ).alias("seconds_since_click"),
+            F.coalesce(
+                (F.unix_micros(F.col("ts"))
+                 - F.unix_micros(F.col("__click_ts"))) <= 3600 * 1_000_000,
+                F.lit(False),
+            ).alias("attributed"),
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pairs AS (
+      SELECT unnest(t[1:len(t) - 1]) AS token_a,
+             unnest(t[2:len(t)]) AS token_b
+      FROM toks WHERE len(t) > 1)
+    SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY 1, 2
+    ORDER BY freq DESC, token_a, token_b LIMIT 100
+    """,
+    doc="First BPE merge iteration: corpus-wide adjacent-token-pair "
+    "frequencies, top-100. Pairs come from zipping the token array "
+    "with its own tail (two slices, zero windows, zero extra "
+    "shuffles); the count is a map-side-combined groupBy and the "
+    "top-k a TakeOrdered — the same shape a distributed BPE trainer "
+    "runs once per merge step over 100 TB of text.",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    # Two-select shape: bind __toks before slicing so CollapseProject
+    # cannot re-inline the tokenizer into both slice arms (memory:
+    # the O(n^2) re-inline trap).
+    toks = d.select(TXT.tokens("text").alias("__toks")).filter(
+        F.size("__toks") > 1
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            F.col("p.0").alias("token_a"), F.col("p.1").alias("token_b")
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token_a", "token_b")
+        .limit(100)
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT event_type,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental materialized-aggregate maintenance: a base "
+    "aggregate state (days < 2024-01-20) merged with the new "
+    "partition's partial aggregate by re-aggregating the two tiny "
+    "state tables — sums add, counts add, avg derives at read time. "
+    "The oracle is the full recompute; at 100 TB the incremental "
+    "path touches ONLY the new day's data plus |groups| state rows "
+    "instead of re-scanning all history (SURVEY.md §7 M4).",
+)
+def q_incremental_agg_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cutoff = "2024-01-20"
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.sum("value").alias("__sum_v"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+
+    base = partial(ev.filter(day < cutoff))
+    delta = partial(ev.filter(day >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("__sum_v").alias("__sum_v"), F.sum("__n").alias("__n")
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.round("__sum_v", 4).alias("total_value"),
+        F.col("__n").cast("long").alias("n_events"),
+        F.round(F.col("__sum_v") / F.col("__n"), 6).alias("avg_value"),
+    )
