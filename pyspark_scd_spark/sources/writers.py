@@ -160,3 +160,67 @@ def write_clustered(
     )
     out = out.sortWithinPartitions(*cols)
     return write_staged(out, path, fmt=fmt)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 16, out_col: str = "__zkey"
+) -> DataFrame:
+    """Z-order (Morton) key over numeric columns.
+
+    Each column is min/max-normalized to a ``bits``-bit integer (the
+    min/max come from one broadcast scalar row, never a global sort —
+    percent_rank would funnel 100 TB through one task), then the bit
+    planes are interleaved: bit i of column k lands at position
+    ``i * n_cols + k``. Rows close in EVERY dimension get close keys,
+    so range-clustering on the key gives multi-dimensional file
+    skipping — the curve's locality is what ``write_clustered`` on a
+    single leading column cannot provide for trailing-column filters.
+    All arithmetic is shift/add on longs inside codegen.
+    """
+    cols = list(cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    j = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        frac = (F.col(c).cast("double") - mn) / F.nullif(mx - mn, F.lit(0.0))
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.floor(F.coalesce(frac, F.lit(0.0)) * top).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for k, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, i * len(cols) + k)
+    return j.withColumn(out_col, z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> str:
+    """Z-order-clustered write: range-partition + sort on the Morton
+    key so each file covers a compact multi-dimensional cell; parquet
+    min/max footers then prune files for predicates on ANY of the
+    z-ordered columns, not just the leading one."""
+    keyed = zorder_key(df, zorder_cols, bits=bits)
+    out = keyed.repartitionByRange(n_files, F.col("__zkey")).sortWithinPartitions(
+        "__zkey"
+    ).drop("__zkey")
+    return write_staged(out, path, fmt=fmt)

@@ -1,0 +1,89 @@
+"""Spark-4 Python DataSource: batch read, day pruning, streaming SCD.
+
+The source generates the reference's snapshot-drop shape on executors
+(sources/snapshot_source.py); these tests pin (a) batch semantics and
+row counts, (b) that a snapshot_date filter prunes generated *days*
+via pushFilters (fewer input partitions, not post-hoc filtering),
+(c) the streaming reader feeds the SCD pipeline one day per
+micro-batch and lands the same current view as a batch run.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.sources import snapshot_source
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    snapshot_source.register(spark)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("emp_snapshots")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_shape(spark):
+    df = _read(spark, n_days=5, n_employees=10)
+    # day 0..2: all 10; day 3: emp3 deleted, emp5 gapped -> 8;
+    # day 4: emp3 still gone -> 9
+    assert df.count() == 10 * 3 + 8 + 9
+    assert df.schema == snapshot_source.SCHEMA
+    per_day = {
+        r["snapshot_date"].day: r["n"]
+        for r in df.groupBy("snapshot_date")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_day == {1: 10, 2: 10, 3: 10, 4: 8, 5: 9}
+
+
+def test_filter_prunes_generated_days(spark):
+    df = _read(spark, n_days=30, n_employees=10).filter(
+        F.col("snapshot_date") == date(2024, 1, 2)
+    )
+    assert df.count() == 10
+    # pushFilters must shrink the scan to ONE input partition — the
+    # RDD partition count is the number of generated days.
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_stream_scd_matches_batch(spark, tmp_path):
+    from pyspark_scd_spark.operators import scd
+
+    stream = (
+        spark.readStream.format("emp_snapshots")
+        .option("n_days", 6)
+        .option("n_employees", 12)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("snap_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from snap_stream")
+    batch = _read(spark, n_days=6, n_employees=12)
+    assert streamed.count() == batch.count()
+
+    hist = scd.with_row_hash(
+        streamed, ["first_name", "department", "salary"]
+    )
+    cur = scd.current_view(
+        hist, ["employee_number"], "snapshot_date", stamp_global_max=False
+    )
+    # every employee surfaces exactly once; deleted emp 3's last row is
+    # its last present day (day index 2 -> Jan 3)
+    assert cur.count() == 12
+    emp3 = cur.filter(F.col("employee_number") == 3).collect()[0]
+    assert emp3["snapshot_date"] == date(2024, 1, 3)

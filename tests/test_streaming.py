@@ -393,3 +393,56 @@ def test_scd_stream_tws_gated(spark, sf_dir, tmp_path):
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
     assert got == _scd_stream_expected(spark, snaps)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    from pyspark_scd_spark.streaming.join import (
+        attribution_candidates_stream,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    schema = ev.schema
+    clicks_s = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "click")
+    )
+    purch_s = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .filter(F.col("event_type") == "purchase")
+    )
+    out = attribution_candidates_stream(clicks_s, purch_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_candidates")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("select * from attr_candidates").collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour"))
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, cond).collect()
+    }
+    assert got == want and len(want) > 0
