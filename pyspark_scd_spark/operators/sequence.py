@@ -1,0 +1,127 @@
+"""Event-sequence mining: Markov transition matrices and session paths.
+
+Product-analytics staples the reference cannot express (it has no
+joins, no multi-row sequence logic beyond lag/lead on a single hash —
+reference jobs/create_employee_all.py:125-126); both build on the same
+per-user time-ordered window the SCD core uses, so they inherit its
+scale shape: ONE hash exchange on user_id, then everything — ordering,
+adjacency, sessionization — happens inside the partition.
+
+Scale notes:
+- Ordering ties on ts are broken by event_id so results are
+  deterministic under any partitioning.
+- The transition/path aggregations run on the tiny derived pair/path
+  space (|event_types|^2 rows, |paths| <= distinct trigrams), with
+  map-side combine before their exchange.
+- Sessionization is the lag-gap + running-sum form (two window passes
+  over the SAME user partitioning = one exchange total); the
+  streaming twin is streaming/sessions.py's session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    Output: (src, dst, transitions, prob) — prob row-normalized over
+    src, rounded 6dp. Terminal events (no successor) are dropped.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    pairs = (
+        events.withColumn("dst", F.lead(type_col).over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col(type_col).alias("src"), "dst")
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    total = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(total), 6
+        ).alias("prob"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based session ids: a new session starts when the user's
+    inter-event gap exceeds ``gap_minutes``. Adds ``session_id``
+    (user-scoped 1-based dense counter). One exchange on user_id."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    path_len: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` most frequent length-``path_len`` event-type paths
+    within sessions ("users who did X then Y then Z").
+
+    Output: (path, occurrences, path_rank) with path like
+    'view>click>purchase'; ties broken by path ASC.
+    """
+    sess = sessionize(events, user_col, ts_col, gap_minutes)
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        ts_col, "event_id"
+    )
+    stepped = sess.withColumns(
+        {
+            f"__s{i}": F.lead(type_col, i).over(w)
+            for i in range(1, path_len)
+        }
+    )
+    paths = stepped.filter(
+        F.col(f"__s{path_len - 1}").isNotNull()
+    ).withColumn(
+        "path",
+        F.concat_ws(
+            ">",
+            F.col(type_col),
+            *[F.col(f"__s{i}") for i in range(1, path_len)],
+        ),
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    # Top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-task
+    # local top-k, no global sort), so the unavoidable single-partition
+    # rank window only ever sees k rows.
+    order = [F.col("occurrences").desc(), F.col("path").asc()]
+    wr = Window.orderBy(*order)
+    return counts.orderBy(*order).limit(k).withColumn(
+        "path_rank", F.row_number().over(wr)
+    )

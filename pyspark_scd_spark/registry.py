@@ -4473,3 +4473,147 @@ def q_incremental_agg_merge(spark, sf_dir):
         F.col("__n").cast("long").alias("n_events"),
         F.round(F.col("__sum_v") / F.col("__n"), 6).alias("avg_value"),
     )
+
+
+# ======================================================================
+# Corpus search: TF-IDF weighting + inverted index
+# ======================================================================
+
+from pyspark_scd_spark.operators import search as _search  # noqa: E402
+from pyspark_scd_spark.operators import sequence as _sequence  # noqa: E402
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY 1, 2),
+    dfr AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+      FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df_docs,
+             ROUND(tf.tf * ln(n.n_docs / dfr.df_docs), 6) AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS INTEGER) AS term_rank
+      FROM scored)
+    SELECT doc_id, term, tf, df_docs, tfidf, term_rank
+    FROM ranked WHERE term_rank <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document (keyword extraction). The "
+    "per-doc term counts combine map-side before one exchange; the "
+    "document-frequency table is vocab-sized and BROADCASTs onto the "
+    "tf table, so no second shuffle of the big side "
+    "(operators/search.py tfidf_top_terms).",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return _search.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "inverted_index",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), t -> t <> '')) AS term
+      FROM documents),
+    terms AS (SELECT DISTINCT doc_id, term FROM raw)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
+                           ',') AS postings
+    FROM terms GROUP BY term
+    """,
+    doc="Inverted index build: token -> capped posting list (first 20 "
+    "doc ids ascending) + uncapped document frequency. The cap is "
+    "applied inside the aggregate so stop-word tokens cost a bounded "
+    "row — the long-posting skew killer at corpus scale "
+    "(operators/search.py inverted_index).",
+)
+def q_inverted_index(spark, sf_dir):
+    return _search.inverted_index(
+        _t(spark, sf_dir, "documents"), max_postings=20
+    )
+
+
+# ======================================================================
+# Event-sequence mining: Markov transitions + session paths
+# ======================================================================
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+      FROM events),
+    counts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS transitions
+      FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, transitions,
+           ROUND(transitions / SUM(transitions) OVER (PARTITION BY src),
+                 6) AS prob
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: one exchange on user_id for the lead window, then the "
+    "pair counts aggregate the |event_types|^2 derived space with "
+    "map-side combine (operators/sequence.py markov_transitions).",
+)
+def q_events_markov(spark, sf_dir):
+    return _sequence.markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
+             OR LAG(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM marked),
+    steps AS (
+      SELECT event_type AS s1,
+             LEAD(event_type, 1) OVER w AS s2,
+             LEAD(event_type, 2) OVER w AS s3
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id)),
+    counts AS (
+      SELECT s1 || '>' || s2 || '>' || s3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM steps WHERE s3 IS NOT NULL GROUP BY 1)
+    SELECT path, occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC, path ASC)
+                AS INTEGER) AS path_rank
+    FROM counts QUALIFY path_rank <= 50
+    """,
+    doc="Top-50 within-session event-type trigram paths (funnel "
+    "discovery). Sessionize (lag-gap + running sum, ONE exchange on "
+    "user_id) -> in-session trigrams via lead -> count. The global "
+    "rank runs on the tiny path-count table only "
+    "(operators/sequence.py session_paths).",
+)
+def q_events_session_paths(spark, sf_dir):
+    return _sequence.session_paths(_t(spark, sf_dir, "events"))

@@ -1,0 +1,120 @@
+"""Tests for corpus-search (TF-IDF, inverted index) and
+event-sequence (Markov transitions, session paths) operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pyspark_scd_spark.operators import search, sequence
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry durian"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 9, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # user 1: one session (view,click,buy), then after a 2h gap a second
+    # session (view,click,buy) — the trigram must NOT bridge the gap.
+    rows = [
+        (1, _ts(0), 1, "view"),
+        (2, _ts(1), 1, "click"),
+        (3, _ts(2), 1, "buy"),
+        (4, _ts(2, 30), 2, "view"),
+        (5, _ts(3), 2, "view"),
+        (6, dt.datetime(2024, 1, 1, 12, 0), 1, "view"),
+        (7, dt.datetime(2024, 1, 1, 12, 1), 1, "click"),
+        (8, dt.datetime(2024, 1, 1, 12, 2), 1, "buy"),
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def test_tfidf_idf_and_rank(docs):
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in search.tfidf_top_terms(docs, k=3).collect()
+    }
+    # 'apple' appears twice in doc 1 and in 1 of 3 docs.
+    r = out[(1, "apple")]
+    assert r["tf"] == 2 and r["df_docs"] == 1
+    assert r["tfidf"] == pytest.approx(2 * math.log(3.0), abs=1e-6)
+    assert r["term_rank"] == 1
+    # 'banana' is in 2/3 docs -> lower idf than apple in doc 1.
+    assert out[(1, "banana")]["term_rank"] == 2
+
+
+def test_tfidf_k_cap(docs):
+    counts = (
+        search.tfidf_top_terms(docs, k=1)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_inverted_index_postings_sorted_and_capped(docs):
+    out = {
+        r["term"]: r for r in search.inverted_index(docs).collect()
+    }
+    assert out["banana"]["postings"] == "1,2"
+    assert out["banana"]["df_docs"] == 2
+    # within-doc repeats collapse: cherry df counts docs, not tokens
+    assert out["cherry"]["df_docs"] == 2
+    capped = {
+        r["term"]: r
+        for r in search.inverted_index(docs, max_postings=1).collect()
+    }
+    assert capped["banana"]["postings"] == "1"
+    assert capped["banana"]["df_docs"] == 2  # uncapped frequency
+
+
+def test_markov_transitions_normalized(events):
+    out = {
+        (r["src"], r["dst"]): r
+        for r in sequence.markov_transitions(events).collect()
+    }
+    # user1: view>click>buy, buy>view (across the gap — Markov pairs
+    # are gap-blind by design), view>click>buy; user2: view>view.
+    assert out[("view", "click")]["transitions"] == 2
+    assert out[("view", "view")]["transitions"] == 1
+    assert out[("view", "click")]["prob"] == pytest.approx(2 / 3, abs=1e-6)
+    # probs sum to 1 per src
+    by_src: dict[str, float] = {}
+    for (src, _), r in out.items():
+        by_src[src] = by_src.get(src, 0.0) + r["prob"]
+    for total in by_src.values():
+        assert total == pytest.approx(1.0, abs=1e-5)
+
+
+def test_session_paths_respect_gaps(events):
+    out = {r["path"]: r for r in sequence.session_paths(events).collect()}
+    # the two clean sessions each contribute one full trigram
+    assert out["view>click>buy"]["occurrences"] == 2
+    assert out["view>click>buy"]["path_rank"] == 1
+    # nothing bridges the 2h gap (buy>view>click would)
+    assert "buy>view>click" not in out
+    assert "click>buy>view" not in out
+
+
+def test_sessionize_ids(events):
+    sess = sequence.sessionize(events).collect()
+    u1 = sorted(
+        [(r["event_id"], r["session_id"]) for r in sess if r["user_id"] == 1]
+    )
+    assert u1 == [(1, 1), (2, 1), (3, 1), (6, 2), (7, 2), (8, 2)]
