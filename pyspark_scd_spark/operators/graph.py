@@ -1,0 +1,77 @@
+"""Iterative graph analytics over DataFrames: PageRank.
+
+Companion to the min-label connected components in dedup.py — together
+they cover the two iterative-graph shapes a data-pipeline engine needs
+(component clustering for dedup, centrality for importance weighting /
+sampling priors).
+
+The reference has no iterative or graph operators of any kind
+(reference jobs/create_employee_all.py — SURVEY.md §2b). PageRank here
+is the standard synchronous power iteration expressed as a DataFrame
+loop: each step is join(ranks, edges) -> groupBy(dst) -> sum, i.e. one
+hash exchange per iteration on the edge destination. Scale notes:
+
+- ``edges`` and the out-degree table are cached — they are re-read
+  every iteration and must not re-derive their lineage each pass.
+- Each iteration's ranks table is |nodes| rows — orders of magnitude
+  smaller than |edges| — so iteration cost is dominated by the one
+  edges-sized shuffle; at 100 TB of edges the loop parallelizes
+  exactly like any join+agg, and AQE handles hub-node skew.
+- ``localCheckpoint`` every few iterations truncates the growing
+  lineage (a 20-iteration plan otherwise nests 20 joins deep and
+  chokes the optimizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank over an (src, dst) edge list.
+
+    pr'(v) = (1-d)/N + d * sum over incoming edges (u,v) of
+    pr(u)/outdeg(u). Dangling mass is not redistributed (nodes
+    without out-edges leak rank — standard simplified form; document
+    the choice rather than hide a second global aggregate).
+    Returns (node, pr) for all nodes, unrounded.
+    """
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("__outdeg")
+    ).cache()
+    n = nodes.count()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for i in range(iters):
+        mass = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("__outdeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__mass"))
+        )
+        ranks = nodes.join(mass, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping * F.coalesce(F.col("__mass"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -157,3 +157,94 @@ def grouped_linear_trend(
         .groupBy(key_col)
         .applyInPandas(_fit, schema=schema)
     )
+
+
+def robust_outliers_mad(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key robust outlier report via median absolute deviation.
+
+    A value is an outlier when |x - median| > k * 1.4826 * MAD (the
+    1.4826 factor makes MAD a consistent sigma estimator under
+    normality). Unlike the z-score form (events_anomaly_zscore), the
+    median/MAD center is not dragged by the outliers themselves.
+
+    Exact medians need two passes over the data (median, then median
+    of deviations) — both are percentile aggregates that combine
+    map-side; the per-key stats tables are |keys| rows and BROADCAST
+    back onto the scan, so neither pass shuffles the fact table.
+    Output: (key, n_events, median_value, mad, n_outliers).
+    """
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "__absdev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.percentile("__absdev", F.lit(0.5)).alias("__mad")
+    )
+    flagged = dev.join(F.broadcast(mad), key_col)
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("__med"), round_to).alias("median_value"),
+        F.round(F.first("__mad"), round_to).alias("mad"),
+        F.sum(
+            F.when(
+                F.col("__absdev") > k * 1.4826 * F.col("__mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+def ewma_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha: float = 0.3,
+    lookback: int = 28,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average of daily event counts.
+
+    ewma_t = sum_{j<lookback} (1-alpha)^j * cnt_{t-j} / sum weights,
+    over the trailing ``lookback`` OBSERVED days per key (row frame,
+    matching events_anomaly_zscore's convention). Computed without a
+    self-join: collect_list over the window frame (bounded at
+    ``lookback`` elements) then a codegen'd aggregate over the array
+    indices — the daily rollup is the only exchange on the raw data.
+    Output: (day, key, cnt, ewma).
+    """
+    decay = 1.0 - alpha
+    daily = df.groupBy(
+        F.to_date(ts_col).alias("day"), key_col
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    with_arr = daily.withColumn("__arr", F.collect_list("cnt").over(w))
+    n = F.size("__arr")
+    idx = F.sequence(F.lit(1), n)
+    weight = lambda i: F.pow(F.lit(decay), (n - i).cast("double"))  # noqa: E731
+    num = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at("__arr", i) * weight(i),
+    )
+    den = F.aggregate(
+        idx, F.lit(0.0), lambda acc, i: acc + weight(i)
+    )
+    return with_arr.select(
+        "day",
+        key_col,
+        "cnt",
+        F.round(num / den, round_to).alias("ewma"),
+    )

@@ -4617,3 +4617,158 @@ def q_events_markov(spark, sf_dir):
 )
 def q_events_session_paths(spark, sf_dir):
     return _sequence.session_paths(_t(spark, sf_dir, "events"))
+
+
+# ======================================================================
+# Robust time-series statistics: MAD outliers + EWMA smoothing
+# ======================================================================
+
+from pyspark_scd_spark.operators import timeseries as _ts  # noqa: E402
+
+
+@register(
+    "events_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS absdev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(ANY_VALUE(d.med), 4) AS median_value,
+           ROUND(ANY_VALUE(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-type outlier report: |x - median| > 3 * 1.4826 * "
+    "MAD. Two exact-percentile passes; the |keys|-row stats tables "
+    "broadcast back onto the scan so the fact table never shuffles "
+    "(operators/timeseries.py robust_outliers_mad).",
+)
+def q_events_outliers_mad(spark, sf_dir):
+    return _ts.robust_outliers_mad(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@register(
+    "events_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY day) AS rn
+      FROM daily)
+    SELECT a.day, a.event_type, a.cnt,
+           ROUND(SUM(b.cnt * POWER(0.7, a.rn - b.rn))
+                 / SUM(POWER(0.7, a.rn - b.rn)), 4) AS ewma
+    FROM idx a JOIN idx b
+      ON a.event_type = b.event_type
+     AND b.rn BETWEEN a.rn - 27 AND a.rn
+    GROUP BY a.day, a.event_type, a.cnt
+    """,
+    doc="EWMA smoothing (alpha=0.3) of daily counts over the trailing "
+    "28 observed days. Spark form is self-join-free: collect_list "
+    "over the bounded window frame + a codegen'd weighted aggregate "
+    "over array indices; the oracle uses the equivalent banded "
+    "self-join on the tiny rollup (operators/timeseries.py "
+    "ewma_daily).",
+)
+def q_events_ewma_daily(spark, sf_dir):
+    return _ts.ewma_daily(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+# ======================================================================
+# Iterative graph analytics: PageRank over the supplier<->customer graph
+# ======================================================================
+
+from pyspark_scd_spark.operators import graph as _graph  # noqa: E402
+
+
+@register(
+    "graph_pagerank_topk",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT 'S' || CAST(s AS VARCHAR) AS src,
+             'C' || CAST(c AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 'C' || CAST(c AS VARCHAR),
+             'S' || CAST(s AS VARCHAR) FROM pairs),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY 1),
+    p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    p1 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0) AS pr
+      FROM nodes n0 CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p0 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node),
+    p2 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0) AS pr
+      FROM nodes n0 CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p1 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node),
+    p3 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0) AS pr
+      FROM nodes n0 CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p2 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node)
+    SELECT node, ROUND(pr, 6) AS pagerank
+    FROM p3 ORDER BY pagerank DESC, node ASC LIMIT 20
+    """,
+    doc="Top-20 PageRank (3 synchronous power iterations, d=0.85) "
+    "over the bidirectional supplier<->customer trade graph derived "
+    "from lineitem x orders. DataFrame-loop iteration: one edges-"
+    "sized exchange per pass, cached edge/degree tables, lineage "
+    "truncation via localCheckpoint; the oracle is the identical "
+    "recurrence unrolled as three CTE levels "
+    "(operators/graph.py pagerank).",
+)
+def q_graph_pagerank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    ranks = _graph.pagerank(edges, iters=3, damping=0.85)
+    out = ranks.select(
+        "node", F.round("pr", 6).alias("pagerank")
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(20)
