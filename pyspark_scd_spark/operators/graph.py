@@ -11,12 +11,14 @@ is the standard synchronous power iteration expressed as a DataFrame
 loop: each step is join(ranks, edges) -> groupBy(dst) -> sum, i.e. one
 hash exchange per iteration on the edge destination. Scale notes:
 
-- ``edges`` and the out-degree table are cached — they are re-read
-  every iteration and must not re-derive their lineage each pass.
+- The degree-annotated edge list is built and cached ONCE; the loop
+  never re-joins the degree table.
 - Each iteration's ranks table is |nodes| rows — orders of magnitude
-  smaller than |edges| — so iteration cost is dominated by the one
-  edges-sized shuffle; at 100 TB of edges the loop parallelizes
-  exactly like any join+agg, and AQE handles hub-node skew.
+  smaller than |edges| — and is BROADCAST onto the cached edges, so
+  one iteration costs exactly one shuffle (the contribution groupBy
+  on dst). At graph sizes where |nodes| outgrows the broadcast
+  threshold, drop the hint and the same plan degrades gracefully to
+  a sort-merge join with AQE handling hub-node skew.
 - ``localCheckpoint`` every few iterations truncates the growing
   lineage (a 20-iteration plan otherwise nests 20 joins deep and
   chokes the optimizer).
@@ -42,7 +44,7 @@ def pagerank(
     the choice rather than hide a second global aggregate).
     Returns (node, pr) for all nodes, unrounded.
     """
-    edges = edges.select("src", "dst").distinct().cache()
+    edges = edges.select("src", "dst").distinct()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -51,13 +53,18 @@ def pagerank(
     )
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("__outdeg")
-    ).cache()
+    )
+    # Attach out-degrees ONCE — the iteration loop then joins only
+    # against the (|nodes|-sized, broadcastable) ranks table instead
+    # of re-joining the degree table every pass.
+    out_edges = edges.join(deg, "src").cache()
     n = nodes.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iters):
         mass = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            out_edges.join(
+                F.broadcast(ranks), out_edges["src"] == ranks["node"]
+            )
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("__outdeg")).alias("__c"),
@@ -65,7 +72,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__mass"))
         )
-        ranks = nodes.join(mass, "node", "left").select(
+        ranks = nodes.join(F.broadcast(mass), "node", "left").select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
