@@ -1,0 +1,27 @@
+"""Timezone-independent time scalars.
+
+The driver testdata's ``events.ts`` is parquet TIMESTAMP(isAdjustedToUTC
+=false), which Spark ≥3.4 reads as TIMESTAMP_NTZ — and ``unix_micros``
+accepts only TIMESTAMP (LTZ). ``epoch_us`` works on either type by
+diffing against an NTZ epoch literal, so event-time arithmetic (session
+gaps, attribution horizons) is identical under any driver session
+timezone and matches DuckDB's ``epoch_us`` over the same naive values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_us(c: Column | str) -> Column:
+    """Microseconds since the epoch of a TIMESTAMP or TIMESTAMP_NTZ
+    column. LTZ inputs are first rendered to NTZ in the session zone;
+    differences of two ``epoch_us`` values are zone-independent either
+    way, which is all event-time windowing needs."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr(_EPOCH_NTZ), col.cast("timestamp_ntz")
+    )

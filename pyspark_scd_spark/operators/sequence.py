@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark_scd_spark.functions.time import epoch_us
 
 
 def markov_transitions(
@@ -65,8 +66,8 @@ def sessionize(
     inter-event gap exceeds ``gap_minutes``. Adds ``session_id``
     (user-scoped 1-based dense counter). One exchange on user_id."""
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap = F.unix_micros(F.col(ts_col)) - F.lag(
-        F.unix_micros(F.col(ts_col))
+    gap = epoch_us(F.col(ts_col)) - F.lag(
+        epoch_us(F.col(ts_col))
     ).over(w)
     is_new = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1

@@ -47,7 +47,10 @@ def read_parquet_table(
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(
+                    "timestamp_ntz"
+                ),
             )
         return df
     return spark.read.parquet(path)
