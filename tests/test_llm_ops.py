@@ -403,3 +403,21 @@ def test_kmeans_feeds_ivf_assign(spark, sf_dir):
     assert n == e.count()
     via_expr = similarity.ivf_assign(e, cents)
     assert via_expr.select("ivf_cell").distinct().count() <= 4
+
+
+def test_ppjoin_matches_count_method(spark, sf_dir, docs):
+    """PPJoin prefix filtering is exact: identical pair set and
+    jaccard values as the inverted-index counting method, on both the
+    toy fixture and the real documents table."""
+    for df in (docs, spark.read.parquet(f"{sf_dir}/documents.parquet")):
+        count_m = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        ppjoin_m = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.5, method="ppjoin"
+            ).collect()
+        }
+        assert count_m == ppjoin_m
