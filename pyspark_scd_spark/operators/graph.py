@@ -82,3 +82,45 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    set.
+
+    Standard compact-forward join: edges are canonicalized to a < b
+    and deduplicated, then a triangle (a,b,c) with a < b < c is found
+    exactly once by joining e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c). The
+    ordering constraint means every wedge is expanded from its
+    lowest-id corner only, so the intermediate wedge set is bounded by
+    sum(deg²) over HIGH-id neighbors — the classic mitigation for
+    hub-node blowup. Two shuffle joins; the closing e3 probe is a join
+    on both endpoints.
+
+    Returns (node, triangles) for every node in at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

@@ -126,3 +126,79 @@ def session_paths(
     return counts.orderBy(*order).limit(k).withColumn(
         "path_rank", F.row_number().over(wr)
     )
+
+
+def ab_test_conversion(
+    events: DataFrame,
+    user_col: str = "user_id",
+    convert_type: str = "purchase",
+    type_col: str = "event_type",
+    min_events: int = 1,
+) -> DataFrame:
+    """Deterministic A/B experiment readout: every user is assigned a
+    variant by md5-prefix parity (reproducible across runs, engines,
+    and cluster sizes — rand() splits are none of those), conversion
+    is "user emitted at least ``min_events`` ``convert_type``
+    events", and the result is one row per variant plus the pooled
+    two-proportion z-score on the 'A' row (NULL when the pooled rate
+    is degenerate — 0 or 1 — where the statistic is undefined).
+
+    Shape: the event scan collapses to one row per user (max-flag
+    aggregate with map-side combine — the only real shuffle), then a
+    2-row variant aggregate and a broadcast self-join to attach the
+    pooled statistic. Integer counts all the way; the z-score is
+    computed from exact counts so both engines derive the identical
+    double.
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("uid"),
+            F.when(F.col(type_col) == convert_type, 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("uid")
+        .agg(
+            F.when(F.sum("conv") >= min_events, 1)
+            .otherwise(0)
+            .alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("uid").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    variants = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    totals = variants.agg(
+        F.sum("n_users").alias("__n"), F.sum("n_converted").alias("__c")
+    )
+    both = variants.crossJoin(F.broadcast(totals))
+    pooled = F.col("__c") / F.col("__n")
+    rate = F.col("n_converted") / F.col("n_users")
+    other_n = F.col("__n") - F.col("n_users")
+    other_rate = (F.col("__c") - F.col("n_converted")) / other_n
+    z = F.try_divide(
+        rate - other_rate,
+        F.sqrt(
+            pooled * (1 - pooled) * (1 / F.col("n_users") + 1 / other_n)
+        ),
+    )
+    return both.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(rate, 6).alias("conversion_rate"),
+        F.round(F.when(F.col("variant") == "A", z), 4).alias("z_score"),
+    )

@@ -488,3 +488,89 @@ def knn_label_vote(
     return df.select(id_col, vec_col, label_col).mapInPandas(
         _vote, schema=schema
     )
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training data prep: for every anchor vector, the k
+    most-similar vectors carrying a DIFFERENT label — the "hard
+    negatives" that make contrastive / triplet losses informative
+    (easy negatives contribute ~zero gradient).
+
+    Returns (id, label, neg_id, neg_label, cosine, rank), rank 1..k by
+    (cosine DESC, neg_id ASC) over 6-dp-rounded similarities; the
+    emitted cosine is rounded to 4 dp so engines agree bit-for-bit.
+
+    Same blocked-BLAS shape as ``knn_label_vote``: the L2-normalized
+    corpus matrix is broadcast once and each Arrow batch does a single
+    dense matmul with same-label columns masked out, so the anchor
+    scan never shuffles. At 100 TB the negative pool comes from an
+    IVF/LSH candidate fetch first; the dense broadcast path holds to
+    ~1M vectors at d=64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col, label_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[2] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, labels, mat))
+
+    def _round_away(a, d):
+        # DuckDB ROUND is half-away-from-zero; np.round/py round are
+        # half-even — the two disagree exactly on .5 boundaries, which
+        # real cosine ties do hit. Mirror DuckDB.
+        p = 10.0 ** d
+        return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+    def _mine(batches):
+        all_ids, all_labels, all_mat = b.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = _round_away(q @ all_mat.T, 6)
+            qid = pdf[id_col].to_numpy(dtype=np.int64)
+            qlab = pdf[label_col].to_numpy(dtype=np.int64)
+            out = {c: [] for c in
+                   (id_col, label_col, "neg_id", "neg_label",
+                    "cosine", "rank")}
+            for i in range(sims.shape[0]):
+                s = sims[i].copy()
+                s[all_labels == qlab[i]] = -np.inf  # negatives only
+                order = np.lexsort((all_ids, -s))[:k]
+                for r, j in enumerate(order, start=1):
+                    if s[j] == -np.inf:
+                        break
+                    out[id_col].append(qid[i])
+                    out[label_col].append(qlab[i])
+                    out["neg_id"].append(all_ids[j])
+                    out["neg_label"].append(int(all_labels[j]))
+                    out["cosine"].append(
+                        float(_round_away(sims[i][j], 4))
+                    )
+                    out["rank"].append(r)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(label_col, T.IntegerType()),
+            T.StructField("neg_id", T.LongType()),
+            T.StructField("neg_label", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, vec_col, label_col).mapInPandas(
+        _mine, schema=schema
+    )

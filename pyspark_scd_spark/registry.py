@@ -5173,3 +5173,126 @@ def q22_idle_balance(spark, sf_dir):
             (F.sum(cents) / 100.0).alias("totacctbal"),
         )
     )
+
+
+# ======================================================================
+# Contrastive mining, triangle counting, experiment analysis
+# ======================================================================
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT a.vec_id AS vec_id, a.label AS label,
+                 b.vec_id AS neg_id, b.label AS neg_label,
+                 ROUND(list_cosine_similarity(a.v, b.v), 6) AS c
+          FROM e a JOIN e b ON a.label <> b.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, neg_id ASC) AS rank FROM s)
+    SELECT vec_id, label, neg_id, neg_label,
+           ROUND(c, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="Contrastive-training hard negatives: top-3 most-similar "
+    "different-label vectors per anchor via the blocked-BLAS broadcast "
+    "matmul with same-label columns masked — the anchor scan never "
+    "shuffles. Ranking at 6 dp (cosine DESC, neg_id ASC), emitted "
+    "cosine at 4 dp, both mirrored in the oracle "
+    "(operators/similarity.py hard_negative_mining).",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(e, k=3)
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'),
+    e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+          FROM su a JOIN su b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """,
+    doc="Per-supplier triangle counts in the Q1-1996 co-supplier graph "
+    "(suppliers linked when they serve the same order; the unwindowed "
+    "graph is complete, so a quarter window keeps it sparse). "
+    "Compact-forward a<b<c join expands every wedge from its lowest-id "
+    "corner only — the standard hub-blowup mitigation "
+    "(operators/graph.py triangle_count).",
+)
+def q_graph_triangle_count(spark, sf_dir):
+    from pyspark_scd_spark.operators import graph as _g
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    su = li.select("l_orderkey", "l_suppkey").distinct()
+    sb = su.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = su.join(sb, (su.l_orderkey == F.col("o2"))).filter(
+        F.col("l_suppkey") < F.col("s2")
+    )
+    return _g.triangle_count(
+        pairs.select(
+            F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
+        )
+    )
+
+
+@register(
+    "events_ab_test",
+    """
+    WITH per_user AS (
+      SELECT user_id AS uid,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    assigned AS (
+      SELECT uid, converted,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(uid AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM per_user),
+    variants AS (
+      SELECT variant, COUNT(*) AS n_users,
+             SUM(converted) AS n_converted
+      FROM assigned GROUP BY variant),
+    tot AS (SELECT SUM(n_users) AS n, SUM(n_converted) AS c FROM variants)
+    SELECT variant, n_users, n_converted,
+           ROUND(n_converted * 1.0 / n_users, 6) AS conversion_rate,
+           ROUND(CASE WHEN variant = 'A' THEN
+             ((n_converted * 1.0 / n_users)
+              - ((c - n_converted) * 1.0 / (n - n_users)))
+             / sqrt((c * 1.0 / n) * (1 - c * 1.0 / n)
+                    * (1.0 / n_users + 1.0 / (n - n_users)))
+           END, 4) AS z_score
+    FROM variants CROSS JOIN tot
+    """,
+    doc="A/B experiment readout: md5-parity variant assignment "
+    "(deterministic across engines/runs, unlike rand() splits), "
+    "per-user conversion collapse to '14+ purchases' (one map-side-"
+    "combined shuffle; every event type reaches every user in this "
+    "data, so presence alone is degenerate), 2-row variant aggregate, "
+    "pooled two-proportion z-score from exact integer counts "
+    "(operators/sequence.py ab_test_conversion).",
+)
+def q_events_ab_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return _sequence.ab_test_conversion(ev, min_events=14)

@@ -421,3 +421,25 @@ def test_ppjoin_matches_count_method(spark, sf_dir, docs):
             ).collect()
         }
         assert count_m == ppjoin_m
+
+def test_hard_negative_mining_semantics(spark):
+    from pyspark_scd_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),   # same label as 1 — never its negative
+        (3, [0.8, 0.6], 1),   # closest different-label vector to 1
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negative_mining(df, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        assert r["neg_label"] != r["label"]
+        by_anchor.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neg_id"], r["cosine"])
+        )
+    negs1 = sorted(by_anchor[1])
+    assert [n for _, n, _ in negs1] == [3, 4]  # cosine order, hard first
+    assert negs1[0][2] > negs1[1][2]

@@ -72,3 +72,17 @@ def test_pagerank_checkpoint_path(spark):
     # 3-cycle is symmetric: all equal, sum 1
     assert len({round(v, 10) for v in pr.values()}) == 1
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_triangle_count_known_graph(spark):
+    from pyspark_scd_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant
+    # edge 4-5 (no triangle) and a duplicate/reversed edge to prove
+    # canonicalization.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1)],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

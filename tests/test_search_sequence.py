@@ -118,3 +118,29 @@ def test_sessionize_ids(events):
         [(r["event_id"], r["session_id"]) for r in sess if r["user_id"] == 1]
     )
     assert u1 == [(1, 1), (2, 1), (3, 1), (6, 2), (7, 2), (8, 2)]
+
+
+def test_ab_test_conversion(spark):
+    from pyspark_scd_spark.operators.sequence import ab_test_conversion
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(40):
+        rows.append((uid * 10, t0, uid, "view"))
+        # even uids convert (2 purchases), odd don't
+        if uid % 2 == 0:
+            rows.append((uid * 10 + 1, t0, uid, "purchase"))
+            rows.append((uid * 10 + 2, t0, uid, "purchase"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = {r["variant"]: r for r in
+           ab_test_conversion(ev, min_events=2).collect()}
+    assert set(out) == {"A", "B"}
+    total_users = out["A"]["n_users"] + out["B"]["n_users"]
+    total_conv = out["A"]["n_converted"] + out["B"]["n_converted"]
+    assert total_users == 40 and total_conv == 20
+    # z on the A row only; finite because the pooled rate is interior
+    assert out["A"]["z_score"] is not None
+    assert out["B"]["z_score"] is None
