@@ -50,6 +50,13 @@ HEADLINE = [
     "corpus_temperature_sample",
     "knn_label_vote",
     "doc_chunk_windows",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q21_last_shipper",
+    "graph_pagerank_topk",
+    "graph_triangle_count",
+    "hard_negative_mining",
+    "events_ab_test",
 ]
 
 

@@ -476,15 +476,17 @@ def connected_components(
     Returns one row per node appearing in ``pairs``:
     (``src_col``, ``component``), component = min node id reachable.
     """
+    # Materialize the pair generator ONCE before mirroring: the union
+    # references its input twice, and without this checkpoint the
+    # upstream similarity self-join runs twice (measured ~2x the whole
+    # query's cost at sf0.1). The mirrored+distinct edge set is then
+    # checkpointed too, since every propagation round re-reads it.
+    p = pairs.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(
-            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-        )
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # materialized once: every round re-reads the edge set, and the
-        # upstream pair generator (a similarity self-join) must not be
-        # re-executed per round
         .localCheckpoint()
     )
     if strategy not in ("auto", "distributed", "local"):

@@ -35,6 +35,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge list.
 
@@ -44,7 +45,16 @@ def pagerank(
     the choice rather than hide a second global aggregate).
     Returns (node, pr) for all nodes, unrounded.
     """
-    edges = edges.select("src", "dst").distinct()
+    # Materialize the canonical edge set ONCE: nodes, degrees, and the
+    # first iteration each force this subtree, and an expensive
+    # upstream generator (fact-table join + distinct) would otherwise
+    # run three times before the loop even starts. Callers that
+    # already guarantee distinct (src, dst) rows pass
+    # ``edges_distinct=True`` to skip a redundant full-width shuffle.
+    edges = edges.select("src", "dst")
+    if not edges_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -4757,20 +4757,33 @@ from pyspark_scd_spark.operators import graph as _graph  # noqa: E402
 def q_graph_pagerank(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Longs on the wire, strings only on the 20-row result: node ids
+    # are encoded as suppkey*2 / custkey*2+1 so every shuffle
+    # (distinct, degree groupBy, contribution aggregate) moves 8-byte
+    # keys instead of 'S123'-style strings; the bipartite encoding is
+    # bijective, so the graph is identical. The distinct pair set is
+    # checkpointed BEFORE mirroring (the union references it twice)
+    # and pagerank is told it is already distinct — the mirrored set
+    # is a disjoint union of even->odd and odd->even keys.
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-    ranks = _graph.pagerank(edges, iters=3, damping=0.85)
+    ranks = _graph.pagerank(edges, iters=3, damping=0.85, edges_distinct=True)
     out = ranks.select(
-        "node", F.round("pr", 6).alias("pagerank")
+        F.concat(
+            F.when(F.col("node") % 2 == 0, "S").otherwise("C"),
+            (F.col("node") / 2).cast("long").cast("string"),
+        ).alias("node"),
+        F.round("pr", 6).alias("pagerank"),
     )
     return out.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(20)
 
