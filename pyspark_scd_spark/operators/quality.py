@@ -207,3 +207,45 @@ def fk_orphans(
     for f in fk:
         non_null = non_null.filter(F.col(f).isNotNull())
     return non_null.join(keys, cond, "left_anti")
+
+
+def category_drift_chisq(
+    df: DataFrame, group_col: str, category_col: str
+) -> DataFrame:
+    """Distribution-drift monitor: per group, the chi-square statistic
+    of its category distribution against the whole-table distribution
+    — the standing check that one source/shard/day hasn't drifted
+    from the corpus mix (language balance per source, label balance
+    per day, ...).
+
+    One pass builds the (group, category) contingency counts; the
+    category margins and grand total are tiny aggregates broadcast
+    back, so the statistic costs a single real shuffle. The full
+    group x category scaffold is materialized (a broadcast cross join
+    of two tiny aggregates) so categories a group has ZERO rows of
+    still contribute their expected-count term — dropping them
+    understates drift exactly for the most-drifted groups. Counts are
+    exact integers; expected = n_group * margin/N goes float only at
+    the last step, so engines agree.
+    """
+    cont = df.groupBy(group_col, category_col).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    margins = cont.groupBy(category_col).agg(F.sum("__o").alias("__m"))
+    group_n = cont.groupBy(group_col).agg(F.sum("__o").alias("__ng"))
+    total = cont.agg(F.sum("__o").alias("__N"))
+    n_cat = margins.agg(F.count(F.lit(1)).alias("__k"))
+    scaffold = group_n.crossJoin(F.broadcast(margins))
+    j = (
+        scaffold.join(cont, [group_col, category_col], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_cat))
+    )
+    expected = F.col("__ng") * F.col("__m") / F.col("__N")
+    chi = ((F.col("__o") - expected) ** 2) / expected
+    return j.groupBy(group_col).agg(
+        F.max("__ng").alias("n_rows"),
+        F.round(F.sum(chi), 4).alias("chi_square"),
+        (F.max("__k") - 1).cast("int").alias("dof"),
+    )

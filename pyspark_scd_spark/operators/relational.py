@@ -196,3 +196,63 @@ def fuzzy_match_blocked(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def basket_lift_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: for every item pair
+    appearing together in at least ``min_pair_count`` baskets, the
+    association metrics support, confidence (a→b) and lift.
+
+    Shape: distinct (basket, item) → within-basket self-join keyed on
+    the basket (candidate pairs exist only inside a basket — never a
+    global item×item cross join) → pair counts, with per-item basket
+    counts and the basket total broadcast back onto the (much
+    smaller) pair table. Baskets are small and bounded, so the
+    within-basket join is ~|baskets|·k² with k = items/basket; a hot
+    basket (one order with thousands of items) is the thing to guard
+    against upstream, not a hot item.
+
+    Lift is computed from exact integer counts, so both engines
+    derive the identical double.
+    """
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select(F.countDistinct("__b").alias("__n"))
+    item_n = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    rhs = b.select(F.col("__b"), F.col("__i").alias("__j"))
+    pairs = (
+        b.join(rhs, "__b")
+        .filter(F.col("__i") < F.col("__j"))
+        .groupBy("__i", "__j")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ni = item_n.select(F.col("__i"), F.col("__ni").alias("__na"))
+    nj = item_n.select(
+        F.col("__i").alias("__j"), F.col("__ni").alias("__nb")
+    )
+    out = (
+        pairs.join(F.broadcast(ni), "__i")
+        .join(F.broadcast(nj), "__j")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        F.col("__i").alias("item_a"),
+        F.col("__j").alias("item_b"),
+        "pair_count",
+        F.round(F.col("pair_count") / F.col("__n"), 6).alias("support"),
+        F.round(F.col("pair_count") / F.col("__na"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        F.round(
+            F.col("pair_count") * F.col("__n")
+            / (F.col("__na") * F.col("__nb")),
+            6,
+        ).alias("lift"),
+    )

@@ -5309,3 +5309,115 @@ def q_graph_triangle_count(spark, sf_dir):
 def q_events_ab_test(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return _sequence.ab_test_conversion(ev, min_events=14)
+
+
+# ======================================================================
+# Basket mining, skew report, drift monitoring
+# ======================================================================
+
+
+@register(
+    "basket_lift_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+               FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT bk) AS nb FROM b),
+    item_n AS (SELECT it, COUNT(*) AS ni FROM b GROUP BY it),
+    p AS (SELECT a.it AS item_a, c.it AS item_b, COUNT(*) AS pair_count
+          FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT item_a, item_b, pair_count,
+           ROUND(pair_count * 1.0 / nb, 6) AS support,
+           ROUND(pair_count * 1.0 / na.ni, 6) AS confidence_a_to_b,
+           ROUND(pair_count * 1.0 * nb / (na.ni * nc.ni), 6) AS lift
+    FROM p
+    JOIN item_n na ON na.it = item_a
+    JOIN item_n nc ON nc.it = item_b
+    CROSS JOIN n
+    """,
+    doc="Market-basket association mining: part pairs co-ordered in "
+    ">=2 orders with support / confidence / lift. Pairs generated "
+    "only inside each basket (never item x item); item margins and "
+    "the basket total broadcast onto the pair table; exact-integer "
+    "count arithmetic (operators/relational.py basket_lift_pairs).",
+)
+def q_basket_lift_pairs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.basket_lift_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_pair_count=2
+    )
+
+
+@register(
+    "hot_key_report",
+    """
+    WITH c AS (SELECT l_partkey, COUNT(*) AS n_rows FROM lineitem
+               GROUP BY l_partkey),
+    t AS (SELECT SUM(n_rows) AS total FROM c)
+    SELECT l_partkey, n_rows,
+           ROUND(n_rows * 1.0 / total, 6) AS share,
+           ROUND(n_rows * 1.0 / (total / (SELECT COUNT(*) FROM c)), 4)
+             AS skew_factor
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, l_partkey ASC LIMIT 20
+    """,
+    doc="Hot-key pre-flight report: the 20 heaviest join/agg keys with "
+    "row share and skew factor (x the mean key load) — the decision "
+    "input for salting / AQE skew hints before a big job "
+    "(operators/skew.py top_frequent_keys + broadcast totals).",
+)
+def q_hot_key_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import skew as _skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__k")
+    )
+    top = _skew.top_frequent_keys(li, ["l_partkey"], k=20)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("__t") / F.col("__k")), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "source_drift_chisq",
+    """
+    WITH cont AS (SELECT source, lang, COUNT(*) AS o
+                  FROM documents GROUP BY source, lang),
+    margins AS (SELECT lang, SUM(o) AS m FROM cont GROUP BY lang),
+    gn AS (SELECT source, SUM(o) AS ng FROM cont GROUP BY source),
+    tot AS (SELECT SUM(o) AS N FROM cont),
+    k AS (SELECT COUNT(*) AS nk FROM margins),
+    scaffold AS (SELECT gn.source, gn.ng, margins.lang, margins.m
+                 FROM gn CROSS JOIN margins),
+    j AS (SELECT s.source, s.ng, s.m,
+                 COALESCE(cont.o, 0) AS o, tot.N, k.nk
+          FROM scaffold s
+          LEFT JOIN cont ON cont.source = s.source AND cont.lang = s.lang
+          CROSS JOIN tot CROSS JOIN k)
+    SELECT source, MAX(ng) AS n_rows,
+           ROUND(SUM(POWER(o - ng * m * 1.0 / N, 2)
+                     / (ng * m * 1.0 / N)), 4) AS chi_square,
+           CAST(MAX(nk) - 1 AS INTEGER) AS dof
+    FROM j GROUP BY source
+    """,
+    doc="Per-source language-mix drift monitor: chi-square of each "
+    "source's language distribution against the corpus mix, zero-"
+    "observed cells included via the broadcast group x category "
+    "scaffold (operators/quality.py category_drift_chisq).",
+)
+def q_source_drift_chisq(spark, sf_dir):
+    from pyspark_scd_spark.operators.quality import category_drift_chisq
+
+    d = _t(spark, sf_dir, "documents")
+    return category_drift_chisq(d, group_col="source", category_col="lang")

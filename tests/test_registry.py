@@ -56,3 +56,44 @@ def test_fk_orphans_unit(spark):
     got = fk_orphans(child, parent, ["fk"], ["pk"]).collect()
     # 99 is an orphan; NULL fk is excluded per SQL FK semantics
     assert [(r["id"], r["fk"]) for r in got] == [(3, 99)]
+
+
+def test_basket_lift_symmetry(spark):
+    from pyspark_scd_spark.operators.relational import basket_lift_pairs
+
+    rows = [  # baskets: {1: a,b,c}, {2: a,b}, {3: a}, {4: b,c}
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["item_a"], r["item_b"]): r
+           for r in basket_lift_pairs(df, "basket", "item",
+                                      min_pair_count=2).collect()}
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2
+    assert ab["support"] == 0.5            # 2 of 4 baskets
+    assert abs(ab["confidence_a_to_b"] - 2 / 3) < 1e-6
+    assert abs(ab["lift"] - (2 * 4) / (3 * 3)) < 1e-6
+    bc = out[("b", "c")]
+    assert bc["pair_count"] == 2 and abs(bc["lift"] - (2 * 4) / (3 * 2)) < 1e-6
+    assert ("a", "c") not in out           # count 1 < min_pair_count
+
+
+def test_category_drift_chisq_zero_cells(spark):
+    from pyspark_scd_spark.operators.quality import category_drift_chisq
+
+    rows = (
+        [("s1", "en")] * 50 + [("s1", "fr")] * 50
+        + [("s2", "en")] * 100          # s2 has ZERO fr rows
+    )
+    df = spark.createDataFrame(rows, ["source", "lang"])
+    out = {r["source"]: r for r in
+           category_drift_chisq(df, "source", "lang").collect()}
+    # margins: en=150 fr=50 N=200. s2: exp en=75 fr=25,
+    # chi2 = 25^2/75 + 25^2/25 = 8.3333 + 25 = 33.3333; with two
+    # groups the deviations mirror, so s1 carries the same statistic.
+    assert out["s2"]["dof"] == 1
+    assert abs(out["s2"]["chi_square"] - 33.3333) < 1e-3
+    assert abs(out["s1"]["chi_square"] - 33.3333) < 1e-3
