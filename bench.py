@@ -57,6 +57,8 @@ HEADLINE = [
     "graph_triangle_count",
     "hard_negative_mining",
     "events_ab_test",
+    "basket_lift_pairs",
+    "source_drift_chisq",
 ]
 
 

@@ -177,10 +177,13 @@ def ab_test_conversion(
             ).otherwise("B"),
         )
     )
+    # The 2-row variant table feeds both the totals aggregate and the
+    # final select; checkpointing it runs the event scan + per-user
+    # collapse once instead of once per branch.
     variants = per_user.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").alias("n_converted"),
-    )
+    ).localCheckpoint()
     totals = variants.agg(
         F.sum("n_users").alias("__n"), F.sum("n_converted").alias("__c")
     )
