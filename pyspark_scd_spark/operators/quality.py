@@ -249,3 +249,45 @@ def category_drift_chisq(
         F.round(F.sum(chi), 4).alias("chi_square"),
         (F.max("__k") - 1).cast("int").alias("dof"),
     )
+
+
+def schema_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Schema-evolution audit between two table versions: one row per
+    column that was added, removed, or changed type/nullability —
+    the pre-flight check before a union/merge of snapshots and the
+    human-readable complement of ``assert_schema``'s strict gate.
+
+    Driver-side metadata only (no jobs run); the result is a normal
+    DataFrame so it can join into reports.
+    """
+    spark = df_a.sparkSession
+    a = {f.name: f for f in df_a.schema.fields}
+    b = {f.name: f for f in df_b.schema.fields}
+    rows = []
+    for name in sorted(a.keys() | b.keys()):
+        fa, fb = a.get(name), b.get(name)
+        if fa is None:
+            rows.append((name, "added", None, fb.dataType.simpleString()))
+        elif fb is None:
+            rows.append((name, "removed", fa.dataType.simpleString(), None))
+        elif fa.dataType != fb.dataType:
+            rows.append(
+                (
+                    name,
+                    "type_changed",
+                    fa.dataType.simpleString(),
+                    fb.dataType.simpleString(),
+                )
+            )
+        elif fa.nullable != fb.nullable:
+            rows.append(
+                (
+                    name,
+                    "nullability_changed",
+                    f"nullable={fa.nullable}",
+                    f"nullable={fb.nullable}",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "column string, change string, before string, after string"
+    )

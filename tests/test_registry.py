@@ -97,3 +97,22 @@ def test_category_drift_chisq_zero_cells(spark):
     assert out["s2"]["dof"] == 1
     assert abs(out["s2"]["chi_square"] - 33.3333) < 1e-3
     assert abs(out["s1"]["chi_square"] - 33.3333) < 1e-3
+
+
+def test_schema_diff(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_scd_spark.operators.quality import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id int, name string, v double")
+    b = spark.createDataFrame(
+        [(1, "x", 2)], "id int, name string, v int"
+    ).withColumn("extra", F.lit(1))
+    out = {r["column"]: r for r in schema_diff(a, b).collect()}
+    assert out["v"]["change"] == "type_changed"
+    assert out["v"]["before"] == "double" and out["v"]["after"] == "int"
+    assert out["extra"]["change"] == "added"
+    assert "id" not in out and "name" not in out
+    # symmetric: removed from the other direction
+    back = {r["column"]: r for r in schema_diff(b, a).collect()}
+    assert back["extra"]["change"] == "removed"
