@@ -300,10 +300,60 @@ def q_scd_employee_current(spark, sf_dir):
 
 @register(
     "scd_merge_incremental",
-    None,  # iterative fold — not expressible as one ANSI query
+    """
+    WITH dedup AS (
+      SELECT key, snap_year, o_orderstatus, o_orderpriority FROM (
+        SELECT o_custkey AS key,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS snap_year,
+               o_orderstatus, o_orderpriority,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey, EXTRACT(year FROM o_orderdate)
+                 ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders) WHERE rn = 1),
+    g AS (SELECT MAX(snap_year) AS ymax FROM dedup),
+    seq AS (
+      SELECT key, snap_year, o_orderstatus, o_orderpriority,
+             LAG(snap_year) OVER w AS py,
+             LAG(o_orderstatus) OVER w AS ps,
+             LAG(o_orderpriority) OVER w AS pp
+      FROM dedup
+      WINDOW w AS (PARTITION BY key ORDER BY snap_year)),
+    resets AS (
+      SELECT *, CASE
+          WHEN py IS NULL THEN snap_year
+          WHEN o_orderstatus <> ps OR o_orderpriority <> pp THEN snap_year
+          WHEN snap_year > py + 1 THEN py
+          ELSE NULL END AS reset_v
+      FROM seq),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY snap_year DESC)
+               AS rk,
+             LAST_VALUE(reset_v IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY snap_year
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dtv
+      FROM resets)
+    SELECT key, snap_year, o_orderstatus, o_orderpriority,
+           CASE WHEN snap_year = ymax THEN
+                  CASE WHEN py IS NULL THEN 'New'
+                       WHEN o_orderstatus <> ps OR o_orderpriority <> pp
+                         THEN 'Changed'
+                       ELSE 'No Change' END
+                ELSE 'Deleted' END AS change_status,
+           CAST(CASE WHEN snap_year = ymax THEN dtv
+                     ELSE snap_year END AS INTEGER) AS changed_status_date
+    FROM ranked CROSS JOIN g
+    WHERE rk = 1
+    """,
     doc="MERGE-style incremental upsert folded over yearly snapshots "
     "(BASELINE.json approach; O(current) per step instead of the "
-    "reference's O(history) full recompute).",
+    "reference's O(history) full recompute). The oracle is the fold's "
+    "CLOSED FORM: per key, status from the last two appearance years, "
+    "change date from the last 'reset point' (entry, hash change, or "
+    "the pre-gap year a deletion stamped) — valid because the global "
+    "year sequence is contiguous, and a strong check that N merge "
+    "steps compose to the right end state.",
 )
 def q_scd_merge_incremental(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
