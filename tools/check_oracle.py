@@ -68,6 +68,7 @@ def main() -> int:
             sdf = builder(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.time() - t0
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -81,10 +82,12 @@ def main() -> int:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows")
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
             d_rows = rel.fetchall()
+            t_duck = time.time() - t1
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -106,7 +109,8 @@ def main() -> int:
         if status == "FAIL":
             failures.append(name)
         print(
-            f"{status}  {name}: {len(sr)} rows [{time.time()-t0:.1f}s] {msg}"
+            f"{status}  {name}: {len(sr)} rows "
+            f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s] {msg}"
         )
 
     print(
