@@ -25,3 +25,16 @@ def epoch_us(c: Column | str) -> Column:
     return F.timestamp_diff(
         "MICROSECOND", F.expr(_EPOCH_NTZ), col.cast("timestamp_ntz")
     )
+
+
+def as_event_time(c: Column | str) -> Column:
+    """Normalize a timestamp column for event-time streaming.
+
+    Watermarks, ``session_window`` and stream-stream interval joins
+    require TIMESTAMP; parquet TIMESTAMP(isAdjustedToUTC=false)
+    arrives as TIMESTAMP_NTZ, which Spark rejects as an event-time
+    column. The cast interprets the naive value in the session zone
+    (UTC in this engine's sessions), preserving the instant.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp")

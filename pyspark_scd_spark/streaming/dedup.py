@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_scd_spark.functions.time import as_event_time
+
 
 def dedup_stream(
     events: DataFrame,
@@ -35,6 +37,7 @@ def dedup_stream(
     first occurrence. ``events`` must be a streaming DataFrame; the
     watermark on ``ts_col`` both gates state expiry here and feeds
     any downstream windowed aggregation."""
+    events = events.withColumn(ts_col, as_event_time(ts_col))
     return events.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
         list(keys)
     )

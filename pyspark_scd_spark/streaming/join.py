@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_scd_spark.functions.time import as_event_time
+
 
 def attribution_candidates_stream(
     clicks: DataFrame,
@@ -41,12 +43,12 @@ def attribution_candidates_stream(
     """
     c = clicks.select(
         F.col(user_col).alias("c_user"),
-        F.col(ts_col).alias("click_ts"),
+        as_event_time(ts_col).alias("click_ts"),
         F.col(id_col).alias("click_id"),
     ).withWatermark("click_ts", watermark)
     p = purchases.select(
         F.col(user_col).alias("p_user"),
-        F.col(ts_col).alias("purchase_ts"),
+        as_event_time(ts_col).alias("purchase_ts"),
         F.col(id_col).alias("purchase_id"),
     ).withWatermark("purchase_ts", watermark)
     cond = (

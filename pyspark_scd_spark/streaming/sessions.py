@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_scd_spark.functions.time import as_event_time
+
 
 def sessionize_stream(
     events: DataFrame,
@@ -30,6 +32,7 @@ def sessionize_stream(
     once event time passes (session end + watermark), emitting one
     final row per session (append mode).
     """
+    events = events.withColumn(ts_col, as_event_time(ts_col))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
@@ -59,6 +62,7 @@ def tumbling_counts_stream(
 ) -> DataFrame:
     """Watermarked tumbling-window counts (streaming twin of
     ``events_tumbling_window``)."""
+    events = events.withColumn(ts_col, as_event_time(ts_col))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))

@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark_scd_spark.functions.time import epoch_us
 from pyspark_scd_spark.sources.readers import read_parquet_table
 from pyspark_scd_spark.streaming import ingest, sessions
 
@@ -54,9 +55,9 @@ def test_streaming_sessionize_matches_batch(spark, events_dir, tmp_path):
     marked = ev.withColumn(
         "is_start",
         F.when(
-            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)).isNull()
+            (epoch_us("ts") - F.lag(epoch_us("ts")).over(wo)).isNull()
             | (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(wo)
                 > gap_us
             ),
             1,
@@ -159,7 +160,7 @@ def test_stateful_sessionizer(spark, events_dir, tmp_path):
 
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 1800 * 1_000_000
-    d = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+    d = epoch_us("ts") - F.lag(epoch_us("ts")).over(wo)
     batch = (
         ev.withColumn(
             "is_start", F.when(d.isNull() | (d > gap_us), 1).otherwise(0)
