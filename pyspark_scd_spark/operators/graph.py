@@ -118,7 +118,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")

@@ -228,8 +228,14 @@ def category_drift_chisq(
     exact integers; expected = n_group * margin/N goes float only at
     the last step, so engines agree.
     """
-    cont = df.groupBy(group_col, category_col).agg(
-        F.count(F.lit(1)).alias("__o")
+    # checkpointed: the contingency table is group x category sized
+    # (tiny) but feeds four branches — margins, group sizes, the grand
+    # total, and the scaffold join — each of which would re-run the
+    # full scan otherwise
+    cont = (
+        df.groupBy(group_col, category_col)
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .localCheckpoint()
     )
     margins = cont.groupBy(category_col).agg(F.sum("__o").alias("__m"))
     group_n = cont.groupBy(group_col).agg(F.sum("__o").alias("__ng"))

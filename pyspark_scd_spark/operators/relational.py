@@ -220,9 +220,16 @@ def basket_lift_pairs(
     Lift is computed from exact integer counts, so both engines
     derive the identical double.
     """
-    b = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # checkpointed: consumed four times (basket total, item margins,
+    # both sides of the within-basket join) — each branch would
+    # otherwise re-run the scan + distinct
+    b = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = b.select(F.countDistinct("__b").alias("__n"))
     item_n = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
     rhs = b.select(F.col("__b"), F.col("__i").alias("__j"))
