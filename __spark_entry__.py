@@ -23,9 +23,14 @@ from pyspark_scd_spark.registry import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: latest lineitem per order (top-1-per-group, the
-    reference's get_latest_snapshot shape) at sf0.001."""
-    return REGISTRY["top1_per_group"].builder(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's headline output — the SCD current
+    view (latest state per entity incl. Deleted survivors, stamped to
+    the global max snapshot date; reference get_latest_snapshot,
+    jobs/create_employee_all.py:51-66) — over the orders-as-snapshots
+    mapping at sf0.001."""
+    return REGISTRY["scd_employee_current"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,6 +59,8 @@ HEADLINE = [
     "events_ab_test",
     "basket_lift_pairs",
     "source_drift_chisq",
+    "scd_merge_incremental",
+    "scd_type2_intervals",
 ]
 
 

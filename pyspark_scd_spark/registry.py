@@ -372,6 +372,10 @@ def q_scd_merge_incremental(spark, sf_dir):
             )
         )
         .drop("o_orderkey", "snap_date")
+        # one materialization: the fold filters this table once per
+        # year, and each filter would otherwise re-run the dedup
+        # window over the full scan
+        .localCheckpoint()
     )
     years = sorted(
         r[0] for r in yearly.select("snap_year").distinct().collect()
