@@ -5475,3 +5475,34 @@ def q_source_drift_chisq(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return category_drift_chisq(d, group_col="source", category_col="lang")
+
+
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'),
+e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM su a JOIN su b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+walk(node, hops) AS (
+  SELECT MIN(a), 0 FROM e
+  UNION ALL
+  SELECT e.b, w.hops + 1 FROM walk w JOIN e ON e.a = w.node
+  WHERE w.hops < 6)
+SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "recursive_bfs_hops",
+    _RECURSIVE_BFS_SQL,
+    doc="Bounded-hop BFS via Spark 4 recursive CTE (WITH RECURSIVE, "
+    "UNION ALL body — Spark's supported recursion form): shortest hop "
+    "count from the lowest-id supplier through the Q1-1996 co-supplier "
+    "graph, MIN(hops) folding the path multiset. The oracle is the "
+    "IDENTICAL SQL text on DuckDB — one source of truth, two engines.",
+)
+def q_recursive_bfs_hops(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_BFS_SQL)
