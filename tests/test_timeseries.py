@@ -51,3 +51,22 @@ def test_interp(spark):
     assert got[("a", 1)][0] == 20.0
     assert got[("a", 2)][0] == 30.0
     assert got[("b", 1)][0] == 7.0  # single observation: no gaps
+
+
+def test_epoch_us_ntz_and_ltz(spark):
+    """epoch_us must agree across TIMESTAMP and TIMESTAMP_NTZ inputs
+    (UTC session) — the NTZ form is what the driver testdata yields."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pyspark_scd_spark.functions.time import as_event_time, epoch_us
+
+    t = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    df = spark.createDataFrame([(t,)], "ts timestamp")
+    ntz = df.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    a = df.select(epoch_us("ts").alias("e")).first()["e"]
+    b = ntz.select(epoch_us("ts").alias("e")).first()["e"]
+    assert a == b == int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    # as_event_time restores a watermark-legal TIMESTAMP from NTZ
+    assert dict(ntz.select(as_event_time("ts").alias("ts")).dtypes)["ts"] == "timestamp"
