@@ -4123,9 +4123,15 @@ def q_unpivot_nation_metrics(spark, sf_dir):
 )
 def q_events_cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    # checkpointed: the distinct user-day set anchors four branches
+    # (first-activity, both sides of the activity join via `act`, and
+    # the cohort-size aggregate); without it the event scan + distinct
+    # runs once per branch
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
     act = ud.join(first, "user_id").select(
         "cohort_date",
