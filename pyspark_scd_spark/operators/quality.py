@@ -240,20 +240,23 @@ def category_drift_chisq(
     margins = cont.groupBy(category_col).agg(F.sum("__o").alias("__m"))
     group_n = cont.groupBy(group_col).agg(F.sum("__o").alias("__ng"))
     total = cont.agg(F.sum("__o").alias("__N"))
-    n_cat = margins.agg(F.count(F.lit(1)).alias("__k"))
     scaffold = group_n.crossJoin(F.broadcast(margins))
     j = (
         scaffold.join(cont, [group_col, category_col], "left")
         .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
         .crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(n_cat))
     )
-    expected = F.col("__ng") * F.col("__m") / F.col("__N")
+    # margin share first (double), THEN scale by the group size —
+    # ng * m as long*long overflows 2^63 at ~1e10-row tables, which
+    # ANSI mode turns into a hard ARITHMETIC_OVERFLOW
+    expected = F.col("__ng") * (F.col("__m") / F.col("__N"))
     chi = ((F.col("__o") - expected) ** 2) / expected
+    # the scaffold guarantees exactly |categories| rows per group, so
+    # dof falls out of the same aggregate
     return j.groupBy(group_col).agg(
         F.max("__ng").alias("n_rows"),
         F.round(F.sum(chi), 4).alias("chi_square"),
-        (F.max("__k") - 1).cast("int").alias("dof"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
     )
 
 

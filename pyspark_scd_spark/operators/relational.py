@@ -257,9 +257,12 @@ def basket_lift_pairs(
         F.round(F.col("pair_count") / F.col("__na"), 6).alias(
             "confidence_a_to_b"
         ),
+        # divide before the cross-count multiply: long*long products
+        # (pair_count*n, na*nb) overflow 2^63 at web-scale basket
+        # counts, an ANSI-mode hard error
         F.round(
-            F.col("pair_count") * F.col("__n")
-            / (F.col("__na") * F.col("__nb")),
+            (F.col("pair_count") / F.col("__na"))
+            * (F.col("__n") / F.col("__nb")),
             6,
         ).alias("lift"),
     )

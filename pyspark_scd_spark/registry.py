@@ -5389,7 +5389,7 @@ def q_events_ab_test(spark, sf_dir):
     SELECT item_a, item_b, pair_count,
            ROUND(pair_count * 1.0 / nb, 6) AS support,
            ROUND(pair_count * 1.0 / na.ni, 6) AS confidence_a_to_b,
-           ROUND(pair_count * 1.0 * nb / (na.ni * nc.ni), 6) AS lift
+           ROUND((pair_count * 1.0 / na.ni) * (nb * 1.0 / nc.ni), 6) AS lift
     FROM p
     JOIN item_n na ON na.it = item_a
     JOIN item_n nc ON nc.it = item_b
@@ -5427,14 +5427,21 @@ def q_basket_lift_pairs(spark, sf_dir):
     "(operators/skew.py top_frequent_keys + broadcast totals).",
 )
 def q_hot_key_report(spark, sf_dir):
-    from pyspark_scd_spark.operators import skew as _skew
-
     li = _t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    # one key aggregation feeds both the totals and the top-20 (same
+    # ordering/tie-break as skew.top_frequent_keys); checkpointed so
+    # the two branches share the single materialization
+    counts = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint()
+    )
     totals = counts.agg(
         F.sum("n_rows").alias("__t"), F.count(F.lit(1)).alias("__k")
     )
-    top = _skew.top_frequent_keys(li, ["l_partkey"], k=20)
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("l_partkey").asc()
+    ).limit(20)
     return (
         top.crossJoin(F.broadcast(totals))
         .select(
@@ -5457,18 +5464,17 @@ def q_hot_key_report(spark, sf_dir):
     margins AS (SELECT lang, SUM(o) AS m FROM cont GROUP BY lang),
     gn AS (SELECT source, SUM(o) AS ng FROM cont GROUP BY source),
     tot AS (SELECT SUM(o) AS N FROM cont),
-    k AS (SELECT COUNT(*) AS nk FROM margins),
     scaffold AS (SELECT gn.source, gn.ng, margins.lang, margins.m
                  FROM gn CROSS JOIN margins),
     j AS (SELECT s.source, s.ng, s.m,
-                 COALESCE(cont.o, 0) AS o, tot.N, k.nk
+                 COALESCE(cont.o, 0) AS o, tot.N
           FROM scaffold s
           LEFT JOIN cont ON cont.source = s.source AND cont.lang = s.lang
-          CROSS JOIN tot CROSS JOIN k)
+          CROSS JOIN tot)
     SELECT source, MAX(ng) AS n_rows,
-           ROUND(SUM(POWER(o - ng * m * 1.0 / N, 2)
-                     / (ng * m * 1.0 / N)), 4) AS chi_square,
-           CAST(MAX(nk) - 1 AS INTEGER) AS dof
+           ROUND(SUM(POWER(o - ng * (m * 1.0 / N), 2)
+                     / (ng * (m * 1.0 / N))), 4) AS chi_square,
+           CAST(COUNT(*) - 1 AS INTEGER) AS dof
     FROM j GROUP BY source
     """,
     doc="Per-source language-mix drift monitor: chi-square of each "

@@ -42,16 +42,16 @@ HASH_COLS = [
 ]
 
 # The three employees whose change dates the reference's islands bug
-# corrupts, with the CORRECTED date of each post-change island.
-ISLANDS_BUG_CORRECTIONS = {
-    13: {"2020-01-02": "2020-01-02"},   # salary change 01-02, holds
-    24: {"2020-01-02": "2020-01-02"},   # salary change 01-02, holds
-    15: {                               # change 01-02, revert 01-03,
-        "2020-01-02": "2020-01-02",     # change 01-06, revert 01-07
-        "2020-01-03": "2020-01-03",
-        "2020-01-06": "2020-01-06",
-        "2020-01-07": "2020-01-07",
-    },
+# corrupts, with the start date of every post-change island — the
+# corrected changed_status_date of a row is the latest island start
+# at or before its snapshot date.
+ISLANDS_BUG_STARTS = {
+    13: ["2020-01-02"],                 # salary change 01-02, holds
+    24: ["2020-01-02"],                 # salary change 01-02, holds
+    15: [                               # change 01-02, revert 01-03,
+        "2020-01-02", "2020-01-03",     # change 01-06, revert 01-07
+        "2020-01-06", "2020-01-07",
+    ],
 }
 
 pytestmark = pytest.mark.skipif(
@@ -59,12 +59,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _corrected_date(emp: int, snap: str, island_dates: dict) -> str | None:
-    """Expected corrected date for a bug-affected row: the start of
-    the island the row belongs to (the latest correction date <= its
-    snapshot date)."""
-    starts = sorted(d for d in island_dates if d <= snap)
-    return island_dates[starts[-1]] if starts else None
+def _corrected_date(snap: str, island_starts: list) -> str | None:
+    """The island start a bug-affected row belongs to: the latest
+    start at or before its snapshot date."""
+    starts = [d for d in island_starts if d <= snap]
+    return starts[-1] if starts else None
 
 
 @pytest.fixture(scope="module")
@@ -111,9 +110,9 @@ def test_history_matches_committed_except_islands_bug(outputs):
         # a bug-affected employee, the reference collapsed to the
         # global min 2020-01-01, and our date is the island start
         emp, snap = k
-        assert emp in ISLANDS_BUG_CORRECTIONS, f"unexpected diff {k}"
+        assert emp in ISLANDS_BUG_STARTS, f"unexpected diff {k}"
         assert ref_dt == "2020-01-01"
-        assert dt_ == _corrected_date(emp, snap, ISLANDS_BUG_CORRECTIONS[emp])
+        assert dt_ == _corrected_date(snap, ISLANDS_BUG_STARTS[emp])
         n_date_diffs += 1
     assert n_date_diffs == 25  # the bug's exact footprint in this data
 
@@ -136,9 +135,9 @@ def test_current_view_matches_committed_except_islands_bug(outputs):
             row["snapshot_date"], row["status"], row["first_name"],
             row["last_name"], int(row["salary"]), row["change_status"],
         ), f"emp {emp}: state mismatch {got}"
-        if emp in ISLANDS_BUG_CORRECTIONS:
+        if emp in ISLANDS_BUG_STARTS:
             assert row["changed_status_date"] == "2020-01-01"  # the bug
-            assert got[6] == max(ISLANDS_BUG_CORRECTIONS[emp].values())
+            assert got[6] == max(ISLANDS_BUG_STARTS[emp])
         else:
             assert got[6] == row["changed_status_date"], f"emp {emp}"
 
