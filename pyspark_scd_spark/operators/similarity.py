@@ -21,7 +21,6 @@ All cosine math is double-precision Catalyst expressions
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import DataFrame, Window
