@@ -90,7 +90,17 @@ def rollup_gapfill(
         pb = F.last(obs_ep, ignorenulls=True).over(wp)
         nv = F.first("__v", ignorenulls=True).over(wn)
         nb = F.first(obs_ep, ignorenulls=True).over(wn)
-        interp = pv + (nv - pv) * (ep - pb) / (nb - pb)
+        # The raw interpolation lands on exact .5 midpoints whenever
+        # the gap length divides the value delta oddly (a 2-hour gap
+        # with an odd delta is the common case), and engines' decimal
+        # ROUND implementations disagree exactly there (Spark rounds
+        # the BigDecimal of the double, DuckDB rounds in double).
+        # Quantizing to integer units with floor(x+0.5) is
+        # deterministic across engines: identical exact-integer inputs
+        # -> identical IEEE doubles -> identical floor.
+        interp = F.floor(
+            pv + (nv - pv) * (ep - pb) / (nb - pb) + F.lit(0.5)
+        ).cast("double")
         filled = F.coalesce(
             F.col("__v").cast("double"),
             interp,

@@ -3365,7 +3365,8 @@ def q_fk_conformance_report(spark, sf_dir):
       FROM joined)
     SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_ts,
            ROUND(COALESCE(CAST(cents AS DOUBLE),
-                          pv + (nv - pv) * (ep - pb) / (nb - pb),
+                          CAST(FLOOR(pv + (nv - pv) * (ep - pb)
+                                     / (nb - pb) + 0.5) AS DOUBLE),
                           CAST(pv AS DOUBLE), CAST(nv AS DOUBLE))
                  / 100.0, 4) AS bucket_value,
            is_gap
