@@ -102,3 +102,41 @@ def test_brute_force_topk_no_corpus_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus rows only hit an exchange at the final per-query top-k
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q6_full_pushdown_no_join(spark, sf_dir):
+    """TPC-H Q6 is the pure-pushdown showcase: every predicate reaches
+    the scan, no join, no data-bearing shuffle (scalar agg only)."""
+    df = REGISTRY["q6_forecast_revenue"].builder(spark, sf_dir)
+    pushed = " ".join(explain.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    plan = explain.physical_plan(df)
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q10_dims_broadcast(spark, sf_dir):
+    """Q10's customer and nation sides must broadcast; the only hash
+    exchange is the revenue groupBy."""
+    df = REGISTRY["q10_returned_items"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_triangle_single_pipeline(spark, sf_dir):
+    """Triangle counting must walk the triangle set once (explode),
+    not once per corner via a union re-executing the joins."""
+    df = REGISTRY["graph_triangle_count"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Generate explode" in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_basket_single_scan(spark, sf_dir):
+    """The checkpointed (basket, item) set means the final plan reads
+    checkpointed rows, not four copies of the lineitem scan."""
+    df = REGISTRY["basket_lift_pairs"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "FileScan parquet" not in plan, plan
