@@ -5519,3 +5519,79 @@ FROM walk GROUP BY node
 def q_recursive_bfs_hops(spark, sf_dir):
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_RECURSIVE_BFS_SQL)
+
+
+@register(
+    "doc_pack_materialize",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    binned AS (
+      SELECT doc_id, toks, shard,
+             CAST(FLOOR((SUM(len(toks)) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+                         - len(toks)) / 2048) AS BIGINT) AS bin_id
+      FROM (SELECT doc_id, toks, doc_id % 32 AS shard FROM sized))
+    SELECT shard, bin_id,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           flatten(list(list_append(toks, '</s>') ORDER BY doc_id))
+             AS packed_tokens
+    FROM binned GROUP BY shard, bin_id
+    """,
+    doc="Materialized training sequences: each (shard, bin) from the "
+    "doc_pack_bins assignment becomes ONE packed token array — docs "
+    "concatenated in deterministic doc_id order with an EOS sentinel "
+    "after each. sort_array over (doc_id, tokens) structs gives the "
+    "ordered aggregation without a second window; packing runs "
+    "entirely inside the shard partition, so no global order and no "
+    "single-task stage.",
+)
+def q_doc_pack_materialize(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        TXT.tokens("text").alias("toks"),
+        (F.col("doc_id") % 32).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum(F.size("toks")).over(w) - F.size("toks")) / F.lit(2048)
+        ),
+    )
+    packed = (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.size("toks")).alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "toks"))
+            ).alias("__ordered"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_docs",
+            "n_tokens",
+            F.flatten(
+                F.transform(
+                    "__ordered",
+                    lambda s: F.array_append(s["toks"], F.lit("</s>")),
+                )
+            ).alias("packed_tokens"),
+        )
+    )
+    return packed
