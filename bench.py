@@ -61,6 +61,7 @@ HEADLINE = [
     "source_drift_chisq",
     "scd_merge_incremental",
     "scd_type2_intervals",
+    "doc_pack_materialize",
 ]
 
 
