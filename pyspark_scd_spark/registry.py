@@ -5595,3 +5595,49 @@ def q_doc_pack_materialize(spark, sf_dir):
         )
     )
     return packed
+
+
+@register(
+    "events_rollup_zerofill",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+             FROM agg GROUP BY 1),
+    scaffold AS (
+      SELECT s.event_type, g.g AS bucket
+      FROM span s, LATERAL (SELECT unnest(generate_series(
+             s.b0, s.b1, INTERVAL 1 HOUR)) AS g) g),
+    joined AS (
+      SELECT sc.event_type, sc.bucket, a.cents,
+             a.cents IS NULL AS is_gap
+      FROM scaffold sc LEFT JOIN agg a
+        ON sc.event_type = a.event_type AND sc.bucket = a.bucket)
+    SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_ts,
+           COALESCE(cents, 0) / 100.0 AS bucket_value,
+           is_gap
+    FROM joined
+    """,
+    doc="Zero-filled continuous aggregate (operators/timeseries.py "
+    "rollup_gapfill fill='zero'): the sum-metric twin of the LOCF "
+    "form — absent buckets mean 'nothing happened', so they fill "
+    "with 0, not the carried observation; a pure projection over the "
+    "scaffold join, no window at all.",
+)
+def q_events_rollup_zerofill(spark, sf_dir):
+    from pyspark_scd_spark.operators.timeseries import rollup_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = rollup_gapfill(
+        ev, ["event_type"], "ts", cents, bucket_width="hour",
+        step="interval 1 hour", fill="zero",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        (F.col("bucket_value") / 100.0).alias("bucket_value"),
+        "is_gap",
+    )
