@@ -43,6 +43,11 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn):
+        if name in REGISTRY:
+            # A duplicate key would silently shadow the earlier builder
+            # (dict assignment keeps only the last), so the registry
+            # would advertise one query and run another.
+            raise ValueError(f"duplicate registry key: {name!r}")
         REGISTRY[name] = Query(builder=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -2184,37 +2189,6 @@ def q_array_function_suite(spark, sf_dir):
         F.sort_array(F.array_intersect("toks", stop)).alias("stop_overlap"),
         F.size(F.array_distinct(F.array_union("toks", stop))).alias("n_union"),
         F.array_contains("toks", "spark").alias("mentions_spark"),
-    )
-
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6: single-row global aggregate — every predicate "
-    "pushes to the scan, partials collapse to one row per task.",
-)
-def q6_forecast_revenue(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            (F.sum(F.round((F.col("l_extendedprice") * F.col("l_discount")) * 100).cast("long")) / 100.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
     )
 
 

@@ -25,6 +25,19 @@ def test_oracle_queries_have_docs():
         assert q.doc, f"{name} has no doc string"
 
 
+def test_register_rejects_duplicate_keys():
+    """A duplicate key must raise at registration time, not silently
+    shadow the earlier builder (a shadowed q6_forecast_revenue shipped
+    exactly that way once)."""
+    import pytest
+
+    from pyspark_scd_spark.registry import register
+
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate registry key"):
+        register(existing, None, doc="dup")(lambda spark, sf_dir: None)
+
+
 def test_profile_columns_unit(spark):
     from pyspark_scd_spark.operators.quality import profile_columns
 
