@@ -18,9 +18,18 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 def epoch_us(c: Column | str) -> Column:
     """Microseconds since the epoch of a TIMESTAMP or TIMESTAMP_NTZ
-    column. LTZ inputs are first rendered to NTZ in the session zone;
-    differences of two ``epoch_us`` values are zone-independent either
-    way, which is all event-time windowing needs."""
+    column.
+
+    TIMESTAMP_NTZ inputs pass through untouched, so their differences
+    are zone-independent. TIMESTAMP (LTZ) inputs are first rendered to
+    NTZ **in the session zone** — this engine pins
+    ``spark.sql.session.timeZone=UTC`` (session.py), under which the
+    rendering is a fixed-offset bijection and differences are exact.
+    Under a DST-observing session zone a difference spanning a
+    transition would shift by the offset delta; callers outside the
+    pinned-UTC sessions should ``unix_micros`` LTZ columns directly
+    instead.
+    """
     col = F.col(c) if isinstance(c, str) else c
     return F.timestamp_diff(
         "MICROSECOND", F.expr(_EPOCH_NTZ), col.cast("timestamp_ntz")

@@ -244,9 +244,15 @@ def basket_lift_pairs(
     nj = item_n.select(
         F.col("__i").alias("__j"), F.col("__ni").alias("__nb")
     )
+    # No broadcast hint on the per-item margin table: it is
+    # O(|distinct items|) and unbounded (web-scale catalogs run to
+    # many millions of items), so a forced broadcast risks OOM and
+    # overrides AQE's size-based choice — AQE broadcasts it when it
+    # actually fits. n_baskets is a literal single row; that hint
+    # stays.
     out = (
-        pairs.join(F.broadcast(ni), "__i")
-        .join(F.broadcast(nj), "__j")
+        pairs.join(ni, "__i")
+        .join(nj, "__j")
         .crossJoin(F.broadcast(n_baskets))
     )
     return out.select(

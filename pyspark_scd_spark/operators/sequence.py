@@ -191,11 +191,18 @@ def ab_test_conversion(
     pooled = F.col("__c") / F.col("__n")
     rate = F.col("n_converted") / F.col("n_users")
     other_n = F.col("__n") - F.col("n_users")
-    other_rate = (F.col("__c") - F.col("n_converted")) / other_n
+    # try_divide on every other_n division: if all users hash to one
+    # variant (plausible in small cohorts), other_n is 0 and a plain
+    # division is a DIVIDE_BY_ZERO hard error under ANSI mode — the
+    # degenerate case must instead surface as the NULL z-score the
+    # docstring promises.
+    other_rate = F.try_divide(F.col("__c") - F.col("n_converted"), other_n)
     z = F.try_divide(
         rate - other_rate,
         F.sqrt(
-            pooled * (1 - pooled) * (1 / F.col("n_users") + 1 / other_n)
+            pooled
+            * (1 - pooled)
+            * (1 / F.col("n_users") + F.try_divide(F.lit(1), other_n))
         ),
     )
     return both.select(

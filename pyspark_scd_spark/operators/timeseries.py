@@ -31,6 +31,7 @@ def rollup_gapfill(
     bucket_width: str = "hour",
     step: str = "interval 1 hour",
     fill: str = "locf",
+    quantize_interp: bool = False,
 ) -> DataFrame:
     """Bucketed rollup with materialized empty buckets.
 
@@ -40,6 +41,14 @@ def rollup_gapfill(
     the first observation), 'zero' fills gaps with 0, 'interp'
     linearly interpolates between the neighboring observed buckets
     (falling back to the nearest observed value at the span edges).
+
+    ``quantize_interp=True`` snaps interpolated values to integers
+    via ``floor(x + 0.5)`` — for integer-unit metrics (cents, counts)
+    this makes 'interp' reproducible across engines (exact .5
+    midpoints are where decimal ROUND implementations disagree). It
+    changes semantics for real-valued metrics (1.0→1.5 interpolates
+    to 1.0, not 1.25), so it is opt-in; the oracle-paired registry
+    queries set it because their metrics are integer cents.
     """
     keys = list(key_cols)
     agg = df.groupBy(
@@ -90,17 +99,17 @@ def rollup_gapfill(
         pb = F.last(obs_ep, ignorenulls=True).over(wp)
         nv = F.first("__v", ignorenulls=True).over(wn)
         nb = F.first(obs_ep, ignorenulls=True).over(wn)
-        # The raw interpolation lands on exact .5 midpoints whenever
-        # the gap length divides the value delta oddly (a 2-hour gap
-        # with an odd delta is the common case), and engines' decimal
-        # ROUND implementations disagree exactly there (Spark rounds
-        # the BigDecimal of the double, DuckDB rounds in double).
-        # Quantizing to integer units with floor(x+0.5) is
-        # deterministic across engines: identical exact-integer inputs
-        # -> identical IEEE doubles -> identical floor.
-        interp = F.floor(
-            pv + (nv - pv) * (ep - pb) / (nb - pb) + F.lit(0.5)
-        ).cast("double")
+        raw = pv + (nv - pv) * (ep - pb) / (nb - pb)
+        if quantize_interp:
+            # The raw interpolation lands on exact .5 midpoints
+            # whenever the gap length divides the value delta oddly,
+            # and engines' decimal ROUND implementations disagree
+            # exactly there (Spark rounds the BigDecimal of the
+            # double, DuckDB rounds in double). floor(x+0.5) over
+            # exact-integer inputs is deterministic across engines.
+            interp = F.floor(raw + F.lit(0.5)).cast("double")
+        else:
+            interp = raw.cast("double")
         filled = F.coalesce(
             F.col("__v").cast("double"),
             interp,

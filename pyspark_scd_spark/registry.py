@@ -3359,7 +3359,7 @@ def q_events_rollup_interp(spark, sf_dir):
     cents = F.round(F.col("value") * 100).cast("long")
     out = rollup_gapfill(
         ev, ["event_type"], "ts", cents, bucket_width="hour",
-        step="interval 1 hour", fill="interp",
+        step="interval 1 hour", fill="interp", quantize_interp=True,
     )
     return out.select(
         "event_type",
