@@ -212,7 +212,12 @@ def embedding_neardup_pairs_blas(
     vec_col: str = "embedding",
     round_to: int = 4,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via blocked BLAS matmul.
+    """All-pairs cosine ≥ threshold via blocked BLAS matmul —
+    EXPLICIT SMALL-CORPUS OPTION: collects the corpus to the driver.
+    The registry and any at-scale caller use
+    ``embedding_neardup_pairs_grid`` (same results, fully
+    distributed); this form wins only on corpora small enough that
+    grid-cell scheduling overhead dominates.
 
     One side is collected, L2-normalized, and broadcast (N×d float64 —
     at d=64 a million vectors is ~500 MB, the practical ceiling; beyond
@@ -426,14 +431,17 @@ def knn_label_vote(
     annotation errors, the standard kNN-consistency data-quality check
     before training.
 
+    EXPLICIT SMALL-CORPUS OPTION — collects the corpus to the driver
+    and broadcasts it; the registry and any at-scale caller use
+    ``knn_label_vote_grid`` (bit-identical output, fully distributed).
+
     Same blocked-BLAS shape as ``embedding_neardup_pairs_blas``: the
     corpus matrix is L2-normalized and broadcast, ``mapInPandas``
     streams batches through one dense matmul, so the scan never
     shuffles. Determinism for oracle parity: similarities are rounded
     to 6 dp, neighbors rank by (cosine DESC, id ASC), and vote ties
     break toward the smaller label — all mirrored in the DuckDB twin.
-    At 100 TB the candidate set comes from IVF/LSH first; the dense
-    broadcast path holds to ~1M vectors at d=64.
+    The dense broadcast path holds to ~1M vectors at d=64.
     """
     import numpy as np
     import pandas as pd
@@ -505,12 +513,16 @@ def hard_negative_mining(
     (cosine DESC, neg_id ASC) over 6-dp-rounded similarities; the
     emitted cosine is rounded to 4 dp so engines agree bit-for-bit.
 
+    EXPLICIT SMALL-CORPUS OPTION — collects the corpus to the driver
+    and broadcasts it; the registry and any at-scale caller use
+    ``hard_negative_mining_grid`` (bit-identical output, fully
+    distributed).
+
     Same blocked-BLAS shape as ``knn_label_vote``: the L2-normalized
     corpus matrix is broadcast once and each Arrow batch does a single
     dense matmul with same-label columns masked out, so the anchor
-    scan never shuffles. At 100 TB the negative pool comes from an
-    IVF/LSH candidate fetch first; the dense broadcast path holds to
-    ~1M vectors at d=64.
+    scan never shuffles. The dense broadcast path holds to ~1M
+    vectors at d=64.
     """
     import numpy as np
     import pandas as pd
@@ -572,4 +584,342 @@ def hard_negative_mining(
     )
     return df.select(id_col, vec_col, label_col).mapInPandas(
         _mine, schema=schema
+    )
+
+
+# ----------------------------------------------------------------------
+# Blocked pair-grid: exact dense similarity WITHOUT driver/broadcast
+# materialization of the corpus. The 100 TB-shaped twin of the
+# ``*_blas`` broadcast functions above.
+# ----------------------------------------------------------------------
+
+
+def _pack_vec_blocks(
+    df: DataFrame,
+    n_blocks: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Pack vectors into ``n_blocks`` chunk rows of serialized
+    L2-normalized float64 matrices: (blk, n, dim, ids, mat[, labels]).
+
+    One hash exchange on the block key; each chunk is built inside its
+    own task via grouped ``applyInPandas``, so nothing ever leaves the
+    executors. Chunk size is corpus_bytes/n_blocks — size n_blocks so a
+    chunk is ~tens of MB (a 100 TB corpus at d=64 packs to ~50 GB of
+    float64, i.e. n_blocks≈1000 for 50 MB chunks).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    src = df.select(*cols).withColumn(
+        "__blk",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"),
+    )
+    fields = [
+        T.StructField("blk", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("ids", T.BinaryType()),
+        T.StructField("mat", T.BinaryType()),
+    ]
+    if label_col:
+        fields.append(T.StructField("labels", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def _pack(key, pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        row = {
+            "blk": [int(key[0])],
+            "n": [int(len(ids))],
+            "dim": [int(mat.shape[1])],
+            "ids": [ids.tobytes()],
+            "mat": [mat.tobytes()],
+        }
+        if label_col:
+            row["labels"] = [
+                pdf[label_col].to_numpy(dtype=np.int64).tobytes()
+            ]
+        return pd.DataFrame(row)
+
+    return src.groupBy("__blk").applyInPandas(_pack, schema=schema)
+
+
+def _grid(packed: DataFrame, upper_only: bool) -> DataFrame:
+    """Self-join of the packed chunk table into grid cells.
+
+    ``upper_only`` keeps blk_l <= blk_r (each unordered block pair
+    once — symmetric pair emitters). The join is chunk-rows × chunk-
+    rows with no key: Catalyst broadcasts one side when it fits
+    (B heavy rows, the optimal plan at test scale) and falls back to a
+    partition-pair CartesianProduct beyond the broadcast threshold —
+    either way executor-to-executor, never via the driver. Total bytes
+    moved = 2·B·corpus/B·1 = O(corpus·√cells) replication, the
+    standard blocked-matmul bound.
+    """
+    left = packed.select(
+        *[F.col(c).alias(f"l_{c}") for c in packed.columns]
+    )
+    right = packed.select(
+        *[F.col(c).alias(f"r_{c}") for c in packed.columns]
+    )
+    cells = left.crossJoin(right)
+    if upper_only:
+        cells = cells.filter(F.col("l_blk") <= F.col("r_blk"))
+    return cells
+
+
+def embedding_neardup_pairs_grid(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via a blocked BLAS pair grid —
+    exact, and fully distributed (no driver collect, no corpus-wide
+    broadcast; contrast ``embedding_neardup_pairs_blas``, the explicit
+    small-corpus option this replaces in the registry).
+
+    The corpus is packed into ``n_blocks`` chunk rows (one shuffle),
+    the chunk table self-joined into the upper-triangle grid of block
+    pairs, and each grid cell runs one dense matmul over Arrow,
+    emitting only pairs ≥ threshold with id_a < id_b. Per-pair math is
+    identical to the broadcast path (normalized float64 dot, rounded to
+    ``round_to``, threshold on the ROUNDED value), so results are
+    bit-identical — each unordered pair lives in exactly one cell.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # localCheckpoint: the grid references the packed table twice; the
+    # checkpoint runs the pack once and pins it executor-side.
+    packed = _pack_vec_blocks(df, n_blocks, id_col, vec_col).localCheckpoint()
+    cells = _grid(packed, upper_only=True)
+
+    def _cell(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aids = np.frombuffer(row.l_ids, dtype=np.int64)
+                amat = np.frombuffer(row.l_mat, dtype=np.float64).reshape(
+                    row.l_n, row.l_dim
+                )
+                bids = np.frombuffer(row.r_ids, dtype=np.int64)
+                bmat = np.frombuffer(row.r_mat, dtype=np.float64).reshape(
+                    row.r_n, row.r_dim
+                )
+                sims = np.round(amat @ bmat.T, round_to)
+                mask = sims >= threshold
+                # One emission per unordered pair: the diagonal cell
+                # sees both orderings, off-diagonal cells see one.
+                if row.l_blk == row.r_blk:
+                    mask &= aids[:, None] < bids[None, :]
+                ii, jj = np.nonzero(mask)
+                id_a = np.minimum(aids[ii], bids[jj])
+                id_b = np.maximum(aids[ii], bids[jj])
+                yield pd.DataFrame(
+                    {"id_a": id_a, "id_b": id_b, "cosine": sims[ii, jj]}
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return cells.mapInPandas(_cell, schema=schema)
+
+
+def knn_label_vote_grid(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact kNN label-consistency audit without materializing the
+    corpus on the driver (the 100 TB-shaped twin of
+    ``knn_label_vote``; same output, bit-for-bit).
+
+    Candidate generation is a blocked pair grid: every (query-block,
+    corpus-block) cell computes one dense matmul and emits only its
+    LOCAL top-k rows per query — correct because top-k under a total
+    order distributes over any partition of the corpus. The global
+    merge (row_number over cosine DESC, id ASC), majority vote and
+    smaller-label tie-break then run as ordinary window/groupBy plans
+    — the same declarative shape as the DuckDB oracle. Shuffled
+    candidate volume is |corpus|·n_blocks·k rows, independent of
+    corpus width.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    packed = _pack_vec_blocks(
+        df, n_blocks, id_col, vec_col, label_col
+    ).localCheckpoint()
+    cells = _grid(packed, upper_only=False)
+
+    def _cell(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                qids = np.frombuffer(row.l_ids, dtype=np.int64)
+                qlab = np.frombuffer(row.l_labels, dtype=np.int64)
+                qmat = np.frombuffer(row.l_mat, dtype=np.float64).reshape(
+                    row.l_n, row.l_dim
+                )
+                cids = np.frombuffer(row.r_ids, dtype=np.int64)
+                clab = np.frombuffer(row.r_labels, dtype=np.int64)
+                cmat = np.frombuffer(row.r_mat, dtype=np.float64).reshape(
+                    row.r_n, row.r_dim
+                )
+                sims = np.round(qmat @ cmat.T, 6)
+                out = {c: [] for c in ("qid", "qlabel", "nid", "nlabel", "c")}
+                for i in range(sims.shape[0]):
+                    s = sims[i].copy()
+                    s[cids == qids[i]] = -np.inf  # exclude self
+                    order = np.lexsort((cids, -s))[:k]
+                    order = order[s[order] != -np.inf]
+                    out["qid"].extend([qids[i]] * len(order))
+                    out["qlabel"].extend([int(qlab[i])] * len(order))
+                    out["nid"].extend(cids[order])
+                    out["nlabel"].extend(clab[order].astype(np.int32))
+                    out["c"].extend(s[order])
+                yield pd.DataFrame(out)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("qlabel", T.IntegerType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("nlabel", T.IntegerType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    cand = cells.mapInPandas(_cell, schema=cand_schema)
+
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    topk = cand.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= k
+    )
+    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("nlabel").asc()
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nlabel").alias("predicted_label"),
+            F.col("votes").cast("int").alias("n_agree"),
+            (F.col("nlabel") != F.col("qlabel")).alias("mislabeled"),
+        )
+    )
+
+
+def hard_negative_mining_grid(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k hard negatives per anchor via the blocked pair grid
+    (the 100 TB-shaped twin of ``hard_negative_mining``; same output,
+    bit-for-bit — no driver collect, no corpus broadcast).
+
+    Each grid cell masks same-label columns, emits its local top-k
+    negatives per anchor under (cosine@6dp DESC, id ASC); the global
+    row_number merge keeps the true top-k (local top-k under a total
+    order is lossless). The emitted cosine re-rounds to 4 dp with
+    HALF_UP, matching DuckDB ROUND.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    packed = _pack_vec_blocks(
+        df, n_blocks, id_col, vec_col, label_col
+    ).localCheckpoint()
+    cells = _grid(packed, upper_only=False)
+
+    def _round_away(a, d):
+        p = 10.0 ** d
+        return np.sign(a) * np.floor(np.abs(a) * p + 0.5) / p
+
+    def _cell(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                qids = np.frombuffer(row.l_ids, dtype=np.int64)
+                qlab = np.frombuffer(row.l_labels, dtype=np.int64)
+                qmat = np.frombuffer(row.l_mat, dtype=np.float64).reshape(
+                    row.l_n, row.l_dim
+                )
+                cids = np.frombuffer(row.r_ids, dtype=np.int64)
+                clab = np.frombuffer(row.r_labels, dtype=np.int64)
+                cmat = np.frombuffer(row.r_mat, dtype=np.float64).reshape(
+                    row.r_n, row.r_dim
+                )
+                sims = _round_away(qmat @ cmat.T, 6)
+                out = {
+                    c: []
+                    for c in ("qid", "qlabel", "nid", "nlabel", "c", "c4")
+                }
+                for i in range(sims.shape[0]):
+                    s = sims[i].copy()
+                    s[clab == qlab[i]] = -np.inf  # negatives only
+                    order = np.lexsort((cids, -s))[:k]
+                    order = order[s[order] != -np.inf]
+                    out["qid"].extend([qids[i]] * len(order))
+                    out["qlabel"].extend([int(qlab[i])] * len(order))
+                    out["nid"].extend(cids[order])
+                    out["nlabel"].extend(clab[order].astype(np.int32))
+                    out["c"].extend(s[order])
+                    # 4dp re-round in double arithmetic (like DuckDB's
+                    # ROUND), not Spark's BigDecimal HALF_UP — the two
+                    # can disagree on .5-boundary doubles.
+                    out["c4"].extend(_round_away(s[order], 4))
+                yield pd.DataFrame(out)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("qlabel", T.IntegerType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("nlabel", T.IntegerType()),
+            T.StructField("c", T.DoubleType()),
+            T.StructField("c4", T.DoubleType()),
+        ]
+    )
+    cand = cells.mapInPandas(_cell, schema=cand_schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nid").alias("neg_id"),
+            F.col("nlabel").alias("neg_label"),
+            F.col("c4").alias("cosine"),
+            F.col("rank"),
+        )
     )

@@ -1218,16 +1218,18 @@ def q_sim_search_lsh(spark, sf_dir):
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
     """,
-    doc="Semantic near-dup pairs, cosine >= 0.3, via blocked BLAS "
-    "matmul over Arrow batches (~100x the per-element expression "
-    "form); threshold applies to the 4dp-rounded value so backends "
-    "agree (operators/similarity.py embedding_neardup_pairs_blas).",
+    doc="Semantic near-dup pairs, cosine >= 0.3, via the blocked BLAS "
+    "pair GRID: corpus packed into chunk rows, upper-triangle block "
+    "self-join, one dense matmul per cell — exact, and never "
+    "materialized on the driver or broadcast corpus-wide; threshold "
+    "applies to the 4dp-rounded value so backends agree "
+    "(operators/similarity.py embedding_neardup_pairs_grid).",
 )
 def q_embedding_neardup_pairs(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs_blas(e, threshold=0.3)
+    return similarity.embedding_neardup_pairs_grid(e, threshold=0.3)
 
 
 @register(
@@ -3858,16 +3860,18 @@ def q_corpus_temperature_sample(spark, sf_dir):
     """,
     doc="kNN label-consistency audit (k=5): majority label among each "
     "vector's nearest cosine neighbors, self excluded — disagreements "
-    "are candidate annotation errors. Blocked-BLAS matmul over a "
-    "broadcast normalized matrix, zero corpus shuffle; deterministic "
-    "ranking (cosine 6dp DESC, id ASC) and tie-break (smaller label) "
-    "mirrored in the oracle (operators/similarity.py knn_label_vote).",
+    "are candidate annotation errors. Blocked pair GRID: per-cell "
+    "dense matmuls emit local top-k candidates (lossless under the "
+    "total order), global merge + vote as window/groupBy plans — no "
+    "driver collect, no corpus broadcast; deterministic ranking "
+    "(cosine 6dp DESC, id ASC) and tie-break (smaller label) mirrored "
+    "in the oracle (operators/similarity.py knn_label_vote_grid).",
 )
 def q_knn_label_vote(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.knn_label_vote(e, k=5)
+    return similarity.knn_label_vote_grid(e, k=5)
 
 
 @register(
@@ -5244,17 +5248,18 @@ def q22_idle_balance(spark, sf_dir):
     FROM r WHERE rank <= 3
     """,
     doc="Contrastive-training hard negatives: top-3 most-similar "
-    "different-label vectors per anchor via the blocked-BLAS broadcast "
-    "matmul with same-label columns masked — the anchor scan never "
-    "shuffles. Ranking at 6 dp (cosine DESC, neg_id ASC), emitted "
-    "cosine at 4 dp, both mirrored in the oracle "
-    "(operators/similarity.py hard_negative_mining).",
+    "different-label vectors per anchor via the blocked pair GRID "
+    "with same-label columns masked per cell — local top-k per "
+    "(anchor-block, corpus-block), lossless global window merge; no "
+    "driver collect, no corpus broadcast. Ranking at 6 dp (cosine "
+    "DESC, neg_id ASC), emitted cosine at 4 dp, both mirrored in the "
+    "oracle (operators/similarity.py hard_negative_mining_grid).",
 )
 def q_hard_negative_mining(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.hard_negative_mining(e, k=3)
+    return similarity.hard_negative_mining_grid(e, k=3)
 
 
 @register(

@@ -422,6 +422,44 @@ def test_ppjoin_matches_count_method(spark, sf_dir, docs):
         }
         assert count_m == ppjoin_m
 
+def test_grid_matches_broadcast_dense_trio(spark):
+    """The distributed pair-grid forms must be bit-identical to the
+    legacy driver-collect broadcast forms on the same data — identical
+    per-pair float64 math, one emission per pair, same tie-breaks.
+    Uses a corpus bigger than n_blocks with duplicate/opposite/near
+    vectors so diagonal cells, cross cells and ties are all hit."""
+    import math
+    import random
+
+    from pyspark_scd_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        if i % 7 == 0 and i:  # planted near-dups across blocks
+            base = rows[i - 1][1]
+            v = [x + rng.gauss(0, 0.01) for x in base]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / n for x in v], i % 3))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def rows_of(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert rows_of(
+        similarity.embedding_neardup_pairs_blas(df, threshold=0.4)
+    ) == rows_of(
+        similarity.embedding_neardup_pairs_grid(df, threshold=0.4, n_blocks=4)
+    )
+    assert rows_of(similarity.knn_label_vote(df, k=5)) == rows_of(
+        similarity.knn_label_vote_grid(df, k=5, n_blocks=4)
+    )
+    assert rows_of(similarity.hard_negative_mining(df, k=3)) == rows_of(
+        similarity.hard_negative_mining_grid(df, k=3, n_blocks=4)
+    )
+
+
 def test_hard_negative_mining_semantics(spark):
     from pyspark_scd_spark.operators.similarity import hard_negative_mining
 

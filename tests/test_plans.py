@@ -140,3 +140,37 @@ def test_basket_single_scan(spark, sf_dir):
     df = REGISTRY["basket_lift_pairs"].builder(spark, sf_dir)
     plan = explain.physical_plan(df)
     assert "FileScan parquet" not in plan, plan
+
+
+def test_dense_ann_trio_never_materializes_corpus_on_driver(
+    spark, sf_dir, monkeypatch
+):
+    """The registry's three dense-similarity queries must build their
+    plans without ever collecting the embedding corpus to the driver
+    (the round-1 scale-killer: similarity.py's *_blas broadcast forms
+    did df.collect() at build time). localCheckpoint (executor-side
+    materialization) is allowed; collect/toPandas/toLocalIterator are
+    not."""
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError(
+            "driver materialization during query construction"
+        )
+
+    monkeypatch.setattr(DataFrame, "collect", _banned)
+    monkeypatch.setattr(DataFrame, "toPandas", _banned)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _banned)
+    for key in (
+        "embedding_neardup_pairs",
+        "knn_label_vote",
+        "hard_negative_mining",
+    ):
+        df = REGISTRY[key].builder(spark, sf_dir)
+        plan = explain.physical_plan(df)
+        # candidate/pair generation shuffles chunk rows or candidate
+        # rows — never a broadcast of the raw corpus vector table
+        assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, (
+            key,
+            plan,
+        )
