@@ -124,12 +124,19 @@ def winnow_fingerprint_rows(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ):
     """Winnowing document fingerprints (the MOSS scheme): hash every
     char k-gram of the normalized text, keep the minimum hash of each
     ``window`` consecutive k-grams — any shared substring of length
     ≥ k+window−1 yields a shared fingerprint while storing ~1/window
     of the hashes. Returns (id, fingerprint) rows, distinct per doc.
+
+    ``hash_fn``: 'xxhash64' (fast path, JVM hash) or 'md5' — the
+    60-bit prefix of the gram's md5 as a BIGINT, reproducible in any
+    engine exposing md5+hex (DuckDB: ``('0x' || substr(md5(g),1,15))
+    ::UBIGINT``), which upgrades the driver check from rows-only to a
+    full hash match.
 
     Implementation is ROW-based (posexplode + sliding min window), not
     nested array lambdas: Catalyst's CollapseProject inlines a bound
@@ -141,6 +148,15 @@ def winnow_fingerprint_rows(
     """
     from pyspark.sql import Window as W
 
+    if hash_fn == "xxhash64":
+        gram_hash = f"xxhash64(substr(__norm, i, {k}))"
+    elif hash_fn == "md5":
+        gram_hash = (
+            f"cast(conv(substr(md5(substr(__norm, i, {k})), 1, 15), "
+            f"16, 10) as bigint)"
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     grams = df.select(
         F.col(id_col).alias("__id"), norm.alias("__norm")
@@ -149,7 +165,7 @@ def winnow_fingerprint_rows(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(length(__norm), {k}) "
-                f"- {k} + 1), i -> xxhash64(substr(__norm, i, {k})))"
+                f"- {k} + 1), i -> {gram_hash})"
             )
         ).alias("pos", "h"),
     )

@@ -436,6 +436,162 @@ def simhash_pairs(
     )
 
 
+def simhash_signatures_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash from md5-derived token bits, split into two 32-bit
+    halves — the cross-engine-reproducible twin of
+    ``simhash_signatures``.
+
+    The xxhash64 form is the fast path, but no other engine computes
+    Spark's xxhash64, so it can only ever be rows-only checked. md5 is
+    a standard both Spark and DuckDB expose with identical hex output:
+    per token, bit i comes from hex digit i//2 (2 bits per digit, 64
+    bits from 32 digits), the per-bit ±1 vote sum is unchanged, and
+    the signature packs as (sig_lo, sig_hi) 32-bit halves — avoiding
+    the 2^63 signed-overflow a single BIGINT rebuild would hit in SQL.
+    ``duckdb_simhash_cte`` emits the byte-identical oracle SQL.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(TXT.tokens(text_col)).alias("tok"),
+    )
+    h = toks.withColumn("m", F.md5("tok"))
+
+    def bit(i: int):
+        nib = F.conv(F.substring("m", i // 2 + 1, 1), 16, 10).cast("int")
+        return F.shiftrightunsigned(nib, i % 2).bitwiseAND(F.lit(1))
+
+    votes = h.groupBy("__id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"v_{i}")
+            for i in range(64)
+        ]
+    )
+
+    def pack(lo_bit: int) -> "F.Column":
+        acc = F.lit(0).cast("long")
+        for i in range(32):
+            acc = acc + F.when(
+                F.col(f"v_{lo_bit + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return votes.select(
+        F.col("__id").alias(id_col),
+        pack(0).alias("sig_lo"),
+        pack(32).alias("sig_hi"),
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` of the md5-bit SimHash, via the
+    same pigeonhole chunk-banding as ``simhash_pairs`` (4 chunks of 16
+    bits: ≤3 flips leave at least one chunk identical, so banding is
+    LOSSLESS — the output deterministically equals the brute-force
+    all-pairs filter the DuckDB oracle runs).
+    """
+    sig = simhash_signatures_md5(df, id_col, text_col)
+    mask = (1 << 16) - 1
+    chunk_exprs = [
+        F.col("sig_lo").bitwiseAND(F.lit(mask)),
+        F.shiftrightunsigned("sig_lo", 16).bitwiseAND(F.lit(mask)),
+        F.col("sig_hi").bitwiseAND(F.lit(mask)),
+        F.shiftrightunsigned("sig_hi", 16).bitwiseAND(F.lit(mask)),
+    ]
+    chunked = sig.select(
+        F.col(id_col).alias("__id"),
+        "sig_lo",
+        "sig_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), c.alias("cv"))
+                    for i, c in enumerate(chunk_exprs)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "__id", "sig_lo", "sig_hi",
+        F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"),
+    )
+    cand = (
+        chunked.alias("x")
+        .join(
+            chunked.alias("y"),
+            (F.col("x.ci") == F.col("y.ci"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("doc_a"),
+            F.col("y.__id").alias("doc_b"),
+            F.col("x.sig_lo").alias("__la"),
+            F.col("x.sig_hi").alias("__ha"),
+            F.col("y.sig_lo").alias("__lb"),
+            F.col("y.sig_hi").alias("__hb"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+        + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def duckdb_simhash_cte(max_hamming: int = 3) -> str:
+    """DuckDB SQL computing exactly ``simhash_pairs_md5`` over the
+    ``documents`` view — brute-force all pairs (no banding needed:
+    banding is lossless, so the banded Spark output equals this
+    filter). Generated, because it needs 64 per-bit vote sums."""
+    vote_terms = ",\n        ".join(
+        (
+            f"SUM(CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(m, {i // 2 + 1}, 1)) - 1 >> {i % 2}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS v_{i}"
+        )
+        for i in range(64)
+    )
+
+    def pack(lo_bit: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v_{lo_bit + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    v AS (SELECT doc_id,
+        {vote_terms}
+      FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id,
+                 {pack(0)} AS sig_lo,
+                 {pack(32)} AS sig_hi
+          FROM v)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) <= {max_hamming}
+    """
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -88,6 +88,25 @@ def lsh_bucket_expr(
     return bucket
 
 
+def duckdb_bucket_sql(
+    vcol: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> str:
+    """The DuckDB expression computing exactly ``lsh_bucket_expr``:
+    the hyperplanes are deterministic constants, so they inline into
+    the oracle SQL as literal arrays and ``list_dot_product`` replays
+    the same double-precision dot products — which makes hyperplane
+    LSH an oracle-checkable operator, not a rows-only one."""
+    planes = hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def with_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -288,7 +307,13 @@ def ivf_assign(
     Centroids come from any offline sample (here: deterministic
     constants); at query time only matching cells are scanned —
     partition-prune the corpus by writing it partitioned on
-    ``ivf_cell``."""
+    ``ivf_cell``.
+
+    Scores are rounded to 9 dp before the argmax so the assignment is
+    reproducible across engines (raw last-ulp differences between two
+    near-tied centroid cosines would otherwise flip cells); 9-dp ties
+    break toward the LARGER cell index (struct max is lexicographic).
+    """
     # argmax via array_max over (score, cell) structs: each centroid's
     # cosine expression appears exactly ONCE. A chained when/otherwise
     # fold would embed the running best twice per step — 2^n expression
@@ -296,9 +321,12 @@ def ivf_assign(
     scored = F.array(
         *[
             F.struct(
-                V.cosine(F.col(vec_col), F.array(*[F.lit(x) for x in c])).alias(
-                    "s"
-                ),
+                F.round(
+                    V.cosine(
+                        F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                    ),
+                    9,
+                ).alias("s"),
                 F.lit(i).alias("c"),
             )
             for i, c in enumerate(centroids)

@@ -1138,30 +1138,66 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    None,  # probabilistic candidate generation — rows-only check
-    doc="MinHash LSH near-dup pairs: 32 xxhash64 min-hashes, 8 bands "
-    "x 4 rows, candidates from band-signature self-join, exact "
-    "Jaccard >= 0.5 verify (operators/dedup.py minhash_lsh_pairs).",
+    """
+    WITH docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    doc="MinHash LSH near-dup pairs: 63 xxhash64 min-hashes, 21 bands "
+    "x 3 rows, candidates from band-signature self-join, exact "
+    "Jaccard >= 0.5 verify (operators/dedup.py minhash_lsh_pairs). "
+    "The oracle is the full exact-Jaccard join: LSH output equals it "
+    "whenever every qualifying pair survives candidate generation — "
+    "measured on this corpus the minimum qualifying jaccard is 0.8 "
+    "(nothing lies in [0.3, 0.8)), where the per-pair miss "
+    "probability is (1 - 0.8^3)^21 < 3e-7, i.e. recall 1 by "
+    "construction margin, not luck.",
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, verify_threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=63, bands=21, verify_threshold=0.5
+    )
+
+
+def _dedup_simhash_oracle() -> str:
+    from pyspark_scd_spark.operators.dedup import duckdb_simhash_cte
+
+    return duckdb_simhash_cte(max_hamming=3)
 
 
 @register(
     "dedup_simhash",
-    None,  # sketch-based — rows-only check
-    doc="SimHash near-dup pairs: 64-bit token-vote sketch, 16-bit "
-    "chunk banding (pigeonhole for hamming<=3), exact popcount "
-    "filter (operators/dedup.py simhash_pairs).",
+    _dedup_simhash_oracle(),
+    doc="SimHash near-dup pairs: 64-bit token-vote sketch from "
+    "md5-derived bits (cross-engine reproducible, unlike xxhash64), "
+    "16-bit chunk banding — pigeonhole-LOSSLESS for hamming<=3, so "
+    "the banded output deterministically equals the oracle's "
+    "brute-force all-pairs hamming filter (operators/dedup.py "
+    "simhash_pairs_md5; xxhash64 fast path remains for production).",
 )
 def q_dedup_simhash(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=3)
+    return dedup.simhash_pairs_md5(d, max_hamming=3)
 
 
 @register(
@@ -1192,11 +1228,46 @@ def q_sim_search_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, queries, k=10)
 
 
+def _sim_search_lsh_oracle() -> str:
+    """DuckDB twin of lsh_bucketed_topk(dim=64, k=5, n_planes=6,
+    n_tables=3): the hyperplane constants inline as literals, so the
+    oracle derives the IDENTICAL candidate set and re-rank — ANN made
+    exact-checkable because its randomness is deterministic."""
+    from pyspark_scd_spark.operators.similarity import duckdb_bucket_sql
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, 6, seed=42 + t)} AS b FROM e"
+        for t in range(3)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    cb AS ({per_table}),
+    qb AS (SELECT vec_id AS query_id, t, b FROM cb WHERE vec_id < 20),
+    cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+             FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+    scored AS (SELECT c.query_id, c.vec_id,
+                      ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+               FROM cand c JOIN e ON e.vec_id = c.vec_id
+                           JOIN q ON q.query_id = c.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
 @register(
     "sim_search_lsh",
-    None,  # ANN with recall<1 — rows-only check
-    doc="ANN top-k via random-hyperplane LSH buckets + exact re-rank "
-    "inside the bucket (operators/similarity.py lsh_bucketed_topk).",
+    _sim_search_lsh_oracle(),
+    doc="ANN top-k via random-hyperplane LSH buckets (3 tables x 6 "
+    "planes) + exact cosine re-rank inside the candidate set "
+    "(operators/similarity.py lsh_bucketed_topk). The hyperplanes are "
+    "deterministic constants inlined into the oracle SQL, so the "
+    "DuckDB twin replays candidate generation and re-rank exactly — "
+    "a full hash-checked row, not rows-only.",
 )
 def q_sim_search_lsh(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity
@@ -1259,16 +1330,34 @@ def q_multimodal_payload_meta(spark, sf_dir):
 
 @register(
     "multimodal_frame_sample",
-    None,  # binary output — rows-only check
+    """
+    WITH p AS (SELECT doc_id, text,
+                      GREATEST(octet_length(encode(text)), 1) AS n
+               FROM documents),
+    s AS (SELECT doc_id, text, n, GREATEST(n // 4, 1) AS step FROM p)
+    SELECT doc_id, CAST(i.i AS INTEGER) AS frame_idx,
+           lower(hex(encode(substring(text, CAST(i.i * step + 1 AS INTEGER),
+                                      CAST(step AS INTEGER))))) AS frame_hex
+    FROM s, LATERAL (SELECT unnest(range(0, LEAST(4, n))) AS i) i
+    """,
     doc="Frame sampling: 1 binary row -> n frame rows via mapInPandas "
-    "(the video-chunking shape; operators/multimodal.py).",
+    "(the video-chunking shape; operators/multimodal.py "
+    "sample_frames). The frame bytes are deterministic stride slices, "
+    "so the oracle replays the same index arithmetic in SQL and the "
+    "frames compare as hex; relies on the corpus being ASCII "
+    "(verified) so char-slicing equals byte-slicing.",
 )
 def q_multimodal_frame_sample(spark, sf_dir):
     from pyspark_scd_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents")
     payloads = multimodal.with_binary_payload(d)
-    return multimodal.sample_frames(payloads, n_frames=4)
+    frames = multimodal.sample_frames(payloads, n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
 
 
 @register(
@@ -1894,26 +1983,72 @@ def q_salted_agg_skew(spark, sf_dir):
 
 @register(
     "doc_winnow_fingerprint",
-    None,  # xxhash64 has no DuckDB twin — rows-only check
+    r"""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents),
+    g AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                 CAST(CAST(('0x' || substr(md5(substr(t,
+                      CAST(i.i AS INTEGER), 5)), 1, 15)) AS UBIGINT)
+                      AS BIGINT) AS h
+          FROM n, LATERAL (SELECT unnest(range(1,
+               GREATEST(length(t), 5) - 5 + 2)) AS i) i),
+    w AS (SELECT doc_id, pos, h,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+          FROM g)
+    SELECT DISTINCT doc_id, wmin AS fingerprint
+    FROM w WHERE pos <= n_grams - 3
+    """,
     doc="Winnowing fingerprints (MOSS rolling k-gram hash + window "
     "min): shared substrings of length >= k+w-1 guarantee shared "
-    "fingerprints; dedup joins on the fingerprint rows "
-    "(functions/text.py winnow_fingerprint_rows).",
+    "fingerprints; dedup joins on the fingerprint rows. Gram hash is "
+    "the 60-bit md5 prefix so the oracle replays it exactly "
+    "(functions/text.py winnow_fingerprint_rows hash_fn='md5'; "
+    "xxhash64 fast path remains for production).",
 )
 def q_doc_winnow_fingerprint(spark, sf_dir):
     from pyspark_scd_spark.functions import text as TXT
 
     d = _t(spark, sf_dir, "documents")
-    return TXT.winnow_fingerprint_rows(d.select("doc_id", "text"))
+    return TXT.winnow_fingerprint_rows(
+        d.select("doc_id", "text"), hash_fn="md5"
+    )
 
 
 @register(
     "sim_search_ivf",
-    None,  # ANN with recall<1 — rows-only check
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c AS ivf_cell FROM cells WHERE rn = 1),
+    corp AS (SELECT e.vec_id, e.v, a.ivf_cell
+             FROM e JOIN assign a USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, v AS qv, ivf_cell
+          FROM corp WHERE vec_id >= 100 AND vec_id < 110),
+    s AS (SELECT q.query_id, corp.vec_id,
+                 ROUND(list_cosine_similarity(corp.v, q.qv), 6) AS cosine
+          FROM corp JOIN q USING (ivf_cell)),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
     doc="IVF-partitioned ANN: corpus assigned to centroid cells "
-    "(deterministic centroids), queries probe only their own cell, "
-    "exact cosine re-rank inside — at rest the corpus is partitioned "
-    "by ivf_cell so a probe scans one partition "
+    "(deterministic centroids = 8 lowest-id vectors, scores rounded "
+    "9dp with larger-cell tie-break), queries probe only their own "
+    "cell, exact cosine re-rank inside — at rest the corpus is "
+    "partitioned by ivf_cell so a probe scans one partition. The "
+    "oracle replays assignment + probe + re-rank exactly "
     "(operators/similarity.py ivf_assign).",
 )
 def q_sim_search_ivf(spark, sf_dir):
@@ -2313,17 +2448,39 @@ def q22_inactive_customers(spark, sf_dir):
 
 @register(
     "multimodal_resize",
-    None,  # binary output — rows-only check
+    """
+    WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    s AS (SELECT doc_id, text, n, GREATEST(n // 64, 1) AS stride FROM p),
+    f AS (SELECT doc_id, n, i.i AS i,
+                 substring(text, CAST(1 + i.i * stride AS INTEGER), 1) AS ch
+          FROM s, LATERAL (SELECT unnest(range(0,
+               LEAST(64, CAST(CEIL(n * 1.0 / stride) AS BIGINT)))) AS i) i)
+    SELECT doc_id,
+           lower(hex(encode(string_agg(ch, '' ORDER BY i)))) AS resized_hex,
+           CAST(MAX(n) AS BIGINT) AS n_bytes_in,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes_out
+    FROM f GROUP BY doc_id
+    """,
     doc="Resize/downsample: binary payload in -> smaller binary out "
-    "via Arrow-batched mapInPandas (deterministic stride stub; real "
-    "codec gated behind fake=False NotImplementedError) "
+    "via Arrow-batched mapInPandas (deterministic stride sampling "
+    "payload[::stride][:64]; real codec gated behind fake=False "
+    "NotImplementedError). The oracle replays the stride arithmetic "
+    "per byte position and compares the resized payload as hex "
+    "(ASCII corpus: char positions == byte positions) "
     "(operators/multimodal.py resize_payload).",
 )
 def q_multimodal_resize(spark, sf_dir):
     from pyspark_scd_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents")
-    return multimodal.resize_payload(multimodal.with_binary_payload(d))
+    out = multimodal.resize_payload(multimodal.with_binary_payload(d))
+    return out.select(
+        "doc_id",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+        "n_bytes_in",
+        "n_bytes_out",
+    )
 
 
 _SCD_COMPOSITE_SQL = """
