@@ -5777,3 +5777,236 @@ def q_events_rollup_zerofill(spark, sf_dir):
         (F.col("bucket_value") / 100.0).alias("bucket_value"),
         "is_gap",
     )
+
+
+# ======================================================================
+# Structured Streaming surfaced through the driver contract: each
+# builder runs the streaming operator to completion with
+# trigger(availableNow=True) against a file-source replay of the
+# testdata, writes the append-mode output to parquet (executor-side,
+# never a driver memory sink), and returns the result as a batch
+# DataFrame the oracle can hash. Emission semantics are part of the
+# check: append mode emits exactly the windows/sessions whose end <=
+# final watermark (max event time - delay), and the oracles encode
+# that filter explicitly.
+# ======================================================================
+
+_STREAM_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, name: str,
+                   prepare=None) -> DataFrame:
+    """Streaming DataFrame over a plain-parquet replay of a testdata
+    table (written once per process: the raw testdata carries
+    TIMESTAMP(NANOS) the file stream source cannot ingest directly).
+    ``prepare`` optionally transforms the batch table before staging —
+    e.g. the orders-as-snapshots projection."""
+    import tempfile
+
+    key = (sf_dir, name, getattr(prepare, "__name__", None))
+    if key not in _STREAM_SRC_CACHE:
+        out = tempfile.mkdtemp(prefix=f"stream_src_{name}_") + "/data"
+        df = _t(spark, sf_dir, name)
+        if prepare is not None:
+            df = prepare(df)
+        df.write.parquet(out)
+        _STREAM_SRC_CACHE[key] = out
+    path = _STREAM_SRC_CACHE[key]
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+
+
+def _run_stream_to_batch(out_df: DataFrame) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a
+    parquet sink and return the materialized output. The sink is a
+    directory write — state, shuffle and output all stay executor-side;
+    the driver only coordinates the micro-batches."""
+    import tempfile
+
+    spark = out_df.sparkSession
+    outdir = tempfile.mkdtemp(prefix="stream_out_") + "/data"
+    ck = tempfile.mkdtemp(prefix="stream_ck_")
+    q = (
+        out_df.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(outdir)
+
+
+@register(
+    "stream_events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL
+             THEN 1 ELSE 0 END AS is_start,
+        event_id
+      FROM events),
+    sess AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM marked),
+    agg AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+             CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT)
+               AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0
+               AS session_value
+      FROM sess GROUP BY user_id, session_id),
+    wm AS (SELECT MAX(epoch_us(ts)) - 1000000 AS w FROM events)
+    SELECT user_id, session_start_us, session_end_us, n_events,
+           session_value
+    FROM agg, wm WHERE session_end_us <= w
+    """,
+    doc="Structured Streaming sessionization run to completion: "
+    "session_window(30 min) + 1s watermark over a file-source replay, "
+    "availableNow trigger, append mode (streaming/sessions.py "
+    "sessionize_stream). The oracle is the batch lag-gap twin PLUS "
+    "the append-mode emission rule (session_end <= max_ts - delay) — "
+    "verified equal, including the gap boundary (an event exactly "
+    "gap-after extends the session in both forms).",
+)
+def q_stream_events_sessionize(spark, sf_dir):
+    from pyspark_scd_spark.streaming import sessions as S
+
+    def to_cents(df):
+        return df.withColumn(
+            "value", F.round(F.col("value") * 100).cast("long").cast("double")
+        )
+
+    ev = _stream_source(spark, sf_dir, "events", prepare=to_cents)
+    out = S.sessionize_stream(ev, gap="30 minutes", watermark="1 second")
+    got = _run_stream_to_batch(out)
+    return got.select(
+        "user_id",
+        epoch_us("session_start").alias("session_start_us"),
+        epoch_us("session_end").alias("session_end_us"),
+        "n_events",
+        (F.col("session_value") / 100.0).alias("session_value"),
+    )
+
+
+@register(
+    "stream_events_tumbling",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    wm AS (SELECT MAX(epoch_us(ts)) - 1000000 AS w FROM events)
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us, event_type, n
+    FROM agg, wm WHERE epoch_us(ws) + 3600000000 <= w
+    """,
+    doc="Watermarked tumbling-window streaming counts run to "
+    "completion (streaming/sessions.py tumbling_counts_stream): "
+    "window('1 hour') + 1s watermark, availableNow, append mode. "
+    "Oracle = hourly batch counts restricted to windows the final "
+    "watermark closed (window_end <= max_ts - delay).",
+)
+def q_stream_events_tumbling(spark, sf_dir):
+    from pyspark_scd_spark.streaming import sessions as S
+
+    ev = _stream_source(spark, sf_dir, "events")
+    out = S.tumbling_counts_stream(ev, window="1 hour", watermark="1 second")
+    got = _run_stream_to_batch(out)
+    return got.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+    """,
+    doc="Watermark-bounded streaming dedup (streaming/dedup.py "
+    "dedup_stream -> dropDuplicatesWithinWatermark): state is one "
+    "entry per key EXPIRED at the horizon, so it is bounded by "
+    "arrival rate x horizon, not stream lifetime (plain "
+    "dropDuplicates on a stream grows forever). Keys cover the full "
+    "projected row, so the surviving set is exactly DISTINCT and "
+    "arrival order cannot matter.",
+)
+def q_stream_dedup_watermark(spark, sf_dir):
+    from pyspark_scd_spark.streaming import dedup as D
+
+    def project(df):
+        return df.select("user_id", "event_type", "ts")
+
+    ev = _stream_source(spark, sf_dir, "events", prepare=project)
+    out = D.dedup_stream(
+        ev, keys=["user_id", "event_type", "ts"], horizon="1 hour"
+    )
+    got = _run_stream_to_batch(out)
+    return got.select(
+        "user_id", "event_type", epoch_us("ts").alias("ts_us")
+    )
+
+
+@register(
+    "stream_scd_status",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    l AS (SELECT key, snap_date, o_orderstatus, o_orderpriority,
+                 LAG(snap_date) OVER w AS prev_date,
+                 LAG(o_orderstatus) OVER w AS prev_status,
+                 LAG(o_orderpriority) OVER w AS prev_prio
+          FROM snaps
+          WINDOW w AS (PARTITION BY key ORDER BY snap_date))
+    SELECT key, CAST(snap_date AS DATE) AS snap_date,
+           CASE WHEN prev_date IS NULL THEN 'New'
+                WHEN o_orderstatus <> prev_status
+                     OR o_orderpriority <> prev_prio THEN 'Changed'
+                ELSE 'No Change' END AS change_status
+    FROM l
+    """,
+    doc="Stateful streaming SCD classification (streaming/"
+    "scd_stream.py scd_status_stream): applyInPandasWithState holds "
+    "one row-hash per entity, classifying each arriving snapshot as "
+    "New/Changed/No Change in O(arriving rows) with O(entities) "
+    "state — the shape where accumulated history depth never matters. "
+    "Deleted is intentionally absent (undetectable row-by-row in a "
+    "stream; owned by the batch twin — documented divergence). "
+    "Oracle = per-key lag classification over the same snapshots.",
+)
+def q_stream_scd_status(spark, sf_dir):
+    from pyspark_scd_spark.streaming import scd_stream as SS
+
+    def prep(orders):
+        snaps = orders.select(
+            F.col("o_custkey").alias("key"),
+            F.to_date("o_orderdate").alias("snap_date"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_orderkey",
+        )
+        deduped = scd.snapshot_dedup(
+            snaps, ["key", "snap_date"], tiebreak_cols=["o_orderkey"]
+        ).drop("o_orderkey")
+        return scd.with_row_hash(deduped, SCD_HASH_COLS).select(
+            "key", "snap_date", "row_hash"
+        )
+
+    snaps = _stream_source(spark, sf_dir, "orders", prepare=prep)
+    out = SS.scd_status_stream(
+        snaps, key_col="key", time_col="snap_date", hash_col="row_hash"
+    )
+    return _run_stream_to_batch(out)
