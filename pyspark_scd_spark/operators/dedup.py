@@ -86,6 +86,23 @@ def _shingles(
     return sh
 
 
+def shingle_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Public form of the shared shingle pass: the distinct
+    (``__id``, shingle-hash) pair set every text-dedup tier consumes.
+    Stage it once (``write_staged``) and pass it to
+    ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` via ``shingles=``
+    — tokenize+shingle+distinct is the widest stage of the whole dedup
+    suite, so a pipeline running several tiers should pay it once, not
+    once per tier."""
+    return _shingles(df, id_col, text_col, n, max_df)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -94,9 +111,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     method: str = "count",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join. Emits
     (doc_a, doc_b, jaccard) for pairs ≥ threshold, doc_a < doc_b.
+
+    ``shingles``: optionally a precomputed ``shingle_pairs`` table
+    (already persisted by the caller) — skips the tokenize+shingle
+    pass entirely.
 
     ``method='count'`` (default): shingle inverted-index self-join,
     intersection(a,b) = count of co-occurring shingles, |A∪B| =
@@ -122,8 +144,12 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown method: {method!r}")
     # cached: consumed by the size/frequency tables, the pair join,
     # and (ppjoin) the verification sets — without it the
-    # tokenize+explode re-runs per consumer
-    sh = _shingles(df, id_col, text_col, n, max_df).cache()
+    # tokenize+explode re-runs per consumer. A caller-staged shingle
+    # table is already persisted; don't double-cache it.
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _shingles(df, id_col, text_col, n, max_df).cache()
     if method == "count":
         sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
         a = sh.select(F.col("__id").alias("doc_a"), "shingle")
@@ -254,6 +280,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact Jaccard verify.
 
@@ -264,6 +291,9 @@ def minhash_lsh_pairs(
 
     Scale: signatures are |docs| rows; the band join key is a 64-bit
     hash, so bucket sizes stay tiny unless docs truly collide.
+
+    ``shingles``: optionally a precomputed, caller-persisted
+    ``shingle_pairs`` table — skips the tokenize+shingle pass.
     """
     rows_per_band = num_hashes // bands
     # ONE shingle pass feeds both the signature build and the exact
@@ -271,7 +301,10 @@ def minhash_lsh_pairs(
     # widest stage in the whole pipeline, so computing it twice doubled
     # the dominant cost. Cache is per-partition columnar and bounded by
     # the distinct (id, shingle) set.
-    sh = _shingles(df, id_col, text_col, n, None).cache()
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _shingles(df, id_col, text_col, n, None).cache()
     sig = _signatures_from_shingles(sh, num_hashes).withColumnRenamed(
         "__id", id_col
     )

