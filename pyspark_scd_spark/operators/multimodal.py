@@ -93,15 +93,23 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode → (width, height, channels, mean intensity).
 
-    ``fake=False`` raises NotImplementedError inside the UDF (no image
-    libs in this container). ``fake=True`` derives deterministic
-    pseudo-features from a sha256 of the bytes — exercising the exact
-    same Arrow batch path, schema, and partitioning as a real decoder.
+    ``fake=False`` decodes REAL images when PIL is importable on the
+    executors (optional dependency — this container does not ship it),
+    and raises NotImplementedError otherwise. ``fake=True`` derives
+    deterministic pseudo-features from a sha256 of the bytes —
+    exercising the exact same Arrow batch path, schema, and
+    partitioning as the real decoder either way.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_image = None
+        if not fake:
+            try:
+                from PIL import Image as pil_image  # type: ignore
+            except ImportError:
+                pil_image = None
         for pdf in batches:
-            if not fake:
+            if not fake and pil_image is None:
                 raise NotImplementedError(
                     "image decoding requires PIL/opencv; not available "
                     "in this environment — use fake=True for plumbing "
@@ -109,14 +117,33 @@ def decode_image_features(
                 )
             feats = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                d = hashlib.sha256(payload).digest()
-                feats["doc_id"].append(int(doc_id))
-                feats["width"].append(64 + d[0])
-                feats["height"].append(64 + d[1])
-                feats["channels"].append(1 + d[2] % 4)
-                feats["mean_intensity"].append(
-                    round(sum(d[:16]) / (16 * 255.0), 6)
-                )
+                if fake:
+                    d = hashlib.sha256(payload).digest()
+                    feats["doc_id"].append(int(doc_id))
+                    feats["width"].append(64 + d[0])
+                    feats["height"].append(64 + d[1])
+                    feats["channels"].append(1 + d[2] % 4)
+                    feats["mean_intensity"].append(
+                        round(sum(d[:16]) / (16 * 255.0), 6)
+                    )
+                else:
+                    import io
+
+                    img = pil_image.open(io.BytesIO(payload))
+                    bands = img.getbands()
+                    px = list(img.getdata())
+                    if len(bands) == 1:
+                        total = sum(px)
+                    else:
+                        total = sum(sum(p) for p in px)
+                    n_samples = max(len(px) * len(bands), 1)
+                    feats["doc_id"].append(int(doc_id))
+                    feats["width"].append(img.width)
+                    feats["height"].append(img.height)
+                    feats["channels"].append(len(bands))
+                    feats["mean_intensity"].append(
+                        round(total / (n_samples * 255.0), 6)
+                    )
             yield pd.DataFrame(feats)
 
     return df.select(id_col, payload_col).mapInPandas(

@@ -1115,6 +1115,16 @@ def q_dedup_exact(spark, sf_dir):
 _SHINGLE_STAGE_CACHE: dict[str, str] = {}
 
 
+def _cc_strategy(docs: DataFrame) -> str:
+    """Corpus-size-based connected-components strategy: above ~100k
+    documents a near-dup edge set can exceed any driver budget, so the
+    builders pick the distributed path OUTRIGHT instead of letting
+    'auto' ride the driver union-find up to its 2M-edge limit — at
+    scale the failure mode would otherwise be a silently growing
+    driver heap, not an error. The count is a parquet metadata read."""
+    return "distributed" if docs.count() > 100_000 else "auto"
+
+
 def _staged_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _SHINGLE_STAGE_CACHE:
         import tempfile
@@ -3129,7 +3139,7 @@ def q_dedup_cc_clusters(spark, sf_dir):
         d, n=3, threshold=0.5,
         shingles=_staged_doc_shingles(spark, sf_dir),
     ).select("doc_a", "doc_b")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, strategy=_cc_strategy(d))
     w = Window.partitionBy("component")
     return cc.withColumn("cluster_size", F.count(F.lit(1)).over(w)).select(
         F.col("doc_a").alias("doc_id"),
@@ -3184,7 +3194,7 @@ def q_dedup_survivors(spark, sf_dir):
         d, n=3, threshold=0.5,
         shingles=_staged_doc_shingles(spark, sf_dir),
     ).select("doc_a", "doc_b")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, strategy=_cc_strategy(d))
     return (
         dedup.survivors(d, cc)
         .select("doc_id", F.length("text").alias("text_len"))

@@ -123,10 +123,36 @@ def test_multimodal_meta_roundtrip(docs):
     assert meta[1]["prefix_hex"] == "the quic".encode().hex()
 
 
-def test_multimodal_decode_stub_raises(docs):
-    payloads = multimodal.with_binary_payload(docs)
-    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
-        multimodal.decode_image_features(payloads, fake=False).collect()
+def test_multimodal_decode_real_when_pil_else_gated(docs):
+    """fake=False decodes real images when PIL is importable and
+    raises the documented gate error otherwise — both branches of the
+    optional-dependency contract."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        payloads = multimodal.with_binary_payload(docs)
+        with pytest.raises(
+            Exception, match="NotImplementedError|image decoding"
+        ):
+            multimodal.decode_image_features(payloads, fake=False).collect()
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 2), color=(255, 0, 0)).save(buf, format="PNG")
+        df = docs.sparkSession.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        )
+        (r,) = multimodal.decode_image_features(df, fake=False).collect()
+        assert (r["width"], r["height"], r["channels"]) == (4, 2, 3)
+        assert abs(r["mean_intensity"] - 1 / 3) < 1e-4
 
 
 def test_multimodal_fake_decode_deterministic(docs):
