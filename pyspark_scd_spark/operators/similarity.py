@@ -363,6 +363,62 @@ def quantize_int8(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split each vector into m subspaces and
+    encode each subvector as the index of its nearest codebook
+    centroid — the standard ANN compression tier between int8 and raw
+    floats (m log2(k) bits per vector; m=8, k=8 turns a 256-byte
+    float64 vector into 3 bytes).
+
+    ``codebooks``: m entries of k centroids each (centroid length =
+    dim/m). Returns (id, pq_code, mse): ``pq_code`` is the
+    comma-joined code string, ``mse`` the total squared reconstruction
+    distance across subspaces.
+
+    Pure Catalyst expressions (no UDF): per subspace the squared
+    distance to each centroid is ``x·x − 2x·y + y·y`` (the same
+    associativity-friendly form an oracle engine computes), rounded to
+    9 dp before the argmin so assignments are reproducible across
+    engines; ties break toward the smaller code. One projection, no
+    shuffle, whole-stage codegen — at 100 TB this is a map over the
+    corpus scan.
+    """
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    errs = []
+    for j, cb in enumerate(codebooks):
+        x = F.slice(v, j * ds + 1, ds)
+        scored = []
+        for code, cent in enumerate(cb):
+            y = F.array(*[F.lit(float(c)) for c in cent])
+            dist2 = V.dot(x, x) - 2 * V.dot(x, y) + V.dot(y, y)
+            scored.append(
+                F.struct(
+                    F.round(dist2, 9).alias("s"), F.lit(code).alias("c")
+                )
+            )
+        best = F.array_min(F.array(*scored))
+        codes.append(best["c"])
+        errs.append(best["s"])
+    mse = errs[0]
+    for e in errs[1:]:
+        mse = mse + e
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias(
+            "pq_code"
+        ),
+        F.round(mse, 6).alias("mse"),
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     k: int = 8,

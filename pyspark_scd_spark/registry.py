@@ -6052,3 +6052,103 @@ def q_stream_scd_status(spark, sf_dir):
         snaps, key_col="key", time_col="snap_date", hash_col="row_hash"
     )
     return _run_stream_to_batch(out)
+
+
+@register(
+    "stream_attribution_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           c.event_id AS click_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    doc="Watermarked stream-stream interval join run to completion "
+    "(streaming/join.py attribution_candidates_stream): click and "
+    "purchase streams joined on user + 1h range predicate; the "
+    "watermarks + range condition bound BOTH state stores to the "
+    "horizon. Inner-join rows are final on arrival, so the "
+    "availableNow drain emits exactly the batch interval-join result "
+    "the oracle computes.",
+)
+def q_stream_attribution_join(spark, sf_dir):
+    from pyspark_scd_spark.streaming import join as J
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+
+    c = _stream_source(spark, sf_dir, "events", prepare=clicks)
+    p = _stream_source(spark, sf_dir, "events", prepare=purchases)
+    out = J.attribution_candidates_stream(
+        c, p, horizon="1 hour", watermark="30 minutes"
+    )
+    got = _run_stream_to_batch(out)
+    return got.select(
+        "purchase_id",
+        "user_id",
+        epoch_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        epoch_us("click_ts").alias("click_ts_us"),
+    )
+
+
+@register(
+    "embedding_pq_encode",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 8),
+    sub AS (SELECT e.vec_id, CAST(s.s AS INTEGER) AS sub_idx,
+                   (e.v)[s.s*8+1 : s.s*8+8] AS x
+            FROM e, LATERAL (SELECT unnest(range(0, 8)) AS s) s),
+    cs AS (SELECT code, CAST(s.s AS INTEGER) AS sub_idx,
+                  (cent.cv)[s.s*8+1 : s.s*8+8] AS y
+           FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS s) s),
+    d AS (SELECT sub.vec_id, sub.sub_idx, cs.code,
+                 ROUND(list_inner_product(x, x)
+                       - 2 * list_inner_product(x, y)
+                       + list_inner_product(y, y), 9) AS dist2
+          FROM sub JOIN cs USING (sub_idx)),
+    best AS (SELECT vec_id, sub_idx, code, dist2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                        ORDER BY dist2 ASC, code ASC) AS rn
+             FROM d),
+    agg AS (SELECT vec_id,
+                   string_agg(CAST(code AS VARCHAR), ','
+                              ORDER BY sub_idx) AS pq_code,
+                   ROUND(SUM(dist2), 6) AS mse
+            FROM best WHERE rn = 1 GROUP BY vec_id)
+    SELECT vec_id, pq_code, mse FROM agg
+    """,
+    doc="Product quantization encode (operators/similarity.py "
+    "pq_encode): d=64 split into 8 subspaces, each subvector coded as "
+    "its nearest of 8 deterministic centroids (subvectors of the 8 "
+    "lowest-id embeddings) — m log2(k)-bit codes, the ANN compression "
+    "tier between int8 and raw floats. Distances via x.x - 2x.y + y.y "
+    "rounded 9dp with smaller-code tie-break; the oracle replays "
+    "assignment exactly; mse = total squared reconstruction error. "
+    "Pure codegen map over the corpus scan, no shuffle.",
+)
+def q_embedding_pq_encode(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    first8 = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    ds = 8
+    codebooks = [
+        [vec[j * ds : (j + 1) * ds] for vec in first8] for j in range(8)
+    ]
+    return similarity.pq_encode(e, codebooks)
