@@ -335,6 +335,43 @@ def ivf_assign(
     return df.withColumn(out_col, F.array_max(scored)["c"])
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    out_col: str = "probe_cell",
+) -> DataFrame:
+    """Multi-probe IVF: explode each query row into its ``n_probe``
+    nearest centroid cells — the standard recall knob for IVF search
+    (a query near a cell boundary misses neighbors assigned to the
+    adjacent cell unless it probes both; probing the top-p cells
+    trades p× scan cost for near-exact recall).
+
+    Same determinism contract as ``ivf_assign``: scores rounded to
+    9 dp, ties toward the larger cell index ((s DESC, c DESC)
+    ordering — array_sort on (s, c) structs then reversed).
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    V.cosine(
+                        F.col(vec_col), F.array(*[F.lit(x) for x in c])
+                    ),
+                    9,
+                ).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return df.withColumn(
+        out_col, F.explode(F.transform(top, lambda t: t["c"]))
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

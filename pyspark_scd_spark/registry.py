@@ -6152,3 +6152,114 @@ def q_embedding_pq_encode(spark, sf_dir):
         [vec[j * ds : (j + 1) * ds] for vec in first8] for j in range(8)
     ]
     return similarity.pq_encode(e, codebooks)
+
+
+@register(
+    "sim_search_ivf_probe2",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c AS ivf_cell FROM cells WHERE rn = 1),
+    corp AS (SELECT e.vec_id, e.v, a.ivf_cell
+             FROM e JOIN assign a USING (vec_id)),
+    probes AS (SELECT vec_id AS query_id, c AS ivf_cell
+               FROM cells WHERE rn <= 2
+                 AND vec_id >= 100 AND vec_id < 110),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id >= 100 AND vec_id < 110),
+    s AS (SELECT p.query_id, corp.vec_id,
+                 ROUND(list_cosine_similarity(corp.v, q.qv), 6) AS cosine
+          FROM probes p
+          JOIN corp ON corp.ivf_cell = p.ivf_cell
+          JOIN q ON q.query_id = p.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+    doc="Multi-probe IVF ANN (operators/similarity.py "
+    "ivf_probe_cells): each query probes its top-2 nearest cells — "
+    "the standard recall knob for boundary queries, trading 2x probe "
+    "scan for near-exact recall; corpus rows stay in exactly one "
+    "cell, so the probe join is partition-pruned at rest. "
+    "Deterministic probe ranking (9dp, larger-cell tie-break) "
+    "replayed by the oracle.",
+)
+def q_sim_search_ivf_probe2(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+    from pyspark_scd_spark.functions import vectors as _V
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    corpus = similarity.ivf_assign(e, centroids)
+    queries = similarity.ivf_probe_cells(
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)),
+        centroids,
+        n_probe=2,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("probe_cell").alias("ivf_cell"),
+    )
+    scored = corpus.join(F.broadcast(queries), "ivf_cell").select(
+        "query_id",
+        "vec_id",
+        F.round(_V.cosine(F.col("embedding"), F.col("__qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH hops AS (
+      SELECT event_type, ts,
+             date_trunc('hour', ts) - INTERVAL (h.h) HOUR AS window_start
+      FROM events,
+           LATERAL (SELECT unnest(range(0, 2)) AS h) h),
+    agg AS (
+      SELECT window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM hops GROUP BY 1, 2)
+    SELECT CAST(epoch_us(window_start) AS BIGINT) AS window_start_us,
+           event_type, n
+    FROM agg
+    """,
+    doc="Sliding (hopping) window aggregation: window(ts, '2 hours', "
+    "'1 hour') — every event contributes to the two hour-aligned "
+    "2-hour windows covering it; Spark's Expand feeds one groupBy "
+    "(one exchange), the same plan shape as a rollup. Oracle "
+    "generates both hops per event explicitly.",
+)
+def q_events_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            epoch_us(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
