@@ -6263,3 +6263,147 @@ def q_events_sliding_window(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "scd_asof_lookup",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    h AS (
+      SELECT key, snap_date, o_orderstatus, o_orderpriority,
+        CASE WHEN LAG(o_orderstatus || '||' || o_orderpriority)
+                    OVER (PARTITION BY key ORDER BY snap_date)
+               IS DISTINCT FROM (o_orderstatus || '||' || o_orderpriority)
+             THEN 1 ELSE 0 END AS chg
+      FROM snaps),
+    i AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY key ORDER BY snap_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+      FROM h),
+    g AS (
+      SELECT key, island, o_orderstatus, o_orderpriority,
+             MIN(snap_date) AS valid_from
+      FROM i GROUP BY 1, 2, 3, 4),
+    t2 AS (
+      SELECT key, o_orderstatus, o_orderpriority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY key ORDER BY valid_from)
+               AS valid_to
+      FROM g)
+    SELECT key, o_orderstatus, o_orderpriority,
+           CAST(valid_from AS DATE) AS valid_from,
+           CAST(valid_to AS DATE) AS valid_to
+    FROM t2
+    WHERE valid_from <= DATE '1996-06-15'
+      AND (valid_to IS NULL OR valid_to > DATE '1996-06-15')
+    """,
+    doc="Point-in-time (AS OF) lookup over the SCD Type-2 dimension: "
+    "each entity's state effective on 1996-06-15 — the query every "
+    "type-2 consumer runs (operators/scd.py type2_intervals + an "
+    "interval-containment filter). At rest the dimension is "
+    "|state changes| rows, so the lookup is a filter over a tiny "
+    "table, never the snapshot history.",
+)
+def q_scd_asof_lookup(spark, sf_dir):
+    snaps = order_snapshots(spark, sf_dir)
+    df = scd.with_row_hash(snaps, SCD_HASH_COLS)
+    t2 = scd.type2_intervals(
+        df, key_cols=["key"], time_col="snap_date",
+        state_cols=SCD_HASH_COLS,
+    )
+    asof = F.lit("1996-06-15").cast("date")
+    return t2.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select(
+        "key", "o_orderstatus", "o_orderpriority", "valid_from", "valid_to"
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a)
+    """,
+    doc="Semantic (embedding) near-dup clusters: the cosine pair grid "
+    "(embedding_neardup_pairs_grid, no driver collect) closed into "
+    "connected components — the embedding tier's analogue of "
+    "dedup_cc_clusters, completing the five-tier dedup story "
+    "end-to-end. Oracle is a recursive-CTE transitive closure over "
+    "the same thresholded pairs.",
+)
+def q_dedup_semantic_clusters(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup, similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs_grid(
+        e, threshold=0.3
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(
+        pairs, src_col="id_a", dst_col="id_b",
+        strategy=_cc_strategy(e),
+    )
+    w = Window.partitionBy("component")
+    return cc.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).select(
+        F.col("id_a").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@register(
+    "orders_retention_cohort",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1),
+    aged AS (
+      SELECT o.o_custkey, f.cohort_month,
+             CAST(datediff('month', f.cohort_month,
+                  date_trunc('month', o.o_orderdate)) AS INTEGER)
+               AS age_months
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month, age_months,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers
+    FROM aged GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: customers bucketed by first-order "
+    "month, activity counted per (cohort, month age) — the classic "
+    "growth-analytics rollup. Two key-partitioned aggregates (first "
+    "order per customer, then distinct-count per cohort cell); the "
+    "cohort table joins back onto orders by customer key, so both "
+    "exchanges are on o_custkey and AQE can co-locate them.",
+)
+def q_orders_retention_cohort(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        (
+            (F.year(F.col("o_orderdate")) - F.year("cohort_month")) * 12
+            + (F.month(F.col("o_orderdate")) - F.month("cohort_month"))
+        ).cast("int").alias("age_months"),
+    )
+    return aged.groupBy(
+        F.to_date("cohort_month").alias("cohort_month"), "age_months"
+    ).agg(F.countDistinct("o_custkey").alias("active_customers"))
