@@ -444,15 +444,21 @@ def pq_encode(
         best = F.array_min(F.array(*scored))
         codes.append(best["c"])
         errs.append(best["s"])
-    mse = errs[0]
+    # Integer-nanos sum, not ROUND(sum, 6): the per-subspace distances
+    # are 9dp-rounded, so their sum routinely lands EXACTLY on .5
+    # rounding boundaries at 6dp — where Spark (BigDecimal HALF_UP)
+    # and double-arithmetic engines disagree. Rounding each term to
+    # integer nano-units first is unambiguous (terms sit within float
+    # error of an integer), and the long sum is exact.
+    mse_nanos = F.round(errs[0] * 1e9).cast("long")
     for e in errs[1:]:
-        mse = mse + e
+        mse_nanos = mse_nanos + F.round(e * 1e9).cast("long")
     return df.select(
         F.col(id_col),
         F.concat_ws(",", *[c.cast("string") for c in codes]).alias(
             "pq_code"
         ),
-        F.round(mse, 6).alias("mse"),
+        (mse_nanos / 1000000000.0).alias("mse"),
     )
 
 
@@ -904,18 +910,30 @@ def knn_label_vote_grid(
                     row.r_n, row.r_dim
                 )
                 sims = np.round(qmat @ cmat.T, 6)
-                out = {c: [] for c in ("qid", "qlabel", "nid", "nlabel", "c")}
-                for i in range(sims.shape[0]):
-                    s = sims[i].copy()
-                    s[cids == qids[i]] = -np.inf  # exclude self
-                    order = np.lexsort((cids, -s))[:k]
-                    order = order[s[order] != -np.inf]
-                    out["qid"].extend([qids[i]] * len(order))
-                    out["qlabel"].extend([int(qlab[i])] * len(order))
-                    out["nid"].extend(cids[order])
-                    out["nlabel"].extend(clab[order].astype(np.int32))
-                    out["c"].extend(s[order])
-                yield pd.DataFrame(out)
+                sims[qids[:, None] == cids[None, :]] = -np.inf  # no self
+                # Vectorized local top-k under the (cosine DESC, id
+                # ASC) total order: one 2-D lexsort per cell instead
+                # of a Python loop per query row (the loop, not the
+                # matmul, dominated cell cost at depth).
+                kk = min(k, sims.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=-1
+                )[:, :kk]
+                top_s = np.take_along_axis(sims, order, axis=1)
+                valid = (top_s != -np.inf).ravel()
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids, kk)[valid],
+                        "qlabel": np.repeat(qlab, kk)[valid].astype(
+                            np.int32
+                        ),
+                        "nid": cids[order.ravel()][valid],
+                        "nlabel": clab[order.ravel()][valid].astype(
+                            np.int32
+                        ),
+                        "c": top_s.ravel()[valid],
+                    }
+                )
 
     cand_schema = T.StructType(
         [
@@ -998,25 +1016,33 @@ def hard_negative_mining_grid(
                     row.r_n, row.r_dim
                 )
                 sims = _round_away(qmat @ cmat.T, 6)
-                out = {
-                    c: []
-                    for c in ("qid", "qlabel", "nid", "nlabel", "c", "c4")
-                }
-                for i in range(sims.shape[0]):
-                    s = sims[i].copy()
-                    s[clab == qlab[i]] = -np.inf  # negatives only
-                    order = np.lexsort((cids, -s))[:k]
-                    order = order[s[order] != -np.inf]
-                    out["qid"].extend([qids[i]] * len(order))
-                    out["qlabel"].extend([int(qlab[i])] * len(order))
-                    out["nid"].extend(cids[order])
-                    out["nlabel"].extend(clab[order].astype(np.int32))
-                    out["c"].extend(s[order])
-                    # 4dp re-round in double arithmetic (like DuckDB's
-                    # ROUND), not Spark's BigDecimal HALF_UP — the two
-                    # can disagree on .5-boundary doubles.
-                    out["c4"].extend(_round_away(s[order], 4))
-                yield pd.DataFrame(out)
+                sims[qlab[:, None] == clab[None, :]] = -np.inf  # negs only
+                # Vectorized local top-k (see knn_label_vote_grid).
+                kk = min(k, sims.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=-1
+                )[:, :kk]
+                top_s = np.take_along_axis(sims, order, axis=1)
+                valid = (top_s != -np.inf).ravel()
+                s_out = top_s.ravel()[valid]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids, kk)[valid],
+                        "qlabel": np.repeat(qlab, kk)[valid].astype(
+                            np.int32
+                        ),
+                        "nid": cids[order.ravel()][valid],
+                        "nlabel": clab[order.ravel()][valid].astype(
+                            np.int32
+                        ),
+                        "c": s_out,
+                        # 4dp re-round in double arithmetic (like
+                        # DuckDB's ROUND), not Spark's BigDecimal
+                        # HALF_UP — the two can disagree on
+                        # .5-boundary doubles.
+                        "c4": _round_away(s_out, 4),
+                    }
+                )
 
     cand_schema = T.StructType(
         [

@@ -6126,7 +6126,8 @@ def q_stream_attribution_join(spark, sf_dir):
     agg AS (SELECT vec_id,
                    string_agg(CAST(code AS VARCHAR), ','
                               ORDER BY sub_idx) AS pq_code,
-                   ROUND(SUM(dist2), 6) AS mse
+                   SUM(CAST(ROUND(dist2 * 1000000000) AS BIGINT))
+                     / 1000000000.0 AS mse
             FROM best WHERE rn = 1 GROUP BY vec_id)
     SELECT vec_id, pq_code, mse FROM agg
     """,
