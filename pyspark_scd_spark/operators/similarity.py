@@ -469,6 +469,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     max_iter: int = 20,
     tol: float = 1e-6,
+    round_centroids: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Distributed Lloyd's k-means — trains the IVF centroids that
     ivf_assign / the partition-pruned ANN path consume.
@@ -486,6 +487,13 @@ def kmeans_train(
 
     Deterministic: initial centroids are the k lowest-id vectors;
     every subsequent step is deterministic given the data.
+    ``round_centroids`` additionally rounds the updated centroids AND
+    the assignment scores to that many decimals each round, making the
+    whole training trajectory reproducible ACROSS ENGINES (an oracle
+    can replay Lloyd's iterations as unrolled SQL: AVG summation-order
+    jitter is ~1e-15 and vanishes under 9-dp rounding) — pass
+    ``tol=0.0`` with a fixed ``max_iter`` so no early-stop depends on
+    float drift.
 
     Returns (centroids, assignments) — assignments is (id_col, cell).
     """
@@ -496,6 +504,10 @@ def kmeans_train(
     base = df.select(id_col, vec_col).localCheckpoint()
     init = base.orderBy(id_col).limit(k).collect()
     centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
+    if round_centroids is not None:
+        # the seed centroids get the same rounding as every update, so
+        # an oracle's replay starts from bit-identical state
+        centroids = np.round(centroids, round_centroids)
 
     schema = T.StructType(
         [
@@ -511,7 +523,13 @@ def kmeans_train(
             half = 0.5 * (cent * cent).sum(axis=1)  # k
             for pdf in batches:
                 q = np.array(list(pdf[vec_col]), dtype=np.float64)
-                cells = np.argmax(q @ cent.T - half, axis=1).astype(np.int32)
+                scores = q @ cent.T - half
+                if round_centroids is not None:
+                    scores = np.round(scores, round_centroids)
+                # ties: np.argmax keeps the FIRST max — the lowest
+                # cell index, mirrored by the oracle's (score DESC,
+                # cell ASC) ranking
+                cells = np.argmax(scores, axis=1).astype(np.int32)
                 yield pd.DataFrame(
                     {"id": pdf[id_col].to_numpy(dtype=np.int64), "cell": cells}
                 )
@@ -532,6 +550,8 @@ def kmeans_train(
         new_cent = centroids.copy()  # empty cells keep their position
         for r in comp:
             new_cent[r["cell"], r["dim"]] = r["m"]
+        if round_centroids is not None:
+            new_cent = np.round(new_cent, round_centroids)
         shift = float(np.max(np.linalg.norm(new_cent - centroids, axis=1)))
         centroids = new_cent
         if shift < tol:

@@ -6408,3 +6408,76 @@ def q_orders_retention_cohort(spark, sf_dir):
     return aged.groupBy(
         F.to_date("cohort_month").alias("cohort_month"), "age_months"
     ).agg(F.countDistinct("o_custkey").alias("active_customers"))
+
+
+def _kmeans_oracle(iters: int = 3, k: int = 8, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as SQL (the pagerank-oracle pattern):
+    per iteration, assignment = 9dp-rounded score argmax (larger score
+    first, smaller cell on ties) and centroid update = per-(cell, dim)
+    AVG rounded to 9dp, empty cells carrying the previous centroid
+    (re-rounded, as the engine does). The 9dp rounding at both steps
+    is what makes a floating-point training trajectory replayable
+    across engines."""
+    assign = (
+        "SELECT vec_id, cell FROM (\n"
+        "    SELECT e.vec_id, c.cell,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        "             ROUND(list_inner_product(e.v, c.cv)\n"
+        "                   - 0.5 * list_inner_product(c.cv, c.cv), 9)"
+        " DESC,\n"
+        "             c.cell ASC) AS rn\n"
+        "    FROM e CROSS JOIN {cn} c) WHERE rn = 1"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cell,"
+        f" list_transform(v, x -> ROUND(x, 9)) AS cv"
+        f" FROM e WHERE vec_id < {k}),",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({assign.format(cn=f'c{i}')}),")
+        parts.append(
+            f"m{i} AS (SELECT a.cell, CAST(d.i AS INTEGER) AS dim,\n"
+            f"         ROUND(AVG((e.v)[d.i]), 9) AS m\n"
+            f"  FROM a{i} a JOIN e USING (vec_id),\n"
+            f"       LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) d\n"
+            f"  GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.cell,\n"
+            f"  COALESCE(m.arr, list_transform(c.cv, x -> ROUND(x, 9)))"
+            f" AS cv\n"
+            f"  FROM c{i} c LEFT JOIN (SELECT cell,"
+            f" list(m ORDER BY dim) AS arr\n"
+            f"       FROM m{i} GROUP BY cell) m ON m.cell = c.cell),"
+        )
+    parts.append(
+        f"fin AS ({assign.format(cn=f'c{iters}')})\n"
+        "SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM fin"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_train_cells",
+    _kmeans_oracle(iters=3, k=8, dim=64),
+    doc="Distributed Lloyd's k-means, VALUE-CHECKED end to end: 3 "
+    "fixed iterations from the 8 lowest-id seeds with 9dp-rounded "
+    "scores and centroids (operators/similarity.py kmeans_train "
+    "round_centroids=9, tol=0). The oracle replays the full training "
+    "trajectory as unrolled SQL — assignment argmax, per-(cell,dim) "
+    "mean, empty-cell carry — making an iterative ML training loop a "
+    "hash-checked query, like the unrolled pagerank oracle. Per "
+    "round: one blocked-BLAS assignment pass over Arrow batches and "
+    "one map-side-combined (cell, dim) aggregate; driver state is the "
+    "k x d centroid matrix only.",
+)
+def q_kmeans_train_cells(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, assigned = similarity.kmeans_train(
+        e, k=8, max_iter=3, tol=0.0, round_centroids=9
+    )
+    return assigned.select("vec_id", "cell")
