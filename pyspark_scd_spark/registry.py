@@ -3761,22 +3761,105 @@ def q_pii_tokenize(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(
+    iters: int = 3, k: int = 8, dim: int = 64, tail_sql: str | None = None
+) -> str:
+    """Unrolled Lloyd's k-means as SQL (the pagerank-oracle pattern):
+    per iteration, assignment = 9dp-rounded score argmax (larger score
+    first, smaller cell on ties) and centroid update = per-(cell, dim)
+    AVG rounded to 9dp, empty cells carrying the previous centroid
+    (re-rounded, as the engine does). The 9dp rounding at both steps
+    is what makes a floating-point training trajectory replayable
+    across engines."""
+    assign = (
+        "SELECT vec_id, cell FROM (\n"
+        "    SELECT e.vec_id, c.cell,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY\n"
+        "             ROUND(list_inner_product(e.v, c.cv)\n"
+        "                   - 0.5 * list_inner_product(c.cv, c.cv), 9)"
+        " DESC,\n"
+        "             c.cell ASC) AS rn\n"
+        "    FROM e CROSS JOIN {cn} c) WHERE rn = 1"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cell,"
+        f" list_transform(v, x -> ROUND(x, 9)) AS cv"
+        f" FROM e WHERE vec_id < {k}),",
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({assign.format(cn=f'c{i}')}),")
+        parts.append(
+            f"m{i} AS (SELECT a.cell, CAST(d.i AS INTEGER) AS dim,\n"
+            f"         ROUND(AVG((e.v)[d.i]), 9) AS m\n"
+            f"  FROM a{i} a JOIN e USING (vec_id),\n"
+            f"       LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) d\n"
+            f"  GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.cell,\n"
+            f"  COALESCE(m.arr, list_transform(c.cv, x -> ROUND(x, 9)))"
+            f" AS cv\n"
+            f"  FROM c{i} c LEFT JOIN (SELECT cell,"
+            f" list(m ORDER BY dim) AS arr\n"
+            f"       FROM m{i} GROUP BY cell) m ON m.cell = c.cell),"
+        )
+    if tail_sql is None:
+        tail_sql = (
+            f"fin AS ({assign.format(cn=f'c{iters}')})\n"
+            "SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM fin"
+        )
+    parts.append(
+        tail_sql.replace("{assign}", assign.format(cn=f"c{iters}"))
+    )
+    return "\n".join(parts)
+
+
+
+_IVF_TRAINED_TAIL = """
+corp AS ({assign}),
+cv AS (SELECT c.vec_id, c.cell, e.v FROM corp c JOIN e USING (vec_id)),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
+             c.cell DESC) AS rn
+    FROM e CROSS JOIN c3 c
+    WHERE e.vec_id >= 100 AND e.vec_id < 110) WHERE rn = 1),
+s AS (SELECT q.query_id, cv.vec_id,
+             ROUND(list_cosine_similarity(cv.v, q.qv), 6) AS cosine
+      FROM cv JOIN q USING (cell)),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 @register(
     "sim_search_ivf_trained",
-    None,  # trained ANN index, recall<1 — rows-only check
-    doc="Full IVF lifecycle: Lloyd's k-means trains the centroids "
-    "(operators/similarity.py kmeans_train — BLAS assignment, "
-    "map-side-combined centroid means, driver-side shift test), the "
+    _kmeans_oracle(iters=3, k=8, dim=64, tail_sql=_IVF_TRAINED_TAIL),
+    doc="Full IVF lifecycle, VALUE-CHECKED: Lloyd's k-means trains "
+    "the centroids (operators/similarity.py kmeans_train, 3 fixed "
+    "9dp-rounded iterations — reproducible across engines), the "
     "corpus is cell-assigned with the trained centroids, and each "
     "query probes only its own cell with an exact cosine re-rank "
-    "inside — vs sim_search_ivf's fixed deterministic centroids.",
+    "inside. The oracle replays training (unrolled Lloyd's), corpus "
+    "assignment (kmeans score rule: dot - half-norm, smaller-cell "
+    "ties), query assignment (ivf_assign cosine rule, larger-cell "
+    "ties) and the re-rank — the entire index lifecycle as one "
+    "hash-checked query.",
 )
 def q_sim_search_ivf_trained(spark, sf_dir):
     from pyspark_scd_spark.functions import vectors as V
     from pyspark_scd_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    centroids, corpus = similarity.kmeans_train(e, k=8, max_iter=5)
+    centroids, corpus = similarity.kmeans_train(
+        e, k=8, max_iter=3, tol=0.0, round_centroids=9
+    )
     queries = similarity.ivf_assign(
         e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)),
         centroids,
@@ -6408,55 +6491,6 @@ def q_orders_retention_cohort(spark, sf_dir):
     return aged.groupBy(
         F.to_date("cohort_month").alias("cohort_month"), "age_months"
     ).agg(F.countDistinct("o_custkey").alias("active_customers"))
-
-
-def _kmeans_oracle(iters: int = 3, k: int = 8, dim: int = 64) -> str:
-    """Unrolled Lloyd's k-means as SQL (the pagerank-oracle pattern):
-    per iteration, assignment = 9dp-rounded score argmax (larger score
-    first, smaller cell on ties) and centroid update = per-(cell, dim)
-    AVG rounded to 9dp, empty cells carrying the previous centroid
-    (re-rounded, as the engine does). The 9dp rounding at both steps
-    is what makes a floating-point training trajectory replayable
-    across engines."""
-    assign = (
-        "SELECT vec_id, cell FROM (\n"
-        "    SELECT e.vec_id, c.cell,\n"
-        "           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY\n"
-        "             ROUND(list_inner_product(e.v, c.cv)\n"
-        "                   - 0.5 * list_inner_product(c.cv, c.cv), 9)"
-        " DESC,\n"
-        "             c.cell ASC) AS rn\n"
-        "    FROM e CROSS JOIN {cn} c) WHERE rn = 1"
-    )
-    parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings),",
-        f"c0 AS (SELECT vec_id AS cell,"
-        f" list_transform(v, x -> ROUND(x, 9)) AS cv"
-        f" FROM e WHERE vec_id < {k}),",
-    ]
-    for i in range(iters):
-        parts.append(f"a{i} AS ({assign.format(cn=f'c{i}')}),")
-        parts.append(
-            f"m{i} AS (SELECT a.cell, CAST(d.i AS INTEGER) AS dim,\n"
-            f"         ROUND(AVG((e.v)[d.i]), 9) AS m\n"
-            f"  FROM a{i} a JOIN e USING (vec_id),\n"
-            f"       LATERAL (SELECT unnest(range(1, {dim + 1})) AS i) d\n"
-            f"  GROUP BY 1, 2),"
-        )
-        parts.append(
-            f"c{i + 1} AS (SELECT c.cell,\n"
-            f"  COALESCE(m.arr, list_transform(c.cv, x -> ROUND(x, 9)))"
-            f" AS cv\n"
-            f"  FROM c{i} c LEFT JOIN (SELECT cell,"
-            f" list(m ORDER BY dim) AS arr\n"
-            f"       FROM m{i} GROUP BY cell) m ON m.cell = c.cell),"
-        )
-    parts.append(
-        f"fin AS ({assign.format(cn=f'c{iters}')})\n"
-        "SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM fin"
-    )
-    return "\n".join(parts)
 
 
 @register(
