@@ -448,6 +448,59 @@ def test_ppjoin_matches_count_method(spark, sf_dir, docs):
         }
         assert count_m == ppjoin_m
 
+def test_pq_encode_semantics(spark):
+    """Hand-checkable codebook: 2 subspaces of 2 dims, codes must pick
+    the nearest centroid per subspace and mse the summed residual."""
+    from pyspark_scd_spark.operators.similarity import pq_encode
+
+    codebooks = [
+        [[0.0, 0.0], [1.0, 1.0]],  # subspace 0
+        [[0.0, 1.0], [1.0, 0.0]],  # subspace 1
+    ]
+    rows = [
+        (1, [0.1, 0.0, 0.0, 0.9]),  # -> codes (0, 0)
+        (2, [0.9, 1.1, 1.0, 0.1]),  # -> codes (1, 1)
+        (3, [0.0, 0.0, 0.0, 1.0]),  # exact centroid hit -> mse 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in pq_encode(df, codebooks).collect()}
+    assert out[1]["pq_code"] == "0,0"
+    assert abs(out[1]["mse"] - (0.01 + 0.01)) < 1e-9
+    assert out[2]["pq_code"] == "1,1"
+    assert out[3]["pq_code"] == "0,0"
+    assert out[3]["mse"] == 0.0
+
+
+def test_ivf_probe2_superset_of_probe1(spark, sf_dir):
+    """Probing 2 cells must retrieve a candidate superset of probing
+    1 cell — the recall knob only ever adds candidates."""
+    from pyspark_scd_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") < 10)
+    p1 = {
+        (r["vec_id"], r["probe_cell"])
+        for r in similarity.ivf_probe_cells(q, centroids, n_probe=1).collect()
+    }
+    p2 = {
+        (r["vec_id"], r["probe_cell"])
+        for r in similarity.ivf_probe_cells(q, centroids, n_probe=2).collect()
+    }
+    assert p1 <= p2
+    assert len(p2) == 2 * len(p1)
+    # probe-1 must agree with ivf_assign (same rule, same tie-break)
+    a = {
+        (r["vec_id"], r["ivf_cell"])
+        for r in similarity.ivf_assign(q, centroids).collect()
+    }
+    assert p1 == a
+
+
 def test_staged_shingles_match_inline(spark, sf_dir, tmp_path):
     """Passing a pre-staged shingle table must not change any dedup
     tier's output — it only skips the tokenize+shingle pass."""

@@ -142,6 +142,24 @@ def test_basket_single_scan(spark, sf_dir):
     assert "FileScan parquet" not in plan, plan
 
 
+def test_pq_encode_is_pure_map(spark, sf_dir):
+    """Product quantization is a projection over the corpus scan —
+    no shuffle, no join, whole-stage codegen."""
+    df = REGISTRY["embedding_pq_encode"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sliding_window_single_exchange(spark, sf_dir):
+    """The hopping window expands each event into its covering
+    windows map-side (Expand), then ONE groupBy exchange."""
+    df = REGISTRY["events_sliding_window"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_dense_ann_trio_never_materializes_corpus_on_driver(
     spark, sf_dir, monkeypatch
 ):
