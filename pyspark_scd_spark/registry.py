@@ -5086,8 +5086,16 @@ def q_graph_pagerank(spark, sf_dir):
     # checkpointed BEFORE mirroring (the union references it twice)
     # and pagerank is told it is already distinct — the mirrored set
     # is a disjoint union of even->odd and odd->even keys.
+    # Cardinality-gated broadcast of the orders key map: the projected
+    # (o_orderkey, o_custkey) pair is 16 bytes/row, so up to ~5M orders
+    # it broadcasts in tens of MB and removes the join's exchange of
+    # the 4x-larger lineitem side; beyond the bound the hint is
+    # DROPPED and the plan degrades to the shuffle join (never an
+    # unbounded forced broadcast — the count is a parquet metadata
+    # read).
+    o_side = F.broadcast(o) if o.count() <= 5_000_000 else o
     pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o_side, li["l_orderkey"] == o["o_orderkey"])
         .select(
             (F.col("l_suppkey") * 2).alias("s"),
             (F.col("o_custkey") * 2 + 1).alias("c"),
