@@ -250,6 +250,56 @@ def temperature_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, determinized): each row draws a uniform
+    u from the md5 32-bit fraction of its id, gets key = −ln(u)/w, and
+    the k smallest keys form the sample. Inclusion probability is
+    proportional to weight, no two-pass normalization, no global rate
+    table — the distributed form of weighted reservoir sampling.
+
+    Default weight = token count (the LLM-mix case: sample documents
+    proportional to the training tokens they contribute); pass any
+    positive column expression to override.
+
+    Scale shape: the key is a pure map over the scan and the top-k is
+    TakeOrderedAndProject (per-partition heap of k, merge on the
+    driver) — no sort, no shuffle of the corpus, identical sample on
+    any cluster size. The key is rounded to 9 dp (ties break on id) so
+    ranking is reproducible across engines; the only libm call is ln,
+    whose last-ulp jitter vanishes at 9 dp.
+    """
+    w = (
+        F.greatest(TXT.token_count(text_col).cast("double"), F.lit(1.0))
+        if weight_col is None
+        else weight_col.cast("double")
+    )
+    # (md5_32 + 0.5) / 2^32 in (0, 1): the +0.5 keeps ln() finite on
+    # the all-zero hash and is exact in double arithmetic.
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 16,

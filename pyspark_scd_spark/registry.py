@@ -6523,3 +6523,37 @@ def q_kmeans_train_cells(spark, sf_dir):
         e, k=8, max_iter=3, tol=0.0, round_centroids=9
     )
     return assigned.select("vec_id", "cell")
+
+
+@register(
+    "corpus_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             GREATEST(CAST(len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE), 1.0) AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS weight,
+             ROUND(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                   / w, 9) AS sample_key
+      FROM t)
+    SELECT doc_id, weight, sample_key FROM s
+    ORDER BY sample_key ASC, doc_id ASC LIMIT 200
+    """,
+    doc="Weighted sampling WITHOUT replacement, determinized "
+    "Efraimidis-Spirakis A-ES (operators/corpus.py "
+    "weighted_sample_topk): u = md5 32-bit fraction of doc_id, key = "
+    "-ln(u)/w with w = token count, k smallest keys win — inclusion "
+    "probability proportional to tokens contributed, the one-pass "
+    "distributed form of weighted reservoir sampling. Key is a pure "
+    "map over the scan; top-k is TakeOrderedAndProject (per-partition "
+    "heap, no corpus sort/shuffle); 9dp rounding + id tie-break make "
+    "the sample identical across engines and cluster sizes.",
+)
+def q_corpus_weighted_sample(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample_topk(d, k=200)

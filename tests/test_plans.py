@@ -192,3 +192,13 @@ def test_dense_ann_trio_never_materializes_corpus_on_driver(
             key,
             plan,
         )
+
+
+def test_weighted_sample_take_ordered_no_shuffle(spark, sf_dir):
+    """The A-ES sample key is a pure map over the scan; the k-smallest
+    selection must be TakeOrderedAndProject (per-partition heap), not a
+    global sort + limit, and the corpus must never hash-shuffle."""
+    df = REGISTRY["corpus_weighted_sample"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
