@@ -411,3 +411,117 @@ def clean_corpus(
         .join(F.broadcast(contaminated), id_col, "left_anti")
         .select(id_col, *keep_cols, "n_tok", "quality")
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> tuple[DataFrame, DataFrame]:
+    """Iterative BPE merge training — the actual training loop, not
+    just the first pair count: each round finds the corpus-wide most
+    frequent adjacent token pair (ties: freq DESC, pair ASC), merges
+    every non-overlapping occurrence greedily left-to-right (the
+    standard BPE rule — in a run like ``a a a`` only the first pair
+    merges), and recounts on the merged corpus.
+
+    Returns ``(merge_table, tokens)``: the merge table is the trained
+    artifact — one row per step ``(step, token_a, token_b, pair_freq,
+    tokens_after)`` where ``tokens_after`` is the corpus token count
+    after applying that merge (proof the merge was applied, not just
+    chosen); ``tokens`` is the final exploded (doc_id, pos, tok)
+    corpus state. Merged tokens join with ``sep`` (0x1f — outside the
+    tokenizer alphabet, so merges never collide with raw tokens).
+
+    Scale shape: the corpus lives EXPLODED as (doc_id, pos, tok) rows
+    across the cluster; per round the pair count is a map-side-combined
+    groupBy (only distinct pairs shuffle), the winning pair is one
+    driver row (like k-means' k x d centroid state), and the merge
+    apply is windows co-partitioned on doc_id. ``localCheckpoint``
+    truncates lineage each round. Production trainers batch hundreds
+    of merges per corpus pass; one-merge-per-pass keeps each round
+    exactly replayable by a second engine (the oracle unrolls rounds
+    as CTE chains).
+
+    Overlap resolution is pure SQL: candidate positions (tok=A,
+    next=B) form runs of consecutive positions; greedy keeps every
+    other candidate from each run's start (runs only exceed length 1
+    when A=B).
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), TXT.tokens(text_col).alias("t")
+    ).filter(F.size("t") > 0)
+    rows = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    rows = rows.localCheckpoint()
+
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    for step in range(1, n_merges + 1):
+        p = rows.withColumn("nxt", F.lead("tok").over(wdoc))
+        top = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(
+                F.col("freq").desc(), F.col("tok").asc(), F.col("nxt").asc()
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, freq = top["tok"], top["nxt"], int(top["freq"])
+        wc = W.partitionBy("doc_id", "cand").orderBy("pos")
+        wg = W.partitionBy("doc_id", "grp")
+        marked = (
+            p.withColumn(
+                "cand", (F.col("tok") == a) & (F.col("nxt") == b)
+            )
+            .withColumn(
+                "grp",
+                F.when(
+                    F.col("cand"), F.col("pos") - F.row_number().over(wc)
+                ),
+            )
+            .withColumn(
+                "keep",
+                F.col("cand")
+                & ((F.col("pos") - F.min("pos").over(wg)) % 2 == 0),
+            )
+            .withColumn(
+                "dropped",
+                F.coalesce(F.lag("keep").over(wdoc), F.lit(False)),
+            )
+        )
+        applied = marked.filter(~F.col("dropped")).select(
+            "doc_id",
+            F.col("pos").alias("opos"),
+            F.when(
+                F.col("keep"), F.concat_ws(sep, F.col("tok"), F.lit(b))
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        rows = applied.select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy("opos")
+                )
+                - 1
+            ).cast("long").alias("pos"),
+            "tok",
+        ).localCheckpoint()
+        merges.append((step, a, b, freq, rows.count()))
+
+    merge_table = spark.createDataFrame(
+        merges,
+        schema="step int, token_a string, token_b string, "
+        "pair_freq bigint, tokens_after bigint",
+    )
+    return merge_table, rows

@@ -6557,3 +6557,80 @@ def q_corpus_weighted_sample(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.weighted_sample_topk(d, k=200)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-round BPE oracle: each merge round is the same CTE
+    chain (pair count -> top-1 -> candidate runs -> greedy keep ->
+    apply + renumber), chained n times — the same unrolled-iteration
+    trick as the k-means and pagerank oracles."""
+    parts = [
+        """
+    WITH r0 AS (
+      SELECT doc_id, CAST(UNNEST(range(len(t))) AS BIGINT) AS pos,
+             UNNEST(t) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) > 0)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    p{i} AS (SELECT doc_id, pos, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM r{i - 1}),
+    t{i} AS (SELECT tok AS a, nxt AS b, COUNT(*) AS freq
+           FROM p{i} WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+    c{i} AS (SELECT p.doc_id, p.pos, p.tok, t.b AS mb,
+                  (p.tok = t.a AND p.nxt = t.b) AS cand
+           FROM p{i} p CROSS JOIN t{i} t),
+    g{i} AS (SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+                (PARTITION BY doc_id, cand ORDER BY pos) END AS grp
+           FROM c{i}),
+    k{i} AS (SELECT *, cand AND ((pos - MIN(pos) OVER
+                (PARTITION BY doc_id, grp)) % 2 = 0) AS keep
+           FROM g{i}),
+    d{i} AS (SELECT *, COALESCE(lag(keep) OVER
+                (PARTITION BY doc_id ORDER BY pos), FALSE) AS dropped
+           FROM k{i}),
+    r{i} AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY pos) - 1 AS BIGINT) AS pos,
+                  CASE WHEN keep THEN tok || chr(31) || mb
+                       ELSE tok END AS tok
+           FROM d{i} WHERE NOT dropped),
+    s{i} AS (SELECT CAST({i} AS INTEGER) AS step, a AS token_a,
+                  b AS token_b, CAST(freq AS BIGINT) AS pair_freq,
+                  (SELECT COUNT(*) FROM r{i}) AS tokens_after
+           FROM t{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + "\n    " + union
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle(3),
+    doc="BPE merge TRAINING loop, value-checked end to end "
+    "(operators/corpus.py bpe_train_merges): 3 rounds of "
+    "most-frequent-adjacent-pair selection (freq DESC, pair ASC "
+    "tie-break) + greedy non-overlapping merge apply (runs of A=A "
+    "merge every other position), recounting on the merged corpus "
+    "each round. tokens_after proves each merge was APPLIED, not "
+    "just chosen. Corpus state stays exploded across executors; per "
+    "round one map-side-combined pair count + doc-co-partitioned "
+    "windows; driver state = one winning pair per round (k-means "
+    "pattern). The oracle unrolls the 3 rounds as identical CTE "
+    "chains.",
+)
+def q_bpe_train_merges(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    merge_table, _ = corpus.bpe_train_merges(d, n_merges=3)
+    return merge_table

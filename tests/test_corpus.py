@@ -177,3 +177,64 @@ def test_corpus_prep_job_end_to_end(spark, sf_dir, tmp_path):
     # Re-run is idempotent (staged overwrite, same input -> same rows).
     chunks2, _ = corpus_prep.run(spark, sf_dir, out)
     assert chunks2.count() == n1
+
+
+def _bpe_reference(docs: list[list[str]], n_merges: int):
+    """Pure-Python BPE trainer: the semantics bpe_train_merges must
+    reproduce (greedy left-to-right non-overlapping merge apply)."""
+    merges = []
+    state = [list(t) for t in docs]
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for t in state:
+            for x, y in zip(t, t[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        (a, b), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        new_state = []
+        for t in state:
+            out: list[str] = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + "\x1f" + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            new_state.append(out)
+        state = new_state
+        merges.append((step, a, b, freq, sum(len(t) for t in state)))
+    return merges, state
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    # 'a a a a a' exercises the overlapping-run greedy rule; 'x y' the
+    # plain case; doc 3 makes (x,y) win round 1.
+    rows = [
+        (1, "a a a a a"),
+        (2, "x y x y x y"),
+        (3, "x y b a a"),
+        (4, "y x y x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merge_table, final_rows = corpus.bpe_train_merges(df, n_merges=3)
+    got = [
+        (r["step"], r["token_a"], r["token_b"], r["pair_freq"],
+         r["tokens_after"])
+        for r in merge_table.orderBy("step").collect()
+    ]
+    docs = [t.split() for _, t in rows]
+    want, want_state = _bpe_reference(docs, 3)
+    assert got == want
+    # final exploded corpus state matches the reference merge apply
+    state_rows = sorted(
+        (r["doc_id"], r["pos"], r["tok"]) for r in final_rows.collect()
+    )
+    want_rows = sorted(
+        (i + 1, p, tok)
+        for i, t in enumerate(want_state)
+        for p, tok in enumerate(t)
+    )
+    assert state_rows == want_rows
