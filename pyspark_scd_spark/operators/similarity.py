@@ -297,6 +297,33 @@ def embedding_neardup_pairs_blas(
     return df.select(id_col, vec_col).mapInPandas(_pairs, schema=schema)
 
 
+def _ivf_scored_sql(xcol: str, centroids: list[list[float]]) -> str:
+    """SQL text for the per-centroid (9dp-rounded cosine, cell) struct
+    array — the shared core of ivf_assign / ivf_probe_cells. ``xcol``
+    must already be a bound array<double> column. One py4j call per
+    DataFrame instead of ~600 Column-operator round trips (the same
+    driver-side build cost fix as _pq_best_sql); the arithmetic is the
+    Column form's exactly: zip-fold dot, sqrt-of-fold norms,
+    dot/(norm*norm)."""
+    structs = []
+    for i, c in enumerate(centroids):
+        y = "array(" + ", ".join(_sql_dbl(x) for x in c) + ")"
+        cos = (
+            f"{_sql_dot(xcol, y)} / "
+            f"(sqrt({_sql_dot(xcol, xcol)}) * sqrt({_sql_dot(y, y)}))"
+        )
+        structs.append(f"named_struct('s', round({cos}, 9), 'c', {i})")
+    return f"array({', '.join(structs)})"
+
+
+def _ivf_bound(df: DataFrame, vec_col: str) -> DataFrame:
+    """Bind the double-cast vector once before the scored-array text
+    (keeps the cast out of every dot product)."""
+    return df.withColumn(
+        "__vd", F.transform(F.col(vec_col), lambda t: t.cast("double"))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -318,21 +345,16 @@ def ivf_assign(
     # cosine expression appears exactly ONCE. A chained when/otherwise
     # fold would embed the running best twice per step — 2^n expression
     # blowup that stalls the analyzer beyond ~6 centroids.
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    V.cosine(
-                        F.col(vec_col), F.array(*[F.lit(x) for x in c])
-                    ),
-                    9,
-                ).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    return (
+        _ivf_bound(df, vec_col)
+        .withColumn(
+            out_col,
+            F.expr(f"array_max({_ivf_scored_sql('__vd', centroids)})")[
+                "c"
+            ],
+        )
+        .drop("__vd")
     )
-    return df.withColumn(out_col, F.array_max(scored)["c"])
 
 
 def ivf_probe_cells(
@@ -352,23 +374,14 @@ def ivf_probe_cells(
     9 dp, ties toward the larger cell index ((s DESC, c DESC)
     ordering — array_sort on (s, c) structs then reversed).
     """
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    V.cosine(
-                        F.col(vec_col), F.array(*[F.lit(x) for x in c])
-                    ),
-                    9,
-                ).alias("s"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    top = F.expr(
+        f"slice(reverse(array_sort("
+        f"{_ivf_scored_sql('__vd', centroids)})), 1, {int(n_probe)})"
     )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
-    return df.withColumn(
-        out_col, F.explode(F.transform(top, lambda t: t["c"]))
+    return (
+        _ivf_bound(df, vec_col)
+        .withColumn(out_col, F.explode(F.transform(top, lambda t: t["c"])))
+        .drop("__vd")
     )
 
 
@@ -400,6 +413,217 @@ def quantize_int8(
     )
 
 
+def _sql_dbl(x: float) -> str:
+    """Exact double literal for SQL text (repr round-trips IEEE754;
+    CAST from string avoids Spark's bare-decimal-literal → DECIMAL
+    typing)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL text twin of functions/vectors.dot: zip-multiply then
+    serial left-fold — the identical float sequence as the Column
+    form and DuckDB's list_inner_product."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (a, b) -> a * b), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_best_sql(xcol: str, cb: list[list[float]]) -> str:
+    """argmin (9dp-rounded squared distance, smaller code) over one
+    subspace's codebook, as ONE SQL expression string: struct(s, c)
+    via array_min — each centroid's distance appears exactly once (no
+    when/otherwise blowup), and building the whole subspace costs one
+    py4j call instead of ~250 (constructing the 8×8×3 dot-product
+    tree through Column operators measured 9s of pure driver time at
+    build; F.expr over generated text is ~100×cheaper). ``xcol`` must
+    be a BOUND column name (see ``_pq_sliced``). Shared by pq_encode
+    and pq_codes; arithmetic is bit-identical to the previous Column
+    form (same zip-fold dots, same x·x − 2x·y + y·y shape)."""
+    structs = []
+    for code, cent in enumerate(cb):
+        y = "array(" + ", ".join(_sql_dbl(c) for c in cent) + ")"
+        dist2 = (
+            f"{_sql_dot(xcol, xcol)} - 2 * {_sql_dot(xcol, y)} "
+            f"+ {_sql_dot(y, y)}"
+        )
+        structs.append(
+            f"named_struct('s', round({dist2}, 9), 'c', {code})"
+        )
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def _pq_sliced(
+    df: DataFrame,
+    m: int,
+    ds: int,
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bind the double-cast vector and each subvector slice to REAL
+    columns before the per-centroid distance math. Inlined, Catalyst's
+    CollapseProject would re-substitute the cast-transform into every
+    one of the m·k·3 dot products (the O(n²) re-inline trap — measured
+    here: 9s → 0.9s per pass on sf0.1's 5000×64 corpus)."""
+    bound = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.transform(F.col(vec_col), lambda t: t.cast("double")).alias(
+            "__v"
+        ),
+    )
+    return bound.select(
+        id_col,
+        *extra_cols,
+        *[
+            F.slice("__v", j * ds + 1, ds).alias(f"__x{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """PQ code vector per row — ``(id, *extra, codes array<int>)``,
+    the compressed-corpus input ``pq_adc_topk`` scans. Same
+    assignment contract as ``pq_encode`` (9dp rounding, smaller-code
+    ties); pure codegen map, no shuffle."""
+    ds = len(codebooks[0][0])
+    sliced = _pq_sliced(
+        df, len(codebooks), ds, id_col, vec_col, extra_cols
+    )
+    codes = F.array(
+        *[
+            F.expr(_pq_best_sql(f"__x{j}", cb))["c"]
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    return sliced.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], codes.alias("codes")
+    )
+
+
+def _round_away_scalar(a: float, d: int) -> float:
+    """DuckDB-style half-away-from-zero rounding (python round() is
+    half-even — they disagree exactly on .5 boundaries)."""
+    import math
+
+    p = 10.0**d
+    return math.copysign(math.floor(abs(a) * p + 0.5), a) / p
+
+
+def adc_lut_nanos(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[int]]:
+    """ADC lookup table for one query in integer nano-units:
+    lut[j][c] = round9(||q_j − centroid_{j,c}||²)·1e9 as exact longs.
+
+    Serial left-to-right sums and the x·x − 2x·y + y·y expression
+    mirror the engine-side arithmetic (functions/vectors.py dot /
+    DuckDB list_inner_product) bit for bit, and integer nanos make the
+    downstream ADC SUM exact — no float summation-order risk in the
+    ranking."""
+    ds = len(codebooks[0][0])
+    lut: list[list[int]] = []
+    for j, cb in enumerate(codebooks):
+        x = [float(t) for t in query_vec[j * ds : (j + 1) * ds]]
+        row = []
+        for cent in cb:
+            y = [float(t) for t in cent]
+            xx = 0.0
+            for a in x:
+                xx += a * a
+            xy = 0.0
+            for a, b in zip(x, y):
+                xy += a * b
+            yy = 0.0
+            for b in y:
+                yy += b * b
+            d9 = _round_away_scalar(xx - 2 * xy + yy, 9)
+            row.append(int(_round_away_scalar(d9 * 1e9, 0)))
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    query_cells: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """IVF+PQ asymmetric-distance search — the standard 100 TB ANN
+    serving shape (IVF prunes the scan to probed cells, PQ codes make
+    the scanned bytes ~100× smaller, ADC scores candidates from a
+    per-query lookup table without decompressing).
+
+    The corpus is reduced to ``(id, cell, codes)`` — a pure map — and
+    each query ships only its m×k LUT (exact integer nanos) via a
+    broadcast; the approximate distance is a zip-sum of m table
+    lookups per candidate, whole-stage codegen, zero corpus shuffle
+    before the final per-query top-k. With ``cell_col``/
+    ``query_cells`` the scan is pruned to each query's probed cells
+    (at rest: partition the code table by cell). Exact longs end to
+    end ⇒ rankings are reproducible across engines; ties break on id.
+
+    Returns (query_id, id, adc_dist, rank<=k).
+    """
+    spark = corpus.sparkSession
+    extra = (cell_col,) if cell_col else ()
+    coded = pq_codes(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, extra_cols=extra
+    )
+    qrows = []
+    for qid, vec in queries:
+        lut = adc_lut_nanos(vec, codebooks)
+        cells = (query_cells or {}).get(qid)
+        if cell_col and cells is not None:
+            for c in cells:
+                qrows.append((int(qid), int(c), lut))
+        else:
+            qrows.append((int(qid), None, lut))
+    qdf = spark.createDataFrame(
+        qrows, schema="query_id bigint, __cell int, lut array<array<bigint>>"
+    )
+    if cell_col:
+        cand = coded.join(
+            F.broadcast(qdf), F.col(cell_col) == F.col("__cell")
+        )
+    else:
+        cand = coded.crossJoin(F.broadcast(qdf.drop("__cell")))
+    nanos = F.aggregate(
+        F.zip_with(
+            "codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("query_id", id_col, nanos.alias("__n"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__n").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.col("__n") / F.lit(1000000000.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -427,21 +651,11 @@ def pq_encode(
     """
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sliced = _pq_sliced(df, m, ds, id_col, vec_col)
     codes = []
     errs = []
     for j, cb in enumerate(codebooks):
-        x = F.slice(v, j * ds + 1, ds)
-        scored = []
-        for code, cent in enumerate(cb):
-            y = F.array(*[F.lit(float(c)) for c in cent])
-            dist2 = V.dot(x, x) - 2 * V.dot(x, y) + V.dot(y, y)
-            scored.append(
-                F.struct(
-                    F.round(dist2, 9).alias("s"), F.lit(code).alias("c")
-                )
-            )
-        best = F.array_min(F.array(*scored))
+        best = F.expr(_pq_best_sql(f"__x{j}", cb))
         codes.append(best["c"])
         errs.append(best["s"])
     # Integer-nanos sum, not ROUND(sum, 6): the per-subspace distances
@@ -453,7 +667,7 @@ def pq_encode(
     mse_nanos = F.round(errs[0] * 1e9).cast("long")
     for e in errs[1:]:
         mse_nanos = mse_nanos + F.round(e * 1e9).cast("long")
-    return df.select(
+    return sliced.select(
         F.col(id_col),
         F.concat_ws(",", *[c.cast("string") for c in codes]).alias(
             "pq_code"

@@ -6634,3 +6634,102 @@ def q_bpe_train_merges(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     merge_table, _ = corpus.bpe_train_merges(d, n_merges=3)
     return merge_table
+
+
+@register(
+    "sim_search_ivf_pq",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c AS ivf_cell FROM cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, c AS ivf_cell
+               FROM cells WHERE rn <= 2
+                 AND vec_id >= 100 AND vec_id < 110),
+    sub AS (SELECT e.vec_id, CAST(s.s AS INTEGER) AS sub_idx,
+                   (e.v)[s.s*8+1 : s.s*8+8] AS x
+            FROM e, LATERAL (SELECT unnest(range(0, 8)) AS s) s),
+    cs AS (SELECT c AS code, CAST(s.s AS INTEGER) AS sub_idx,
+                  (cent.cv)[s.s*8+1 : s.s*8+8] AS y
+           FROM cent, LATERAL (SELECT unnest(range(0, 8)) AS s) s),
+    d AS (SELECT sub.vec_id, sub.sub_idx, cs.code,
+                 ROUND(list_inner_product(x, x)
+                       - 2 * list_inner_product(x, y)
+                       + list_inner_product(y, y), 9) AS dist2
+          FROM sub JOIN cs USING (sub_idx)),
+    best AS (SELECT vec_id, sub_idx, code,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                        ORDER BY dist2 ASC, code ASC) AS rn
+             FROM d),
+    lut AS (SELECT d.vec_id AS query_id, d.sub_idx, d.code,
+                   CAST(ROUND(d.dist2 * 1000000000) AS BIGINT) AS dn
+            FROM d WHERE d.vec_id >= 100 AND d.vec_id < 110),
+    adc AS (SELECT p.query_id, a.vec_id, SUM(l.dn) AS n
+            FROM probes p
+            JOIN assign a ON a.ivf_cell = p.ivf_cell
+            JOIN best b ON b.vec_id = a.vec_id AND b.rn = 1
+            JOIN lut l ON l.query_id = p.query_id
+                      AND l.sub_idx = b.sub_idx AND l.code = b.code
+            GROUP BY 1, 2),
+    r AS (SELECT query_id, vec_id, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY n ASC, vec_id ASC) AS INTEGER) AS rank
+          FROM adc)
+    SELECT query_id, vec_id, n / 1000000000.0 AS adc_dist, rank
+    FROM r WHERE rank <= 5
+    """,
+    doc="IVF+PQ asymmetric-distance ANN — the full 100 TB serving "
+    "stack in one query (operators/similarity.py pq_adc_topk): "
+    "corpus reduced to (cell, 8x3-bit PQ codes) by a pure-map encode, "
+    "queries probe their top-2 IVF cells and ship an 8x8 LUT of "
+    "exact integer-nano squared distances; ADC = zip-sum of table "
+    "lookups, codegen, zero corpus shuffle before the final top-k. "
+    "Exact longs end to end, so ADC ranking is engine-reproducible "
+    "with no float-order risk; the oracle replays encode, probe, LUT "
+    "and ADC from the same CTEs as the pq/probe2 oracles.",
+)
+def q_sim_search_ivf_pq(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    first8 = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    ds = 8
+    codebooks = [
+        [vec[j * ds : (j + 1) * ds] for vec in first8] for j in range(8)
+    ]
+    corpus = similarity.ivf_assign(e, first8)
+    qsub = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    # one collect serves both the query vectors and their probe cells
+    # (ivf_probe_cells keeps the embedding column) — the probe-cell
+    # expression tree is 8 64-dim cosines, so each extra job over it
+    # pays its codegen again.
+    probe_rows = (
+        similarity.ivf_probe_cells(qsub, first8, n_probe=2)
+        .select("vec_id", "embedding", "probe_cell")
+        .orderBy("vec_id", "probe_cell")
+        .collect()
+    )
+    queries_d: dict[int, list[float]] = {}
+    query_cells: dict[int, list[int]] = {}
+    for r in probe_rows:
+        qid = int(r["vec_id"])
+        queries_d[qid] = list(r["embedding"])
+        query_cells.setdefault(qid, []).append(int(r["probe_cell"]))
+    queries = sorted(queries_d.items())
+    return similarity.pq_adc_topk(
+        corpus,
+        codebooks,
+        queries,
+        k=5,
+        cell_col="ivf_cell",
+        query_cells=query_cells,
+    )

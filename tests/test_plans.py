@@ -202,3 +202,13 @@ def test_weighted_sample_take_ordered_no_shuffle(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ivf_pq_adc_no_corpus_shuffle(spark, sf_dir):
+    """IVF+PQ ADC: the corpus is a pure-map encode + broadcast LUT
+    join; the only hash exchange is the final per-query top-k on the
+    candidate set."""
+    df = REGISTRY["sim_search_ivf_pq"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
