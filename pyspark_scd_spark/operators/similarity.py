@@ -76,16 +76,22 @@ def lsh_bucket_expr(
     vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
 ):
     """Column expression for the random-hyperplane signature:
-    bit i = sign(v · plane_i)."""
+    bit i = sign(v · plane_i). Generated as one SQL string — building
+    n_planes×dim literal trees through Column operators costs seconds
+    of py4j round trips per table (same fix as _pq_best_sql); the
+    zip-fold dot is arithmetically identical to the Column form."""
     planes = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
+    vd = f"transform({vec_col}, t -> CAST(t AS DOUBLE))"
+    terms = []
     for i, p in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in p])
-        bit = F.when(
-            V.dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+        y = "array(" + ", ".join(_sql_dbl(x) for x in p) + ")"
+        terms.append(
+            f"(CASE WHEN {_sql_dot(vd, y)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(terms)
+    )
 
 
 def duckdb_bucket_sql(
