@@ -106,3 +106,170 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k per query: score(q, d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl)) over the query's
+    distinct tokens, idf = ln((N − df + ½)/(df + ½) + 1).
+
+    Plan shape at 100 TB: the corpus tokenizes once into (doc, term,
+    tf) partial-aggregated rows; the query term set (tiny) broadcasts
+    onto it, so only candidate postings — documents sharing at least
+    one query term — survive to the scoring join, exactly an inverted
+    index probe. Doc lengths join the candidate set on doc_id; the
+    corpus-wide constants (N, avgdl) ride a broadcast 1-row cross
+    join, never a single-partition window. Scores round to 6 dp with
+    id tie-break so ranking is engine-reproducible.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+    )
+    qtok = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(TXT.tokens(text_col))).alias("tok"),
+    )
+    # df is vocab-sized — restrict it to the query's terms BEFORE the
+    # broadcast so the shipped table is |query terms|, not |vocab|.
+    dfreq_q = dfreq.join(
+        F.broadcast(qtok.select("tok").distinct()), "tok"
+    )
+    cand = tf.join(F.broadcast(qtok), "tok")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    cand = (
+        cand.join(F.broadcast(dfreq_q), "tok")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        cand.select(query_id_col, id_col, term.alias("__t"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("__t"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "rank")
+    )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k0: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG-stack shape: a lexical BM25 ranking and a dense cosine ranking
+    are each cut at ``k0``, then fused by rrf = Σ 1/(rrf_k + rank)
+    over the lists that contain the candidate (a missing list
+    contributes 0), final top-``k`` per query.
+
+    Both legs broadcast the (tiny) query set over the corpus —
+    candidate generation never shuffles the big side — and the fusion
+    is a full outer join of two ≤|Q|·k0 ranked lists, driver-free.
+    RRF terms are reciprocals of small integers, so the fused score is
+    bit-identical across engines (no float-order risk); ties break on
+    doc id.
+    """
+    from pyspark_scd_spark.functions import vectors as V
+
+    ids = [int(q) for q in query_ids]
+    kw = bm25_topk(
+        docs,
+        docs.filter(F.col(id_col).isin(ids)).select(
+            F.col(id_col).alias("query_id"), text_col
+        ),
+        k=k0,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.col("rank").alias("kw_rank"),
+    )
+    qv = embeddings.filter(F.col(vec_id_col).isin(ids)).select(
+        F.col(vec_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    vec_scored = (
+        embeddings.join(F.broadcast(qv))
+        .filter(F.col(vec_id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(vec_id_col).alias(id_col),
+            F.round(V.cosine(F.col(vec_col), F.col("__qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    vec = (
+        vec_scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= k0)
+        .select("query_id", id_col, "vec_rank")
+    )
+    fused = kw.join(vec, ["query_id", id_col], "full_outer")
+    rrf = F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("kw_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.round(F.col("__rrf"), 6).alias("rrf_score"),
+            "rank",
+        )
+    )

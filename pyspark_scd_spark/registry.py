@@ -6733,3 +6733,95 @@ def q_sim_search_ivf_pq(spark, sf_dir):
         cell_col="ivf_cell",
         query_cells=query_cells,
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, SUM(tf) AS dlen FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(dlen) AS avgdl FROM dlen),
+    qtok AS (SELECT DISTINCT doc_id AS query_id, tok FROM toks
+             WHERE doc_id >= 100 AND doc_id < 105),
+    cand AS (SELECT q.query_id, t.doc_id, t.tf, f.df, l.dlen,
+                    s.n_docs, s.avgdl
+             FROM tf t JOIN qtok q USING (tok)
+             JOIN dfreq f USING (tok)
+             JOIN dlen l ON l.doc_id = t.doc_id, stats s
+             WHERE t.doc_id <> q.query_id),
+    kw0 AS (SELECT query_id, doc_id,
+                   ROUND(SUM(ln((n_docs - df + CAST('0.5' AS DOUBLE))
+                                / (df + CAST('0.5' AS DOUBLE))
+                                + CAST('1.0' AS DOUBLE))
+                         * (tf * CAST('{_BM25_K1 + 1.0!r}' AS DOUBLE))
+                         / (tf + CAST('{_BM25_K1!r}' AS DOUBLE)
+                            * (CAST('{1.0 - _BM25_B!r}' AS DOUBLE)
+                               + CAST('{_BM25_B!r}' AS DOUBLE)
+                                 * dlen / avgdl))), 6) AS bm25
+            FROM cand GROUP BY 1, 2),
+    kw AS (SELECT query_id, doc_id, rk AS kw_rank FROM (
+             SELECT query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY bm25 DESC, doc_id ASC) AS rk
+             FROM kw0) WHERE rk <= 20),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id >= 100 AND vec_id < 105),
+    vs AS (SELECT q.query_id, e.vec_id AS doc_id,
+                  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+           FROM e CROSS JOIN qv q WHERE e.vec_id <> q.query_id),
+    vec AS (SELECT query_id, doc_id, rk AS vec_rank FROM (
+              SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, doc_id ASC) AS rk
+              FROM vs) WHERE rk <= 20),
+    fused AS (SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+                     COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+                     kw.kw_rank, vec.vec_rank,
+                     COALESCE(1E0 / (60 + kw.kw_rank), 0E0)
+                       + COALESCE(1E0 / (60 + vec.vec_rank), 0E0) AS rrf
+              FROM kw FULL OUTER JOIN vec
+                ON kw.query_id = vec.query_id
+               AND kw.doc_id = vec.doc_id),
+    r AS (SELECT query_id, doc_id,
+                 CAST(kw_rank AS INTEGER) AS kw_rank,
+                 CAST(vec_rank AS INTEGER) AS vec_rank,
+                 ROUND(rrf, 6) AS rrf_score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+          FROM fused)
+    SELECT query_id, doc_id, kw_rank, vec_rank, rrf_score, rank
+    FROM r WHERE rank <= 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion — the RAG-stack "
+    "query (operators/search.py hybrid_search_rrf): an Okapi BM25 "
+    "lexical leg (idf = ln((N-df+.5)/(df+.5)+1), k1=1.2 b=0.75; "
+    "query terms broadcast onto the (doc,term,tf) table = an "
+    "inverted-index probe, corpus never shuffles for candidates) and "
+    "a dense cosine leg (query vectors broadcast), each cut at 20, "
+    "fused by rrf = sum 1/(60+rank) and re-ranked top-10. RRF terms "
+    "are reciprocals of small integers — bit-identical across "
+    "engines; BM25 constants are inlined from the same Python "
+    "doubles the builder uses.",
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    from pyspark_scd_spark.operators import search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return search.hybrid_search_rrf(
+        d, e, query_ids=list(range(100, 105)), k=10, k0=20, rrf_k=60
+    )

@@ -144,3 +144,63 @@ def test_ab_test_conversion(spark):
     # z on the A row only; finite because the pooled rate is interior
     assert out["A"]["z_score"] is not None
     assert out["B"]["z_score"] is None
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # doc 1 shares the RARE term 'zebra' with the query; docs 2-5
+    # share only the ubiquitous term 'common'. idf must put doc 1 on
+    # top despite equal term counts.
+    rows = [
+        (0, "zebra common alpha"),          # query doc
+        (1, "zebra beta gamma"),
+        (2, "common beta delta"),
+        (3, "common gamma epsilon"),
+        (4, "common delta zeta"),
+        (5, "common epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = docs.filter("doc_id = 0").selectExpr(
+        "doc_id AS query_id", "text"
+    )
+    got = search.bm25_topk(docs, queries, k=3).orderBy("rank").collect()
+    assert got[0]["doc_id"] == 1
+    assert all(r["query_id"] == 0 for r in got)
+    assert got[0]["bm25"] > got[1]["bm25"]
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "zebra unique query words"),
+        (1, "zebra matching lexical doc"),   # lexical hit, orthogonal vector
+        (2, "totally different words here"),  # vector hit only
+        (3, "other unrelated content body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),   # near the query vector
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    got = {
+        r["doc_id"]: r
+        for r in search.hybrid_search_rrf(
+            docs, vecs, query_ids=[0], k=4, k0=2, rrf_k=60
+        ).collect()
+    }
+    # doc 1: lexical rank 1, missing from vector top-2 -> kw leg only
+    assert got[1]["kw_rank"] == 1
+    # doc 2: vector rank 1
+    assert got[2]["vec_rank"] == 1
+    # rrf arithmetic: a doc present in both legs beats same-rank
+    # single-leg docs; exact reciprocal sums
+    for r in got.values():
+        expect = (1.0 / (60 + r["kw_rank"]) if r["kw_rank"] else 0.0) + (
+            1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
