@@ -62,6 +62,10 @@ HEADLINE = [
     "scd_merge_incremental",
     "scd_type2_intervals",
     "doc_pack_materialize",
+    "corpus_weighted_sample",
+    "bpe_train_merges",
+    "sim_search_ivf_pq",
+    "hybrid_search_rrf",
 ]
 
 
