@@ -770,3 +770,52 @@ def _cc_union_find_local(edges: DataFrame, src_col: str) -> DataFrame:
     return edges.sparkSession.createDataFrame(
         out, schema=edges.select(F.col("a"), F.col("a")).schema
     ).toDF(src_col, "component")
+
+
+def span_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level near-dup candidates via shared winnowing
+    fingerprints — the scalable stand-in for exact-substring dedup
+    (Lee et al.'s ExactSubstr): two documents sharing ≥ ``min_shared``
+    winnow fingerprints share, with high probability, that many
+    distinct substrings of length ≥ k+window−1 — boilerplate headers,
+    quoted passages, templated spans — which shingle-set Jaccard
+    dilutes away on long documents.
+
+    Plan: fingerprints (functions/text.py winnow_fingerprint_rows, ~
+    1/window of the gram hashes) → drop hub fingerprints appearing in
+    more than ``max_df`` docs (the stop-shingle cap that bounds the
+    self-join's worst key to max_df², same as ngram_jaccard_pairs) →
+    inverted-index self-join on fingerprint → per-pair shared count.
+    One exchange of the fingerprint rows; never all-pairs.
+
+    Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    fps = TXT.winnow_fingerprint_rows(
+        df, id_col=id_col, text_col=text_col, k=k, window=window,
+        hash_fn=hash_fn,
+    )
+    keep = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fingerprint")
+    )
+    kept = fps.join(keep, "fingerprint")
+    a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -6825,3 +6825,51 @@ def q_hybrid_search_rrf(spark, sf_dir):
     return search.hybrid_search_rrf(
         d, e, query_ids=list(range(100, 105)), k=10, k0=20, rrf_k=60
     )
+
+
+@register(
+    "dedup_span_overlap",
+    r"""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+               FROM documents),
+    g AS (SELECT doc_id, CAST(i.i AS INTEGER) AS pos,
+                 CAST(CAST(('0x' || substr(md5(substr(t,
+                      CAST(i.i AS INTEGER), 5)), 1, 15)) AS UBIGINT)
+                      AS BIGINT) AS h
+          FROM n, LATERAL (SELECT unnest(range(1,
+               GREATEST(length(t), 5) - 5 + 2)) AS i) i),
+    w AS (SELECT doc_id, pos, h,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+          FROM g),
+    fps AS (SELECT DISTINCT doc_id, wmin AS fingerprint
+            FROM w WHERE pos <= n_grams - 3),
+    keep AS (SELECT fingerprint FROM fps
+             GROUP BY fingerprint HAVING COUNT(*) <= 20),
+    kept AS (SELECT f.doc_id, f.fingerprint
+             FROM fps f JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+    doc="Substring-level near-dup pairs (operators/dedup.py "
+    "span_overlap_pairs): documents sharing >=3 winnowing "
+    "fingerprints — the scalable ExactSubstr stand-in for shared "
+    "boilerplate/quotes that shingle Jaccard dilutes on long docs. "
+    "Hub fingerprints (df > 20) dropped before the inverted-index "
+    "self-join (bounds the worst key to df^2); 60-bit md5 gram "
+    "hashes so the oracle replays the fingerprints exactly.",
+)
+def q_dedup_span_overlap(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_overlap_pairs(
+        d.select("doc_id", "text"), min_shared=3, max_df=20,
+        hash_fn="md5",
+    )

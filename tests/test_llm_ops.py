@@ -582,3 +582,24 @@ def test_hard_negative_mining_semantics(spark):
     negs1 = sorted(by_anchor[1])
     assert [n for _, n, _ in negs1] == [3, 4]  # cosine order, hard first
     assert negs1[0][2] > negs1[1][2]
+
+
+def test_span_overlap_pairs_finds_shared_boilerplate(spark):
+    from pyspark_scd_spark.operators import dedup
+
+    shared = "this exact disclaimer paragraph is appended to both documents verbatim"
+    rows = [
+        (1, "alpha unique body one " + shared),
+        (2, "totally different second text " + shared),
+        (3, "unrelated content with no overlap whatsoever in here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.span_overlap_pairs(
+        df, min_shared=3, max_df=10, hash_fn="md5"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # a ~70-char shared span yields many shared window-min fingerprints
+    ns = {(r["id_a"], r["id_b"]): r["n_shared"] for r in got}[(1, 2)]
+    assert ns >= 3
