@@ -525,3 +525,117 @@ def bpe_train_merges(
         "pair_freq bigint, tokens_after bigint",
     )
     return merge_table, rows
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    short_doc_tokens: int = 20,
+) -> DataFrame:
+    """One-row dataset card — the summary block a training-data
+    release ships: document/token volume, source and language
+    diversity (Shannon entropy of the language mix), exact-duplicate
+    rate (1 − distinct fingerprints / docs), and the short-document
+    fraction.
+
+    Three bounded aggregates (corpus-wide scalars, per-language
+    counts, nothing else) joined by broadcast cross joins — the
+    corpus is scanned once per aggregate with map-side combine, no
+    data-proportional shuffle, and the result is a single row
+    regardless of scale.
+    """
+    toks = TXT.token_count(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__nt"),
+        F.col(lang_col),
+        F.col(source_col),
+        TXT.fingerprint(text_col).alias("__fp"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.round(F.avg("__nt"), 4).alias("avg_tokens"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.countDistinct("__fp").cast("long").alias("__n_fp"),
+        F.sum(
+            F.when(F.col("__nt") < short_doc_tokens, 1).otherwise(0)
+        ).cast("long").alias("__n_short"),
+    )
+    lang_counts = base.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    entropy = (
+        lang_counts.crossJoin(
+            F.broadcast(overall.select("n_docs"))
+        )
+        .select(
+            (
+                -(F.col("__c") / F.col("n_docs"))
+                * F.log(F.col("__c") / F.col("n_docs"))
+            ).alias("__h")
+        )
+        .agg(F.round(F.sum("__h"), 6).alias("lang_entropy"))
+    )
+    return overall.crossJoin(F.broadcast(entropy)).select(
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "n_sources",
+        "n_langs",
+        "lang_entropy",
+        F.round(
+            1.0 - F.col("__n_fp") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.col("__n_short") / F.col("n_docs"), 6).alias(
+            "short_doc_frac"
+        ),
+    )
+
+
+def bpe_encode_checksum(
+    df: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-then-encode BPE lifecycle: run ``bpe_train_merges``,
+    assign dense token ids over the FINAL merged vocabulary (corpus
+    frequency DESC, token ASC — the conventional BPE id order), and
+    encode every document, emitting a per-doc verification row
+    ``(doc_id, n_tokens, ids_checksum)`` with checksum =
+    Σ (pos+1)·id — an exact integer that pins the whole id sequence
+    (any id or position flip changes it).
+
+    Scale shape: encoding joins the exploded corpus against the
+    broadcast vocab-id table; the id assignment is the one global
+    ordering in the pipeline and runs on the AGGREGATED vocab
+    (|distinct tokens|, bounded by the tokenizer — ~30k here, never
+    corpus-sized), which is the same single-pass any tokenizer
+    trainer does. Checksums are integer sums — engine-exact.
+    """
+    from pyspark.sql import Window as W
+
+    _, rows = bpe_train_merges(
+        df, n_merges=n_merges, id_col=id_col, text_col=text_col
+    )
+    vocab = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    wv = W.orderBy(F.col("__f").desc(), F.col("tok").asc())
+    vocab_ids = vocab.select(
+        "tok", (F.row_number().over(wv) - 1).cast("long").alias("__id")
+    )
+    return (
+        rows.join(F.broadcast(vocab_ids), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("pos") + 1) * F.col("__id"))
+            .cast("long")
+            .alias("ids_checksum"),
+        )
+        .select(F.col("doc_id").alias(id_col), "n_tokens", "ids_checksum")
+    )

@@ -6564,6 +6564,16 @@ def _bpe_oracle(n_merges: int) -> str:
     chain (pair count -> top-1 -> candidate runs -> greedy keep ->
     apply + renumber), chained n times — the same unrolled-iteration
     trick as the k-means and pagerank oracles."""
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, n_merges + 1)
+    )
+    return _bpe_chain(n_merges) + "\n    " + union
+
+
+def _bpe_chain(n_merges: int) -> str:
+    """The shared WITH-chain (r0 … s{n}) of the BPE oracles —
+    bpe_train_merges unions the s{i} summaries, bpe_encode_checksum
+    extends r{n} with vocab-id CTEs."""
     parts = [
         """
     WITH r0 AS (
@@ -6607,10 +6617,7 @@ def _bpe_oracle(n_merges: int) -> str:
                   (SELECT COUNT(*) FROM r{i}) AS tokens_after
            FROM t{i})"""
         )
-    union = "\n    UNION ALL ".join(
-        f"SELECT * FROM s{i}" for i in range(1, n_merges + 1)
-    )
-    return ",".join(parts) + "\n    " + union
+    return ",".join(parts)
 
 
 @register(
@@ -6873,3 +6880,79 @@ def q_dedup_span_overlap(spark, sf_dir):
         d.select("doc_id", "text"), min_shared=3, max_df=20,
         hash_fn="md5",
     )
+
+
+@register(
+    "corpus_datacard",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS nt,
+             lang, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    overall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             ROUND(AVG(nt), 4) AS avg_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM base),
+    lc AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM base GROUP BY 1),
+    ent AS (SELECT ROUND(SUM(-(c / n_docs) * ln(c / n_docs)), 6)
+                     AS lang_entropy
+            FROM lc, overall)
+    SELECT n_docs, total_tokens, avg_tokens, n_sources, n_langs,
+           lang_entropy,
+           ROUND(1.0 - n_fp / n_docs, 6) AS exact_dup_rate,
+           ROUND(n_short / n_docs, 6) AS short_doc_frac
+    FROM overall, ent
+    """,
+    doc="One-row corpus datacard (operators/corpus.py "
+    "corpus_datacard): volume (docs/tokens/avg), diversity (source "
+    "count, language-mix Shannon entropy), exact-dup rate from "
+    "normalized-text fingerprints, short-doc fraction. Bounded "
+    "aggregates + broadcast cross joins — one row out at any scale.",
+)
+def q_corpus_datacard(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.corpus_datacard(d)
+
+
+@register(
+    "bpe_encode_checksum",
+    _bpe_chain(3)
+    + """,
+    vocab AS (SELECT tok,
+                     CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                         tok ASC) - 1 AS BIGINT) AS id
+              FROM r3 GROUP BY tok),
+    enc AS (SELECT r.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM((r.pos + 1) * v.id) AS BIGINT)
+                     AS ids_checksum
+            FROM r3 r JOIN vocab v USING (tok) GROUP BY 1)
+    SELECT doc_id, n_tokens, ids_checksum FROM enc
+    """,
+    doc="BPE train-then-ENCODE lifecycle (operators/corpus.py "
+    "bpe_encode_checksum): after the 3 trained merges, dense token "
+    "ids are assigned over the final vocab (freq DESC, token ASC) "
+    "and every document is encoded; the output pins the full id "
+    "sequence per doc via the exact integer checksum sum((pos+1)*id). "
+    "Encoding is a broadcast-vocab join over the exploded corpus; the "
+    "only global ordering runs on the aggregated vocab (bounded, "
+    "never corpus-sized). Oracle extends the unrolled-round training "
+    "chain with the same vocab-id CTEs.",
+)
+def q_bpe_encode_checksum(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bpe_encode_checksum(d, n_merges=3)
