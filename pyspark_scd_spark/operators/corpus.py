@@ -465,7 +465,7 @@ def bpe_train_merges(
     merges = []
     for step in range(1, n_merges + 1):
         p = rows.withColumn("nxt", F.lead("tok").over(wdoc))
-        top = (
+        tops = (
             p.filter(F.col("nxt").isNotNull())
             .groupBy("tok", "nxt")
             .agg(F.count(F.lit(1)).alias("freq"))
@@ -473,8 +473,11 @@ def bpe_train_merges(
                 F.col("freq").desc(), F.col("tok").asc(), F.col("nxt").asc()
             )
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not tops:  # no adjacent pairs left (e.g. all 1-token docs)
+            break
+        top = tops[0]
         a, b, freq = top["tok"], top["nxt"], int(top["freq"])
         wc = W.partitionBy("doc_id", "cand").orderBy("pos")
         wg = W.partitionBy("doc_id", "grp")

@@ -238,3 +238,14 @@ def test_bpe_train_merges_matches_reference(spark):
         for p, tok in enumerate(t)
     )
     assert state_rows == want_rows
+
+
+def test_bpe_train_merges_pairless_corpus(spark):
+    # single-token docs have no adjacent pairs: training stops early
+    # with an empty merge table instead of raising.
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    merge_table, rows = corpus.bpe_train_merges(df, n_merges=2)
+    assert merge_table.count() == 0
+    assert rows.count() == 2
