@@ -212,3 +212,58 @@ def ab_test_conversion(
         F.round(rate, 6).alias("conversion_rate"),
         F.round(F.when(F.col("variant") == "A", z), 4).alias("z_score"),
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    gap: str = "5 seconds",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Telemetry debounce: within each (user, event_type), collapse
+    bursts of repeated events into their FIRST event — an event is
+    suppressed while it falls within ``gap`` of the previous event of
+    the burst (chained: a burst extends as long as consecutive gaps
+    stay ≤ gap, exactly a micro-sessionization). The kept row carries
+    ``n_suppressed``, the number of events it swallowed — so the
+    output is lossless for counting.
+
+    Same scale shape as sessionize: one exchange on (user, type),
+    then lag-gap mark + running-sum group ids + one aggregate inside
+    the partition.
+    """
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*seconds?", gap)
+    if not m:
+        raise ValueError(f"gap must be '<n> seconds', got {gap!r}")
+    gap_us = int(m.group(1)) * 1_000_000
+    wo = Window.partitionBy(user_col, type_col).orderBy(time_col, id_col)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta = epoch_us(F.col(time_col)) - F.lag(
+        epoch_us(F.col(time_col))
+    ).over(wo)
+    marked = events.withColumn(
+        "__is_start",
+        F.when(delta.isNull() | (delta > gap_us), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("__grp", F.sum("__is_start").over(wrun))
+    return (
+        marked.groupBy(user_col, type_col, "__grp")
+        .agg(
+            F.min(
+                F.struct(time_col, id_col)
+            ).alias("__first"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_suppressed"),
+        )
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            user_col,
+            type_col,
+            epoch_us(F.col(f"__first.{time_col}")).alias("ts_us"),
+            "n_suppressed",
+        )
+    )

@@ -6956,3 +6956,43 @@ def q_bpe_encode_checksum(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.bpe_encode_checksum(d, n_merges=3)
+
+
+@register(
+    "events_debounce",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 5000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)),
+    grp AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS g
+      FROM marked),
+    agg AS (
+      SELECT user_id, event_type, g,
+             MIN(struct_pack(ts := ts, event_id := event_id)) AS first_ev,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
+      FROM grp GROUP BY 1, 2, 3)
+    SELECT (first_ev).event_id AS event_id, user_id, event_type,
+           CAST(epoch_us((first_ev).ts) AS BIGINT) AS ts_us,
+           n_suppressed
+    FROM agg
+    """,
+    doc="Telemetry debounce (operators/sequence.py debounce_events): "
+    "bursts of same-(user,type) events with consecutive gaps <= 5s "
+    "collapse to their first event, which carries n_suppressed — "
+    "chained micro-sessionization (lag-gap mark + running-sum group "
+    "ids), one exchange on (user,type), lossless for counting.",
+)
+def q_events_debounce(spark, sf_dir):
+    from pyspark_scd_spark.operators import sequence as SQ
+
+    ev = _t(spark, sf_dir, "events")
+    return SQ.debounce_events(ev, gap="5 seconds")

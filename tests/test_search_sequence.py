@@ -204,3 +204,32 @@ def test_hybrid_rrf_fuses_both_legs(spark):
             1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
         )
         assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+
+
+def test_debounce_chained_bursts(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + _dt.timedelta(seconds=sec)
+    rows = [
+        # burst: 0s, 4s, 8s (chained: each gap <= 5s) -> keep id 1, n=2
+        (1, s(0), 7, "click"),
+        (2, s(4), 7, "click"),
+        (3, s(8), 7, "click"),
+        # 15s: gap 7s from id 3 -> new burst
+        (4, s(15), 7, "click"),
+        # different type: independent
+        (5, s(1), 7, "view"),
+        # different user
+        (6, s(2), 8, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        r["event_id"]: r
+        for r in sequence.debounce_events(df, gap="5 seconds").collect()
+    }
+    assert set(got) == {1, 4, 5, 6}
+    assert got[1]["n_suppressed"] == 2  # ids 2 and 3 swallowed
+    assert got[4]["n_suppressed"] == 0
