@@ -22,12 +22,16 @@ Operator families (see COVERAGE.md for the full query inventory):
   4-way status, corrected islands change dates, current view,
   incremental ``scd_merge`` (O(entities) per day), Type-2 intervals.
 - ``operators.dedup`` — exact groups, n-gram Jaccard (count/PPJoin),
-  MinHash LSH, SimHash, connected components, survivor selection.
+  MinHash LSH, SimHash, winnowed span overlap, connected components,
+  survivor selection.
 - ``operators.similarity`` — cosine top-k (BLAS / LSH / IVF tiers),
-  k-means training, int8 quantization, kNN label audit, hard-negative
-  mining.
+  k-means training, int8 + product quantization, IVF+PQ ADC search,
+  kNN label audit, hard-negative mining.
 - ``operators.corpus`` — decontamination, Gopher repetition filter,
-  temperature mixing, chunking, TF-IDF, inverted index, BPE counts.
+  temperature mixing, weighted sampling (A-ES), chunking, BPE merge
+  training + encoding, dataset card.
+- ``operators.search`` — TF-IDF, inverted index, Okapi BM25,
+  BM25+vector reciprocal-rank-fusion hybrid retrieval.
 - ``operators.relational`` — dim joins, semi/anti, as-of, range join,
   rollup/cube, fuzzy blocking, basket lift.
 - ``operators.quality`` — schema/grain gates, column profiler, FK

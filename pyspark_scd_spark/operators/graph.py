@@ -36,6 +36,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 5,
     edges_distinct: bool = False,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge list.
 
@@ -50,11 +51,15 @@ def pagerank(
     # upstream generator (fact-table join + distinct) would otherwise
     # run three times before the loop even starts. Callers that
     # already guarantee distinct (src, dst) rows pass
-    # ``edges_distinct=True`` to skip a redundant full-width shuffle.
+    # ``edges_distinct=True`` to skip a redundant full-width shuffle;
+    # callers whose input is already checkpointed (or a cheap map of a
+    # checkpoint, e.g. a mirrored union) pass ``edges_materialized``
+    # to skip a redundant second materialization job.
     edges = edges.select("src", "dst")
     if not edges_distinct:
         edges = edges.distinct()
-    edges = edges.localCheckpoint()
+    if not (edges_distinct and edges_materialized):
+        edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -5106,7 +5106,13 @@ def q_graph_pagerank(spark, sf_dir):
     edges = pairs.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-    ranks = _graph.pagerank(edges, iters=3, damping=0.85, edges_distinct=True)
+    ranks = _graph.pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        edges_distinct=True,
+        edges_materialized=True,
+    )
     out = ranks.select(
         F.concat(
             F.when(F.col("node") % 2 == 0, "S").otherwise("C"),
