@@ -1310,3 +1310,66 @@ def hard_negative_mining_grid(
             F.col("rank"),
         )
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of the IVF tier against the exact tier — the
+    measurement every ANN deployment runs before trusting its index:
+    per query, |IVF top-k ∩ exact top-k| / k.
+
+    Both legs are the engine's own operators (brute_force_topk;
+    ivf_assign + cell-probe re-rank), so the report is a join of two
+    ≤|Q|·k ranked lists — the corpus is scanned once per leg with no
+    extra shuffle, and the output is |Q| rows regardless of scale.
+    Raising ``n_probe`` shows the recall knob directly in the report.
+    """
+    exact = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    probed = ivf_probe_cells(
+        queries, centroids, n_probe=n_probe, vec_col=vec_col
+    ).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col("probe_cell").alias("ivf_cell"),
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+    scored = assigned.join(F.broadcast(probed), "ivf_cell").select(
+        query_id_col,
+        id_col,
+        F.round(V.cosine(F.col(vec_col), F.col("__qv")), 6).alias(
+            "__cos"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    approx = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col)
+    )
+    hits = exact.join(approx, [query_id_col, id_col]).groupBy(
+        query_id_col
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        exact.select(query_id_col)
+        .distinct()
+        .join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / float(k), 6
+            ).alias(f"recall_at_{k}"),
+        )
+    )

@@ -7002,3 +7002,73 @@ def q_events_debounce(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return SQ.debounce_events(ev, gap="5 seconds")
+
+
+@register(
+    "ann_recall_report",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id >= 100 AND vec_id < 110),
+    ex0 AS (SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(e.v, q.qv), 6) AS c
+            FROM e CROSS JOIN q),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY c DESC, vec_id ASC) AS rk
+                FROM ex0) WHERE rk <= 10),
+    cent AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c AS ivf_cell FROM cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, c AS ivf_cell
+               FROM cells WHERE rn <= 1
+                 AND vec_id >= 100 AND vec_id < 110),
+    iv0 AS (SELECT p.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(e.v, q.qv), 6) AS c
+            FROM probes p
+            JOIN assign a ON a.ivf_cell = p.ivf_cell
+            JOIN e ON e.vec_id = a.vec_id
+            JOIN q ON q.query_id = p.query_id),
+    approx AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id ASC) AS rk
+                 FROM iv0) WHERE rk <= 10),
+    hits AS (SELECT ex.query_id, COUNT(*) AS h
+             FROM exact ex JOIN approx ap
+               ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+             GROUP BY 1)
+    SELECT q.query_id,
+           ROUND(COALESCE(h, 0) / 10.0, 6) AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """,
+    doc="ANN index self-measurement (operators/similarity.py "
+    "ann_recall_report): recall@10 of the single-probe IVF tier "
+    "against the exact cosine tier, per query — the report every ANN "
+    "deployment runs before trusting its index (and the direct view "
+    "of the n_probe recall knob). Both legs are the engine's own "
+    "operators; the report is a join of two <=|Q|*k ranked lists, "
+    "|Q| rows out at any scale.",
+)
+def q_ann_recall_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    queries = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ann_recall_report(
+        e, queries, centroids, k=10, n_probe=1
+    )

@@ -603,3 +603,35 @@ def test_span_overlap_pairs_finds_shared_boilerplate(spark):
     # a ~70-char shared span yields many shared window-min fingerprints
     ns = {(r["id_a"], r["id_b"]): r["n_shared"] for r in got}[(1, 2)]
     assert ns >= 3
+
+
+def test_ann_recall_monotone_in_probes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_scd_spark.operators import similarity
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+
+    e = read_parquet_table(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = {
+        r["query_id"]: r["recall_at_10"]
+        for r in similarity.ann_recall_report(
+            e, q, cents, k=10, n_probe=1
+        ).collect()
+    }
+    r2 = {
+        r["query_id"]: r["recall_at_10"]
+        for r in similarity.ann_recall_report(
+            e, q, cents, k=10, n_probe=2
+        ).collect()
+    }
+    # probing more cells scans a superset of candidates: recall can
+    # only improve, and every recall sits in [0, 1]
+    for qid in r1:
+        assert 0.0 <= r1[qid] <= r2[qid] <= 1.0
