@@ -591,12 +591,15 @@ def corpus_datacard(
         "n_sources",
         "n_langs",
         "lang_entropy",
+        # try_divide: an empty corpus yields NULL rates instead of an
+        # ANSI DIVIDE_BY_ZERO (the oracle never hits this — DuckDB
+        # returns no groups — but library callers can).
         F.round(
-            1.0 - F.col("__n_fp") / F.col("n_docs"), 6
+            1.0 - F.try_divide(F.col("__n_fp"), F.col("n_docs")), 6
         ).alias("exact_dup_rate"),
-        F.round(F.col("__n_short") / F.col("n_docs"), 6).alias(
-            "short_doc_frac"
-        ),
+        F.round(
+            F.try_divide(F.col("__n_short"), F.col("n_docs")), 6
+        ).alias("short_doc_frac"),
     )
 
 

@@ -117,3 +117,117 @@ def test_chisq_matches_bruteforce(spark, rows):
         for r in category_drift_chisq(df, "grp", "cat").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer vs the pure-Python reference on random corpora
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _corpora(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=5))
+    docs = []
+    for _ in range(n_docs):
+        n = draw(st.integers(min_value=0, max_value=12))
+        docs.append([draw(st.sampled_from("ab c".split() + ["ab", "c", "d"]))
+                     for _ in range(n)])
+    return docs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpora(), n_merges=st.integers(min_value=1, max_value=3))
+def test_bpe_train_matches_python_reference(spark, docs, n_merges):
+    from tests.test_corpus import _bpe_reference
+
+    from pyspark_scd_spark.operators import corpus
+
+    rows = [(i + 1, " ".join(t)) for i, t in enumerate(docs)]
+    if not any(t for t in docs):
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merge_table, _ = corpus.bpe_train_merges(df, n_merges=n_merges)
+    got = [
+        (r["step"], r["token_a"], r["token_b"], r["pair_freq"],
+         r["tokens_after"])
+        for r in merge_table.orderBy("step").collect()
+    ]
+    # reference runs exactly as many rounds as pairs exist
+    ref_docs = [t for t in docs if t]
+    want = []
+    state = ref_docs
+    for step in range(1, n_merges + 1):
+        if not any(len(t) > 1 for t in state):
+            break
+        m, state = _bpe_reference(state, 1)
+        s, a, b, f, tot = m[0]
+        want.append((step, a, b, f, tot))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Debounce vs a brute-force python model
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _event_streams(draw):
+    n = draw(st.integers(min_value=0, max_value=15))
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                i + 1,
+                draw(st.integers(min_value=0, max_value=60)),  # seconds
+                draw(st.sampled_from([1, 2])),                 # user
+                draw(st.sampled_from(["a", "b"])),             # type
+            )
+        )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_event_streams())
+def test_debounce_matches_python_model(spark, evs):
+    import datetime as dt
+
+    from pyspark_scd_spark.operators import sequence as SQ
+
+    if not evs:
+        return
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, t0 + dt.timedelta(seconds=s), u, ty) for eid, s, u, ty in evs
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        r["event_id"]: r["n_suppressed"]
+        for r in SQ.debounce_events(df, gap="5 seconds").collect()
+    }
+    # model: per (user,type) in (ts, id) order, chained 5s bursts
+    want = {}
+    from collections import defaultdict
+    streams = defaultdict(list)
+    for eid, s, u, ty in evs:
+        streams[(u, ty)].append((s, eid))
+    for k, lst in streams.items():
+        lst.sort()
+        leader, cnt, last = None, 0, None
+        for s, eid in lst:
+            if leader is None or s - last > 5:
+                if leader is not None:
+                    want[leader] = cnt
+                leader, cnt = eid, 0
+            else:
+                cnt += 1
+            last = s
+        want[leader] = cnt
+    assert got == want
