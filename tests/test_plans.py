@@ -212,3 +212,37 @@ def test_ivf_pq_adc_no_corpus_shuffle(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# Queries whose plans legitimately carry a SinglePartition exchange:
+# every entry is a 1-row scalar aggregate (global max / corpus stats /
+# chi-square totals) that is built once and broadcast back, never a
+# data-bearing single-partition stage. Anything NOT listed must have
+# zero — a new SinglePartition exchange in a headline plan is a
+# scale regression.
+_SINGLE_PARTITION_ALLOWED = {
+    "scd_employee_all": 1,       # global-max stamp (1-row agg)
+    "scd_employee_current": 2,   # global max + current-stamp aggs
+    "scd_composite_key": 1,
+    "profile_table": 1,          # corpus-wide stat row
+    "corpus_temperature_sample": 1,  # total-token budget row
+    "q6_forecast_revenue": 1,    # TPC-H scalar aggregate
+    "events_ab_test": 1,         # pooled-rate scalar row
+    "basket_lift_pairs": 1,      # basket-count scalar row
+    "source_drift_chisq": 1,     # corpus language-mix row
+    "hybrid_search_rrf": 1,      # BM25 N/avgdl stats row
+}
+
+
+def test_headline_single_partition_budget(spark, sf_dir):
+    from bench import HEADLINE
+
+    over = {}
+    for name in HEADLINE:
+        plan = explain.physical_plan(
+            REGISTRY[name].builder(spark, sf_dir)
+        )
+        n = plan.count("Exchange SinglePartition")
+        if n > _SINGLE_PARTITION_ALLOWED.get(name, 0):
+            over[name] = n
+    assert not over, f"single-partition exchanges over budget: {over}"
