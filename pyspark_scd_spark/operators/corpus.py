@@ -300,6 +300,53 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int = 50,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Stratified A-ES: ``weighted_sample_topk`` within each group —
+    k docs per source, inclusion probability ∝ weight inside the
+    stratum. The mix-building primitive for per-source quotas.
+
+    Same key construction as the global form; the top-k per group is
+    a rank window co-partitioned on the group (WindowGroupLimit keeps
+    k per group map-side), so the shuffle moves ≤ groups·k rows after
+    the limit pushdown.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        F.greatest(TXT.token_count(text_col).cast("double"), F.lit(1.0))
+        if weight_col is None
+        else weight_col.cast("double")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / w, 9)
+    wr = W.partitionBy(group_col).orderBy(
+        F.col("sample_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            w.cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, "weight", "sample_key")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 16,

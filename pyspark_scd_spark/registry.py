@@ -7072,3 +7072,35 @@ def q_ann_recall_report(spark, sf_dir):
     return similarity.ann_recall_report(
         e, queries, centroids, k=10, n_probe=1
     )
+
+
+@register(
+    "corpus_weighted_sample_stratified",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             GREATEST(CAST(len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE), 1.0) AS w
+      FROM documents),
+    s AS (
+      SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+             ROUND(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                   / w, 9) AS sample_key
+      FROM t),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY sample_key ASC, doc_id ASC) AS rk FROM s)
+    SELECT source, doc_id, weight, sample_key FROM r WHERE rk <= 50
+    """,
+    doc="Stratified weighted sampling without replacement "
+    "(operators/corpus.py weighted_sample_per_group): the A-ES key "
+    "ranked WITHIN each source — 50 docs per source, inclusion "
+    "probability proportional to tokens inside the stratum; the "
+    "per-source-quota mix primitive. Rank window co-partitioned on "
+    "source with WindowGroupLimit map-side pruning.",
+)
+def q_corpus_weighted_sample_stratified(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample_per_group(d, k=50)

@@ -246,3 +246,13 @@ def test_headline_single_partition_budget(spark, sf_dir):
         if n > _SINGLE_PARTITION_ALLOWED.get(name, 0):
             over[name] = n
     assert not over, f"single-partition exchanges over budget: {over}"
+
+
+def test_stratified_sample_window_group_limit(spark, sf_dir):
+    """The per-source rank must push its limit below the shuffle
+    (WindowGroupLimit) so map tasks keep k rows per source."""
+    df = REGISTRY["corpus_weighted_sample_stratified"].builder(
+        spark, sf_dir
+    )
+    plan = explain.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
