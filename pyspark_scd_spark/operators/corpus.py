@@ -250,6 +250,55 @@ def temperature_sample(
     )
 
 
+def epoch_materialize(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.7,
+    budget_frac: float = 1.5,
+) -> DataFrame:
+    """Materialize the temperature mix as ACTUAL training rows —
+    the upsampling half of the mix pipeline (``temperature_sample``
+    only downsamples). Each source's target epochs
+    e_s = budget_frac · epochs_s may exceed 1: every doc gets
+    floor(e_s) full copies plus one more iff its md5 fraction falls
+    below frac(e_s) — so a source scheduled at 2.3 epochs emits each
+    doc 2 or 3 times, deterministically, with exactly ~2.3× its
+    tokens in expectation.
+
+    Returns (id, source, copy_id ≥ 1) exploded rows. The per-source
+    epoch table is broadcast onto the scan; the explode is a flatMap —
+    zero corpus shuffles, reproducible on any cluster size.
+    """
+    epochs = mix_weights(df, source_col, text_col, alpha).select(
+        source_col,
+        F.round(F.lit(budget_frac) * F.col("epochs"), 6).alias("__e"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n = F.floor("__e").cast("int") + F.when(
+        u < (F.col("__e") - F.floor("__e")), 1
+    ).otherwise(0)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard
+    # n=0 docs with an explicit empty array so they emit no copies.
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.join(F.broadcast(epochs), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.explode(copies).alias("copy_id"),
+        )
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int = 200,

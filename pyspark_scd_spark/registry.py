@@ -7104,3 +7104,38 @@ def q_corpus_weighted_sample_stratified(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.weighted_sample_per_group(d, k=50)
+
+
+@register(
+    "corpus_epoch_materialize",
+    f"""
+    WITH {_MIX_SQL_CTE},
+    w AS (SELECT source,
+            ROUND(1.5 * ROUND(pow(n_tokens, 0.7) / sum_raw
+                              * total_tokens / n_tokens, 4), 6) AS e
+          FROM per, tot),
+    d AS (SELECT doc_id, d.source, w.e,
+                 CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+          FROM documents d JOIN w ON d.source = w.source),
+    n AS (SELECT doc_id, source,
+                 CAST(FLOOR(e) AS INTEGER)
+                   + CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END AS nc
+          FROM d)
+    SELECT doc_id, source, CAST(UNNEST(range(1, nc + 1)) AS INTEGER)
+             AS copy_id
+    FROM n WHERE nc >= 1
+    """,
+    doc="Epoch materialization — the UPSAMPLING half of the "
+    "temperature mix (operators/corpus.py epoch_materialize): each "
+    "source's budgeted epochs e_s may exceed 1; every doc emits "
+    "floor(e_s) copies plus one more iff its md5 fraction < "
+    "frac(e_s) — deterministic oversampling hitting ~e_s x tokens in "
+    "expectation. Per-source table broadcast; explode is a flatMap, "
+    "zero corpus shuffles.",
+)
+def q_corpus_epoch_materialize(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.epoch_materialize(d, alpha=0.7, budget_frac=1.5)

@@ -249,3 +249,25 @@ def test_bpe_train_merges_pairless_corpus(spark):
     merge_table, rows = corpus.bpe_train_merges(df, n_merges=2)
     assert merge_table.count() == 0
     assert rows.count() == 2
+
+
+def test_epoch_materialize_copy_counts(spark):
+    # one source, epochs known: big source gets ~budget_frac epochs
+    rows = [(i, "tok " * 10, "web") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # single source: weight=1, epochs=1 -> e = budget_frac exactly
+    out = corpus.epoch_materialize(df, budget_frac=2.25).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    # every doc emits 2 or 3 copies, numbered 1..n
+    for d, copies in per_doc.items():
+        assert sorted(copies) in ([1, 2], [1, 2, 3])
+    assert len(per_doc) == 20
+    n3 = sum(1 for c in per_doc.values() if len(c) == 3)
+    # frac = 0.25: roughly a quarter gets the extra copy (md5-driven,
+    # loose bound)
+    assert 1 <= n3 <= 12
+    # determinism
+    out2 = corpus.epoch_materialize(df, budget_frac=2.25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
