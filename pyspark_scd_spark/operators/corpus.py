@@ -299,6 +299,47 @@ def epoch_materialize(
     )
 
 
+def epoch_shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible pseudo-random
+    permutation of the corpus, materialized as (shard, position) —
+    what a training loader consumes per epoch. Different ``epoch``
+    values give independent permutations; the same epoch always gives
+    the same order on any cluster size.
+
+    shard = md5(epoch:id) mod n_shards; position = rank of a second
+    md5 within the shard. One exchange on shard, then each shard
+    sorts locally — the global permutation is never globally sorted
+    (shard-major order IS the epoch order, matching sharded loaders).
+    """
+    from pyspark.sql import Window as W
+
+    tag = F.concat(
+        F.lit(f"{int(epoch)}:"), F.col(id_col).cast("string")
+    )
+    h = F.conv(F.substring(F.md5(tag), 1, 15), 16, 10).cast("long")
+    shard = F.pmod(h, F.lit(int(n_shards))).cast("int")
+    order_key = F.conv(F.substring(F.md5(tag), 16, 15), 16, 10).cast(
+        "long"
+    )
+    wp = W.partitionBy("shard").orderBy(
+        F.col("__ord").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col), shard.alias("shard"), order_key.alias("__ord")
+        )
+        .withColumn(
+            "position", (F.row_number().over(wp) - 1).cast("long")
+        )
+        .select(id_col, "shard", "position")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int = 200,

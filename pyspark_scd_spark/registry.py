@@ -7139,3 +7139,36 @@ def q_corpus_epoch_materialize(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.epoch_materialize(d, alpha=0.7, budget_frac=1.5)
+
+
+@register(
+    "corpus_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5('0:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS h1,
+             CAST(CAST(('0x' || substring(md5('0:' ||
+                  CAST(doc_id AS VARCHAR)), 16, 15)) AS UBIGINT)
+                  AS BIGINT) AS h2
+      FROM documents),
+    s AS (SELECT doc_id, CAST(h1 % 8 AS INTEGER) AS shard, h2 FROM h)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+               ORDER BY h2 ASC, doc_id ASC) - 1 AS BIGINT) AS position
+    FROM s
+    """,
+    doc="Deterministic epoch shuffle (operators/corpus.py "
+    "epoch_shuffle_shards): a reproducible pseudo-random permutation "
+    "materialized as (shard, position) — what a sharded training "
+    "loader consumes; different epochs give independent permutations. "
+    "shard = md5(epoch:id) mod n; position ranks a second md5 inside "
+    "the shard, so each shard sorts locally after ONE exchange — the "
+    "global permutation is never globally sorted.",
+)
+def q_corpus_epoch_shuffle(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.epoch_shuffle_shards(d, n_shards=8, epoch=0)

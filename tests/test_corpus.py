@@ -271,3 +271,24 @@ def test_epoch_materialize_copy_counts(spark):
     # determinism
     out2 = corpus.epoch_materialize(df, budget_frac=2.25).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(100)], ["doc_id", "text"]
+    )
+    e0 = corpus.epoch_shuffle_shards(df, n_shards=4, epoch=0).collect()
+    e0b = corpus.epoch_shuffle_shards(df, n_shards=4, epoch=0).collect()
+    e1 = corpus.epoch_shuffle_shards(df, n_shards=4, epoch=1).collect()
+    # every doc exactly once; positions dense 0..k-1 per shard
+    assert sorted(r["doc_id"] for r in e0) == list(range(100))
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic within an epoch, different across epochs
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"]) for r in rows)
+    assert key(e0) == key(e0b)
+    assert key(e0) != key(e1)
