@@ -7172,3 +7172,44 @@ def q_corpus_epoch_shuffle(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.epoch_shuffle_shards(d, n_shards=8, epoch=0)
+
+
+@register(
+    "stream_events_debounce",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 5000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id))
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM marked WHERE is_start = 1
+    """,
+    doc="Streaming debounce run to completion "
+    "(streaming/dedup.py debounce_stream, applyInPandasWithState): "
+    "burst leaders emit on arrival, suppressed events extend the "
+    "burst through ONE long of state per (user,type) — bursts "
+    "spanning micro-batches chain through the carried state. The "
+    "availableNow drain emits exactly the batch twin's leader set "
+    "(events_debounce minus the suppression counts, which need "
+    "closed bursts).",
+)
+def q_stream_events_debounce(spark, sf_dir):
+    from pyspark_scd_spark.streaming import dedup as SD
+
+    def prep(df):
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(F.col("ts")).alias("ts_us"),
+        )
+
+    ev = _stream_source(spark, sf_dir, "events", prepare=prep)
+    return _run_stream_to_batch(
+        SD.debounce_stream(ev, gap_seconds=5)
+    )

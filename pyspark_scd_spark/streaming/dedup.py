@@ -139,3 +139,71 @@ def neardup_filter_batch(
             accept_sink(survivors, batch_id)
 
     return _process
+
+
+def debounce_stream(
+    events: DataFrame,
+    gap_seconds: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming twin of ``operators/sequence.debounce_events``: emit
+    each burst's LEADER on arrival, suppress events while consecutive
+    gaps stay ≤ ``gap_seconds`` (a suppressed event still EXTENDS the
+    burst — the chained rule). State per (user, type) is ONE long (the
+    burst's last event time), so state size is O(active key pairs)
+    regardless of throughput; bursts spanning micro-batches chain
+    correctly through the carried state.
+
+    Emission contract: leaders are final on arrival (append mode, no
+    watermark needed); suppression counts belong to the batch twin,
+    which sees closed bursts. Within a micro-batch rows fold in
+    (ts, id) order; cross-batch ordering is the file-replay order —
+    the same contract as scd_status_stream.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(user_col, T.LongType()),
+            T.StructField(type_col, T.StringType()),
+            T.StructField(ts_us_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_us", T.LongType())])
+
+    def _fold(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs)).sort_values(
+            [ts_us_col, id_col], kind="mergesort"
+        )
+        keep_id, keep_ts = [], []
+        for ts, eid in zip(batch[ts_us_col], batch[id_col]):
+            ts = int(ts)
+            if last is None or ts - last > gap_us:
+                keep_id.append(int(eid))
+                keep_ts.append(ts)
+            last = ts  # suppressed events extend the burst chain
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                id_col: keep_id,
+                user_col: [key[0]] * len(keep_id),
+                type_col: [key[1]] * len(keep_id),
+                ts_us_col: keep_ts,
+            }
+        )
+
+    return events.groupBy(user_col, type_col).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -447,3 +447,52 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
         for r in p.join(c, cond).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_debounce_bursts_chain_across_batches(spark, tmp_path):
+    """A burst split across two micro-batches must still debounce as
+    ONE burst: the second file's events sit within the gap of the
+    first file's last event, so the carried state suppresses them."""
+    import pandas as pd
+
+    from pyspark_scd_spark.streaming.dedup import debounce_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    us = 1_000_000
+    # file 1: burst opens at t=0s, extends to t=4s
+    pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [7, 7],
+         "event_type": ["click", "click"], "ts_us": [0, 4 * us]}
+    ).to_parquet(src / "a.parquet")
+    # file 2: t=8s is within 5s of t=4s -> same burst (suppressed);
+    # t=20s opens a new burst
+    pd.DataFrame(
+        {"event_id": [3, 4], "user_id": [7, 7],
+         "event_type": ["click", "click"], "ts_us": [8 * us, 20 * us]}
+    ).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    q = (
+        debounce_stream(stream, gap_seconds=5)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    # leaders: 1 (burst A, spans both files) and 4 (new burst);
+    # 2 and 3 suppressed — 3 only if state chained across batches
+    assert got == [1, 4]
