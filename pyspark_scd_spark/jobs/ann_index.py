@@ -53,18 +53,23 @@ def build(
             round_centroids=9,
         )
     dim = len(centroids[0])
+    if dim % pq_subspaces:
+        raise ValueError(
+            f"dim {dim} not divisible by pq_subspaces {pq_subspaces}: "
+            "trailing dimensions would be silently dropped from codes"
+        )
     ds = dim // pq_subspaces
     codebooks = [
         [c[j * ds : (j + 1) * ds] for c in centroids]
         for j in range(pq_subspaces)
     ]
+    # the raw vector rides through pq_codes as an extra column, so
+    # the exact re-rank tier reads it from the SAME pruned partitions
+    # and the whole encode stays ONE pure-map pass — no self-join
     assigned = similarity.ivf_assign(embeddings, centroids)
-    coded = similarity.pq_codes(
-        assigned, codebooks, extra_cols=("ivf_cell",)
+    out = similarity.pq_codes(
+        assigned, codebooks, extra_cols=("ivf_cell", "embedding")
     )
-    # keep the raw vector beside the codes: the exact re-rank tier
-    # reads it from the SAME pruned partitions
-    out = assigned.join(coded.select("vec_id", "codes"), "vec_id")
     write_staged(out, out_path, partition_by=["ivf_cell"])
     return centroids
 

@@ -340,6 +340,27 @@ def epoch_shuffle_shards(
     )
 
 
+def _aes_weight_and_key(
+    id_col: str, text_col: str, weight_col: Column | None
+) -> tuple[Column, Column]:
+    """The shared A-ES machinery of both weighted samplers: weight
+    (token count unless overridden, floored at 1) and the 9dp-rounded
+    key −ln(u)/w with u = (md5_32 + 0.5)/2³² ∈ (0,1). The DuckDB
+    oracles mirror these constants exactly — change them HERE only."""
+    w = (
+        F.greatest(TXT.token_count(text_col).cast("double"), F.lit(1.0))
+        if weight_col is None
+        else weight_col.cast("double")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return w, F.round(-F.log(u) / w, 9)
+
+
 def weighted_sample_topk(
     df: DataFrame,
     k: int = 200,
@@ -365,20 +386,7 @@ def weighted_sample_topk(
     ranking is reproducible across engines; the only libm call is ln,
     whose last-ulp jitter vanishes at 9 dp.
     """
-    w = (
-        F.greatest(TXT.token_count(text_col).cast("double"), F.lit(1.0))
-        if weight_col is None
-        else weight_col.cast("double")
-    )
-    # (md5_32 + 0.5) / 2^32 in (0, 1): the +0.5 keeps ln() finite on
-    # the all-zero hash and is exact in double arithmetic.
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    key = F.round(-F.log(u) / w, 9)
+    w, key = _aes_weight_and_key(id_col, text_col, weight_col)
     return (
         df.select(
             F.col(id_col),
@@ -409,18 +417,7 @@ def weighted_sample_per_group(
     """
     from pyspark.sql import Window as W
 
-    w = (
-        F.greatest(TXT.token_count(text_col).cast("double"), F.lit(1.0))
-        if weight_col is None
-        else weight_col.cast("double")
-    )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    key = F.round(-F.log(u) / w, 9)
+    w, key = _aes_weight_and_key(id_col, text_col, weight_col)
     wr = W.partitionBy(group_col).orderBy(
         F.col("sample_key").asc(), F.col(id_col).asc()
     )

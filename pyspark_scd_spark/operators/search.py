@@ -117,7 +117,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str = "query_id",
-    exclude_self: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Okapi BM25 top-k per query: score(q, d) = Σ_t idf(t) ·
     tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl)) over the query's
@@ -131,6 +131,12 @@ def bm25_topk(
     corpus-wide constants (N, avgdl) ride a broadcast 1-row cross
     join, never a single-partition window. Scores round to 6 dp with
     id tie-break so ranking is engine-reproducible.
+
+    ``exclude_self`` drops candidates whose doc id equals the query
+    id — set it ONLY when query ids and doc ids share a namespace
+    (queries drawn from the corpus, as in ``hybrid_search_rrf``);
+    with an external query table an id collision would silently drop
+    a legitimate result, so it defaults off.
     """
     toks = docs.select(
         F.col(id_col), F.explode(TXT.tokens(text_col)).alias("tok")
@@ -139,9 +145,6 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
-    dfreq = tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
     stats = dlen.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dlen").alias("avgdl"),
@@ -150,12 +153,17 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(F.array_distinct(TXT.tokens(text_col))).alias("tok"),
     )
-    # df is vocab-sized — restrict it to the query's terms BEFORE the
-    # broadcast so the shipped table is |query terms|, not |vocab|.
-    dfreq_q = dfreq.join(
+    # Restrict the postings to the query's terms FIRST (broadcast
+    # semi-reduction), then aggregate df over the restricted set only
+    # — identical df values for every term actually scored, without a
+    # full-vocabulary exchange.
+    tfq = tf.join(
         F.broadcast(qtok.select("tok").distinct()), "tok"
     )
-    cand = tf.join(F.broadcast(qtok), "tok")
+    dfreq_q = tfq.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    cand = tfq.join(F.broadcast(qtok), "tok")
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
     cand = (
@@ -225,6 +233,7 @@ def hybrid_search_rrf(
         k=k0,
         id_col=id_col,
         text_col=text_col,
+        exclude_self=True,  # queries ARE corpus docs here
     ).select(
         "query_id",
         F.col(id_col),

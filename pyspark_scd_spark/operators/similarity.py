@@ -592,8 +592,15 @@ def pq_adc_topk(
     qrows = []
     for qid, vec in queries:
         lut = adc_lut_nanos(vec, codebooks)
-        cells = (query_cells or {}).get(qid)
-        if cell_col and cells is not None:
+        if cell_col:
+            cells = (query_cells or {}).get(qid)
+            if not cells:
+                # a NULL cell would NULL-compare in the join and the
+                # query would silently vanish from the output
+                raise ValueError(
+                    f"cell_col={cell_col!r} given but query {qid} has "
+                    "no probe cells in query_cells"
+                )
             for c in cells:
                 qrows.append((int(qid), int(c), lut))
         else:

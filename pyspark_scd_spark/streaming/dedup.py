@@ -168,11 +168,12 @@ def debounce_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = int(gap_seconds) * 1_000_000
+    in_schema = events.schema
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(user_col, T.LongType()),
-            T.StructField(type_col, T.StringType()),
+            T.StructField(id_col, in_schema[id_col].dataType),
+            T.StructField(user_col, in_schema[user_col].dataType),
+            T.StructField(type_col, in_schema[type_col].dataType),
             T.StructField(ts_us_col, T.LongType()),
         ]
     )
@@ -187,7 +188,7 @@ def debounce_stream(
         for ts, eid in zip(batch[ts_us_col], batch[id_col]):
             ts = int(ts)
             if last is None or ts - last > gap_us:
-                keep_id.append(int(eid))
+                keep_id.append(eid)  # native dtype: id may be any type
                 keep_ts.append(ts)
             last = ts  # suppressed events extend the burst chain
         state.update((last,))

@@ -162,7 +162,11 @@ def test_bm25_rare_term_outranks_common(spark):
     queries = docs.filter("doc_id = 0").selectExpr(
         "doc_id AS query_id", "text"
     )
-    got = search.bm25_topk(docs, queries, k=3).orderBy("rank").collect()
+    got = (
+        search.bm25_topk(docs, queries, k=3, exclude_self=True)
+        .orderBy("rank")
+        .collect()
+    )
     assert got[0]["doc_id"] == 1
     assert all(r["query_id"] == 0 for r in got)
     assert got[0]["bm25"] > got[1]["bm25"]
