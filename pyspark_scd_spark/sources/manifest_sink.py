@@ -1,0 +1,106 @@
+"""Spark-4 Python DataSource WRITER: a manifest-committed JSONL sink.
+
+The reader half of the custom-source story lives in
+``snapshot_source.py`` (batch + stream, pushFilters pruning); this is
+the writer half, demonstrating the full task-commit protocol the
+Python DataSource API exposes:
+
+1. each task writes its partition to its own ``part-*.jsonl`` file and
+   returns a :class:`WriterCommitMessage` naming the file and row
+   count (executor-side, parallel);
+2. the driver's ``commit`` writes ``_MANIFEST.json`` listing exactly
+   the committed files — readers trust the manifest, never directory
+   listing, so concurrent/failed tasks can leave orphan files without
+   corrupting the table (the Iceberg/Delta commit idea in miniature);
+3. ``abort`` removes any files named by completed tasks.
+
+At scale the data files are written by the cluster; only the
+(files-count-sized) manifest passes through the driver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclasses.dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestJsonWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(filename=fname, n_rows=n)
+
+    def commit(self, messages):
+        entries = sorted(
+            (
+                {"file": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
+            ),
+            key=lambda e: e["file"],
+        )
+        manifest = {
+            "files": entries,
+            "total_rows": sum(e["n_rows"] for e in entries),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class ManifestJsonSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "manifest_json"
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestJsonWriter(self.options, overwrite)
+
+
+def read_manifest_table(spark, path: str):
+    """Read back ONLY the manifest-committed files (orphans from
+    failed/zombie tasks are invisible — the commit protocol's whole
+    point)."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, e["file"]) for e in manifest["files"]]
+    if not files:
+        raise ValueError(f"empty manifest at {path}")
+    return spark.read.json(files), manifest
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ManifestJsonSink)

@@ -87,3 +87,38 @@ def test_stream_scd_matches_batch(spark, tmp_path):
     assert cur.count() == 12
     emp3 = cur.filter(F.col("employee_number") == 3).collect()[0]
     assert emp3["snapshot_date"] == date(2024, 1, 3)
+
+
+def test_manifest_sink_commit_protocol(spark, tmp_path):
+    """Writer half of the Python DataSource story: per-task JSONL
+    files + driver-side manifest commit; readers trust the manifest,
+    so orphan files from failed tasks are invisible."""
+    import json
+    import os
+
+    from pyspark_scd_spark.sources import manifest_sink
+
+    manifest_sink.register(spark)
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS tag"
+    )
+    out = str(tmp_path / "mtab")
+    df.write.format("manifest_json").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 100
+    assert 1 <= len(manifest["files"]) <= 4
+    listed = {e["file"] for e in manifest["files"]}
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert listed == on_disk
+
+    # an orphan file (zombie task) must be invisible to readers
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999999, "tag": "zombie"}\n')
+    back, m2 = manifest_sink.read_manifest_table(spark, out)
+    assert back.count() == 100
+    assert back.filter("id = 999999").count() == 0
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
