@@ -300,3 +300,31 @@ def schema_diff(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, before string, after string"
     )
+
+
+def kanonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity risk audit: every quasi-identifier combination
+    shared by FEWER than ``k`` rows is a re-identification risk (an
+    attacker joining on those attributes narrows a person to < k
+    candidates). Returns the risky combinations with their group size
+    and a severity bucket (``unique`` = group of 1, the worst case).
+
+    One map-side-combined aggregate on the QI tuple, then a filter —
+    the report is |risky groups| rows, not |rows|. Run it BEFORE
+    release; fix by generalizing (banding) the offending columns —
+    the same bands ``pii_tokenize`` applies.
+    """
+    counts = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return counts.filter(F.col("group_size") < k).select(
+        *quasi_cols,
+        "group_size",
+        F.when(F.col("group_size") == 1, F.lit("unique"))
+        .otherwise(F.lit("small_group"))
+        .alias("severity"),
+    )

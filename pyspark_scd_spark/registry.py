@@ -7213,3 +7213,38 @@ def q_stream_events_debounce(spark, sf_dir):
     return _run_stream_to_batch(
         SD.debounce_stream(ev, gap_seconds=5)
     )
+
+
+@register(
+    "kanonymity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, acctbal_band, group_size,
+           CASE WHEN group_size = 1 THEN 'unique'
+                ELSE 'small_group' END AS severity
+    FROM g WHERE group_size < 5
+    """,
+    doc="k-anonymity risk audit (operators/quality.py "
+    "kanonymity_report): quasi-identifier combinations (nation, "
+    "segment, banded balance) shared by fewer than k=5 customers are "
+    "re-identification risks; groups of 1 are 'unique'. One "
+    "map-side-combined aggregate + filter — |risky groups| rows out. "
+    "The release-gate complement of pii_tokenize's banding.",
+)
+def q_kanonymity_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import quality
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "acctbal_band"
+        ),
+    )
+    return quality.kanonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5
+    )
