@@ -7248,3 +7248,43 @@ def q_kanonymity_report(spark, sf_dir):
     return quality.kanonymity_report(
         c, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5
     )
+
+
+@register(
+    "stream_events_sliding",
+    """
+    WITH g AS (SELECT e.event_type, epoch_us(e.ts) AS t,
+                 CAST(UNNEST(range(0, 4)) AS BIGINT) AS k
+          FROM events e),
+    win AS (SELECT event_type,
+                   (CAST(FLOOR(t / 900000000.0) AS BIGINT) - k)
+                     * 900000000 AS ws, t
+            FROM g),
+    agg AS (SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM win WHERE ws + 3600000000 > t AND t >= ws
+            GROUP BY 1, 2),
+    wm AS (SELECT MAX(epoch_us(ts)) - 1000000 AS w FROM events)
+    SELECT agg.ws AS window_start_us, event_type, n
+    FROM agg, wm WHERE agg.ws + 3600000000 <= wm.w
+    """,
+    doc="Watermarked hopping-window streaming counts run to "
+    "completion (streaming/sessions.py sliding_counts_stream): "
+    "window('1 hour', slide '15 min') + 1s watermark, availableNow, "
+    "append mode — each event lands in 4 overlapping windows; state "
+    "per open window expires at the watermark. Oracle replays the "
+    "hop assignment (floor(t/slide) - k for k in 0..3) restricted to "
+    "windows the final watermark closed.",
+)
+def q_stream_events_sliding(spark, sf_dir):
+    from pyspark_scd_spark.streaming import sessions as S
+
+    ev = _stream_source(spark, sf_dir, "events")
+    out = S.sliding_counts_stream(
+        ev, window="1 hour", slide="15 minutes", watermark="1 second"
+    )
+    got = _run_stream_to_batch(out)
+    return got.select(
+        epoch_us("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+    )

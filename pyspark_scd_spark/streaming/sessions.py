@@ -174,3 +174,33 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 second",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked HOPPING-window counts (streaming twin of
+    ``events_sliding_window``): each event lands in window/slide
+    overlapping windows; state per open window is expired by the
+    watermark, so steady-state store size is (window/slide) ×
+    |types| × horizon — bounded, unlike an unwatermarked sliding agg.
+    """
+    events = events.withColumn(ts_col, as_event_time(ts_col))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window, slide).alias("w"),
+            F.col(type_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            type_col,
+            "n",
+        )
+    )
