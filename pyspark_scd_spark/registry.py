@@ -7288,3 +7288,69 @@ def q_stream_events_sliding(spark, sf_dir):
         "event_type",
         "n",
     )
+
+
+@register(
+    "stream_attribution_outer",
+    """
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 30 MINUTE AS w),
+    inner_pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+             c.event_id AS click_id,
+             CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR),
+    unmatched AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+             CAST(NULL AS BIGINT) AS click_id,
+             CAST(NULL AS BIGINT) AS click_ts_us
+      FROM events p, wm WHERE p.event_type = 'purchase'
+       AND NOT EXISTS (SELECT 1 FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+       AND p.ts <= wm.w)
+    SELECT * FROM inner_pairs UNION ALL SELECT * FROM unmatched
+    """,
+    doc="Watermarked stream-stream LEFT OUTER interval join run to "
+    "completion (streaming/join.py attribution_outer_stream): "
+    "matched pairs are final on arrival; an unmatched purchase emits "
+    "null-padded only when the GLOBAL watermark (min of both inputs "
+    "- delay) passes its timestamp — the availableNow no-data flush "
+    "advances it to min(max_click, max_purchase) - 30min, and the "
+    "oracle encodes exactly that emission line. The unattributed-"
+    "conversions feed, state bounded by horizon + watermark.",
+)
+def q_stream_attribution_outer(spark, sf_dir):
+    from pyspark_scd_spark.streaming import join as J
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+
+    c = _stream_source(spark, sf_dir, "events", prepare=clicks)
+    p = _stream_source(spark, sf_dir, "events", prepare=purchases)
+    out = J.attribution_outer_stream(
+        c, p, horizon="1 hour", watermark="30 minutes"
+    )
+    got = _run_stream_to_batch(out)
+    return got.select(
+        "purchase_id",
+        "user_id",
+        epoch_us("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        epoch_us("click_ts").alias("click_ts_us"),
+    )

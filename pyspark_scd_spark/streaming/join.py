@@ -66,3 +66,51 @@ def attribution_candidates_stream(
         "click_id",
         "click_ts",
     )
+
+
+def attribution_outer_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """LEFT OUTER variant: purchases with no click in the horizon
+    emit null-padded — the "unattributed conversions" feed. Unlike
+    the inner join, null rows are NOT final on arrival: a purchase
+    emits its null form only once the GLOBAL watermark (min across
+    both inputs, minus the delay) passes its timestamp, proving no
+    matching click can still arrive. An ``availableNow`` drain runs a
+    final no-data batch that advances the watermark to
+    min(max_click_ts, max_purchase_ts) − delay and flushes state, so
+    unmatched purchases above that line stay unemitted — the exact
+    rule the oracle encodes (probed empirically, same protocol as the
+    session/tumbling emission rules).
+    """
+    c = clicks.select(
+        F.col(user_col).alias("c_user"),
+        as_event_time(ts_col).alias("click_ts"),
+        F.col(id_col).alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(user_col).alias("p_user"),
+        as_event_time(ts_col).alias("purchase_ts"),
+        F.col(id_col).alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"interval {horizon}")
+        )
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
