@@ -635,3 +635,42 @@ def test_ann_recall_monotone_in_probes(spark, sf_dir):
     # only improve, and every recall sits in [0, 1]
     for qid in r1:
         assert 0.0 <= r1[qid] <= r2[qid] <= 1.0
+
+
+def test_pq_adc_ranks_planted_neighbor_first(spark):
+    """ADC is approximate, but a corpus vector nearly identical to
+    the query must win: its per-subspace codes match the query's
+    nearest centroids, giving the minimal LUT sum."""
+    import random
+
+    from pyspark_scd_spark.operators import similarity
+
+    rng = random.Random(7)
+    dim, m = 16, 4
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    query = [x + 0.01 for x in base[0]]
+    planted = [x + 0.012 for x in base[0]]  # near-twin of the query
+    corpus_rows = [(i, base[i]) for i in range(8)] + [(99, planted)]
+    corpus = spark.createDataFrame(
+        corpus_rows, ["vec_id", "embedding"]
+    ).select(
+        "vec_id",
+        __import__("pyspark.sql.functions", fromlist=["col"])
+        .col("embedding")
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    ds = dim // m
+    codebooks = [
+        [v[j * ds : (j + 1) * ds] for v in base] for j in range(m)
+    ]
+    got = similarity.pq_adc_topk(
+        corpus, codebooks, [(0, query)], k=3
+    ).collect()
+    by_rank = {r["rank"]: r for r in got}
+    # rank 1 is the planted twin or base[0] itself (identical codes,
+    # tie broken by id -> base[0] has vec_id 0 < 99; both encode to
+    # base[0]'s codes, so the tie-break decides)
+    assert by_rank[1]["vec_id"] == 0
+    assert by_rank[2]["vec_id"] == 99
+    assert by_rank[1]["adc_dist"] == by_rank[2]["adc_dist"]
