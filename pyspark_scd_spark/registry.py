@@ -6151,6 +6151,22 @@ def q_stream_scd_status(spark, sf_dir):
     return _run_stream_to_batch(out)
 
 
+def _clicks_prep(df):
+    """Shared click projection for the attribution stream builders —
+    module-level on purpose: _stream_source caches staged parquet by
+    prepare.__name__, so two same-named closures with diverging
+    bodies would silently share one staging dir."""
+    return df.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+
+
+def _purchases_prep(df):
+    return df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+
+
 @register(
     "stream_attribution_join",
     """
@@ -6174,18 +6190,8 @@ def q_stream_scd_status(spark, sf_dir):
 def q_stream_attribution_join(spark, sf_dir):
     from pyspark_scd_spark.streaming import join as J
 
-    def clicks(df):
-        return df.filter(F.col("event_type") == "click").select(
-            "user_id", "ts", "event_id"
-        )
-
-    def purchases(df):
-        return df.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        )
-
-    c = _stream_source(spark, sf_dir, "events", prepare=clicks)
-    p = _stream_source(spark, sf_dir, "events", prepare=purchases)
+    c = _stream_source(spark, sf_dir, "events", prepare=_clicks_prep)
+    p = _stream_source(spark, sf_dir, "events", prepare=_purchases_prep)
     out = J.attribution_candidates_stream(
         c, p, horizon="1 hour", watermark="30 minutes"
     )
@@ -7331,18 +7337,8 @@ def q_stream_events_sliding(spark, sf_dir):
 def q_stream_attribution_outer(spark, sf_dir):
     from pyspark_scd_spark.streaming import join as J
 
-    def clicks(df):
-        return df.filter(F.col("event_type") == "click").select(
-            "user_id", "ts", "event_id"
-        )
-
-    def purchases(df):
-        return df.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        )
-
-    c = _stream_source(spark, sf_dir, "events", prepare=clicks)
-    p = _stream_source(spark, sf_dir, "events", prepare=purchases)
+    c = _stream_source(spark, sf_dir, "events", prepare=_clicks_prep)
+    p = _stream_source(spark, sf_dir, "events", prepare=_purchases_prep)
     out = J.attribution_outer_stream(
         c, p, horizon="1 hour", watermark="30 minutes"
     )

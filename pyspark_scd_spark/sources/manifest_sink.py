@@ -51,7 +51,10 @@ class ManifestJsonWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, fname), "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
+                # default=str: timestamps/dates/decimals serialize as
+                # their string form (this is an audit/export sink, not
+                # a typed round-trip format)
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
         return _FileCommit(filename=fname, n_rows=n)
 
@@ -64,12 +67,34 @@ class ManifestJsonWriter(DataSourceWriter):
             ),
             key=lambda e: e["file"],
         )
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        prior: list = []
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prior_manifest = json.load(f)
+            if self.overwrite:
+                # overwrite: the old table's committed files are
+                # superseded — remove them so they can't leak
+                for e in prior_manifest["files"]:
+                    try:
+                        os.remove(os.path.join(self.path, e["file"]))
+                    except FileNotFoundError:
+                        pass
+            else:
+                # append: the new manifest carries forward every
+                # previously committed file
+                prior = prior_manifest["files"]
+        entries = sorted(prior + entries, key=lambda e: e["file"])
         manifest = {
             "files": entries,
             "total_rows": sum(e["n_rows"] for e in entries),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        # atomic publish: a crash mid-write must never destroy the
+        # previously valid manifest
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, mpath)
 
     def abort(self, messages):
         for m in messages:

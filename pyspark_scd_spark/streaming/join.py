@@ -32,6 +32,7 @@ def attribution_candidates_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    how: str = "inner",
 ) -> DataFrame:
     """All (purchase, click) pairs where the click precedes the
     purchase by at most ``horizon``, per user.
@@ -59,7 +60,7 @@ def attribution_candidates_stream(
             >= F.col("purchase_ts") - F.expr(f"interval {horizon}")
         )
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         "purchase_ts",
@@ -89,28 +90,13 @@ def attribution_outer_stream(
     rule the oracle encodes (probed empirically, same protocol as the
     session/tumbling emission rules).
     """
-    c = clicks.select(
-        F.col(user_col).alias("c_user"),
-        as_event_time(ts_col).alias("click_ts"),
-        F.col(id_col).alias("click_id"),
-    ).withWatermark("click_ts", watermark)
-    p = purchases.select(
-        F.col(user_col).alias("p_user"),
-        as_event_time(ts_col).alias("purchase_ts"),
-        F.col(id_col).alias("purchase_id"),
-    ).withWatermark("purchase_ts", watermark)
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"interval {horizon}")
-        )
-    )
-    return p.join(c, cond, "left_outer").select(
-        "purchase_id",
-        F.col("p_user").alias("user_id"),
-        "purchase_ts",
-        "click_id",
-        "click_ts",
+    return attribution_candidates_stream(
+        clicks,
+        purchases,
+        horizon=horizon,
+        watermark=watermark,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        how="left_outer",
     )

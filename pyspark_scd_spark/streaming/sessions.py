@@ -59,13 +59,20 @@ def tumbling_counts_stream(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts (streaming twin of
-    ``events_tumbling_window``)."""
+    ``events_tumbling_window``); with ``slide`` the windows hop —
+    see ``sliding_counts_stream``."""
     events = events.withColumn(ts_col, as_event_time(ts_col))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))
+        .groupBy(win.alias("w"), F.col(type_col))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").alias("window_start"),
@@ -190,17 +197,11 @@ def sliding_counts_stream(
     watermark, so steady-state store size is (window/slide) ×
     |types| × horizon — bounded, unlike an unwatermarked sliding agg.
     """
-    events = events.withColumn(ts_col, as_event_time(ts_col))
-    return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(
-            F.window(F.col(ts_col), window, slide).alias("w"),
-            F.col(type_col),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            type_col,
-            "n",
-        )
+    return tumbling_counts_stream(
+        events,
+        window=window,
+        watermark=watermark,
+        ts_col=ts_col,
+        type_col=type_col,
+        slide=slide,
     )

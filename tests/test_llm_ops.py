@@ -651,14 +651,12 @@ def test_pq_adc_ranks_planted_neighbor_first(spark):
     query = [x + 0.01 for x in base[0]]
     planted = [x + 0.012 for x in base[0]]  # near-twin of the query
     corpus_rows = [(i, base[i]) for i in range(8)] + [(99, planted)]
+    from pyspark.sql import functions as F
+
     corpus = spark.createDataFrame(
         corpus_rows, ["vec_id", "embedding"]
     ).select(
-        "vec_id",
-        __import__("pyspark.sql.functions", fromlist=["col"])
-        .col("embedding")
-        .cast("array<float>")
-        .alias("embedding"),
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
     )
     ds = dim // m
     codebooks = [

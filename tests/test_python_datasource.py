@@ -122,3 +122,33 @@ def test_manifest_sink_commit_protocol(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 999999").count() == 0
     assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+
+def test_manifest_sink_append_and_overwrite(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark_scd_spark.sources import manifest_sink
+
+    manifest_sink.register(spark)
+    out = str(tmp_path / "mtab2")
+    spark.range(0, 10).write.format("manifest_json").option(
+        "path", out
+    ).mode("append").save()
+    spark.range(10, 15).write.format("manifest_json").option(
+        "path", out
+    ).mode("append").save()
+    back, m = manifest_sink.read_manifest_table(spark, out)
+    # append carries forward the first commit's files
+    assert m["total_rows"] == 15
+    assert sorted(r["id"] for r in back.collect()) == list(range(15))
+
+    spark.range(100, 103).write.format("manifest_json").option(
+        "path", out
+    ).mode("overwrite").save()
+    back2, m2 = manifest_sink.read_manifest_table(spark, out)
+    assert m2["total_rows"] == 3
+    assert sorted(r["id"] for r in back2.collect()) == [100, 101, 102]
+    # overwrite removed the superseded part files from disk
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert on_disk == {e["file"] for e in m2["files"]}
