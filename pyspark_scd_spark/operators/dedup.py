@@ -272,6 +272,113 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, sig) rows: each band's row-hashes collapsed to one
+    64-bit xxhash — the LSH bucket key. Shared by the self-join and
+    incremental (batch-vs-store) candidate generators."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    return sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*band_cols)).alias("bs"),
+    ).select(
+        "__id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Daily-ingest near-dup: candidates ONLY between the NEW batch
+    and the existing store — the incremental shape where store↔store
+    pairs were settled by earlier runs and batch↔batch dups get their
+    own (much smaller) self-pass. Band signatures for the store are
+    the persistable artifact: at 100 TB the store side reads its
+    (id, band, sig) table instead of re-shingling history, so each
+    day's work is O(batch) + one band join against the signature
+    table, never O(corpus²) and never a history re-scan.
+
+    Returns (store_id, batch_id, jaccard ≥ verify_threshold) — exact
+    Jaccard verification on the candidate pairs only, same
+    recall-by-band-margin argument as ``minhash_lsh_pairs``.
+    """
+    sh_s = _shingles(store, id_col, text_col, n, None).cache()
+    sh_b = _shingles(batch, id_col, text_col, n, None).cache()
+    b_s = _band_signatures(
+        _signatures_from_shingles(sh_s, num_hashes), "__id", num_hashes,
+        bands,
+    )
+    b_b = _band_signatures(
+        _signatures_from_shingles(sh_b, num_hashes), "__id", num_hashes,
+        bands,
+    )
+    cand = (
+        b_s.select(
+            F.col("__id").alias("store_id"), "band", "sig"
+        )
+        .join(
+            b_b.select(
+                F.col("__id").alias("batch_id"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("store_id", "batch_id")
+        .distinct()
+    )
+    sizes_s = sh_s.groupBy("__id").agg(F.count(F.lit(1)).alias("__na"))
+    sizes_b = sh_b.groupBy("__id").agg(F.count(F.lit(1)).alias("__nb"))
+    cand_sh = sh_s.select(
+        F.col("__id").alias("store_id"), "shingle"
+    ).join(cand, "store_id")
+    inter = (
+        cand_sh.join(
+            sh_b.select(F.col("__id").alias("batch_id"), "shingle"),
+            ["batch_id", "shingle"],
+        )
+        .groupBy("store_id", "batch_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    j = (
+        inter.join(
+            sizes_s.select(F.col("__id").alias("store_id"), "__na"),
+            "store_id",
+        )
+        .join(
+            sizes_b.select(F.col("__id").alias("batch_id"), "__nb"),
+            "batch_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
+                4,
+            ),
+        )
+        .filter(
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            >= verify_threshold
+        )
+    )
+    return j.select("store_id", "batch_id", "jaccard")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -309,16 +416,7 @@ def minhash_lsh_pairs(
         "__id", id_col
     )
 
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
-        )
-    banded = sig.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array(*band_cols)).alias("bs"),
-    ).select("__id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = _band_signatures(sig, id_col, num_hashes, bands)
 
     cand = (
         banded.alias("x")

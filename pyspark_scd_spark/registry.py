@@ -7350,3 +7350,50 @@ def q_stream_attribution_outer(spark, sf_dir):
         "click_id",
         epoch_us("click_ts").alias("click_ts_us"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS store_id, b.doc_id AS batch_id,
+                     count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s
+               AND a.doc_id < 400 AND b.doc_id >= 400
+              GROUP BY 1, 2)
+    SELECT store_id, batch_id,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = store_id
+    JOIN sizes sb ON sb.doc_id = batch_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    doc="Incremental near-dup — the daily-ingest shape "
+    "(operators/dedup.py minhash_lsh_pairs_incremental): the NEW "
+    "batch (doc_id >= 400) is banded against the existing store's "
+    "signature table only; no store-store or batch-batch pairs, no "
+    "history re-scan — each day costs O(batch) + one band join. 63 "
+    "hashes / 21 bands, exact-Jaccard >= 0.5 verify; the oracle is "
+    "the exact cross-side Jaccard join (same recall-by-band-margin "
+    "argument as dedup_minhash_lsh: nothing on this corpus lies in "
+    "the LSH miss zone).",
+)
+def q_dedup_incremental_batch(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_incremental(
+        d.filter(F.col("doc_id") < 400),
+        d.filter(F.col("doc_id") >= 400),
+        num_hashes=63,
+        bands=21,
+        verify_threshold=0.5,
+    )
