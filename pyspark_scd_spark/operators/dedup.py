@@ -305,25 +305,39 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    store_shingles: DataFrame | None = None,
+    store_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest near-dup: candidates ONLY between the NEW batch
     and the existing store — the incremental shape where store↔store
     pairs were settled by earlier runs and batch↔batch dups get their
     own (much smaller) self-pass. Band signatures for the store are
-    the persistable artifact: at 100 TB the store side reads its
-    (id, band, sig) table instead of re-shingling history, so each
-    day's work is O(batch) + one band join against the signature
-    table, never O(corpus²) and never a history re-scan.
+    the persistable artifact: pass ``store_banded`` (the persisted
+    (id, band, sig) table from earlier runs — write it with
+    ``write_staged``) and ``store_shingles`` (or let the verify tier
+    re-shingle the store; at 100 TB persist both, or re-shingle just
+    the candidate store docs) so each day's work is O(batch) + one
+    band join, never O(corpus²) and never a history re-scan.
 
     Returns (store_id, batch_id, jaccard ≥ verify_threshold) — exact
     Jaccard verification on the candidate pairs only, same
     recall-by-band-margin argument as ``minhash_lsh_pairs``.
     """
-    sh_s = _shingles(store, id_col, text_col, n, None).cache()
+    sh_s = (
+        store_shingles
+        if store_shingles is not None
+        else _shingles(store, id_col, text_col, n, None).cache()
+    )
     sh_b = _shingles(batch, id_col, text_col, n, None).cache()
-    b_s = _band_signatures(
-        _signatures_from_shingles(sh_s, num_hashes), "__id", num_hashes,
-        bands,
+    b_s = (
+        store_banded
+        if store_banded is not None
+        else _band_signatures(
+            _signatures_from_shingles(sh_s, num_hashes),
+            "__id",
+            num_hashes,
+            bands,
+        )
     )
     b_b = _band_signatures(
         _signatures_from_shingles(sh_b, num_hashes), "__id", num_hashes,

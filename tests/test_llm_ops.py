@@ -672,3 +672,60 @@ def test_pq_adc_ranks_planted_neighbor_first(spark):
     assert by_rank[1]["vec_id"] == 0
     assert by_rank[2]["vec_id"] == 99
     assert by_rank[1]["adc_dist"] == by_rank[2]["adc_dist"]
+
+
+def test_incremental_dedup_persisted_store_artifacts(spark, tmp_path):
+    """The store's banded-signature table is the persistable daily
+    artifact: passing it (plus persisted shingles) must reproduce the
+    from-scratch result exactly — and no store-store or batch-batch
+    pairs appear."""
+    from pyspark_scd_spark.operators import dedup
+    from pyspark_scd_spark.operators.dedup import (
+        _band_signatures,
+        _shingles,
+        _signatures_from_shingles,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "totally different text with other words entirely here"),
+        # batch doc 10 near-duplicates store doc 1
+        (10, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (11, "fresh unrelated content sharing nothing with the store"),
+        # batch-batch near-dup pair (10, 12): must NOT be reported
+        (12, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    store = df.filter("doc_id < 10")
+    batch = df.filter("doc_id >= 10")
+
+    fresh = dedup.minhash_lsh_pairs_incremental(
+        store, batch, num_hashes=32, bands=8, verify_threshold=0.5
+    ).collect()
+
+    sh = _shingles(store, "doc_id", "text", 3, None)
+    sh_path = str(tmp_path / "store_shingles")
+    sh.write.parquet(sh_path)
+    banded = _band_signatures(
+        _signatures_from_shingles(sh, 32), "__id", 32, 8
+    )
+    b_path = str(tmp_path / "store_banded")
+    banded.write.parquet(b_path)
+
+    from_store = dedup.minhash_lsh_pairs_incremental(
+        store,
+        batch,
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.5,
+        store_shingles=spark.read.parquet(sh_path),
+        store_banded=spark.read.parquet(b_path),
+    ).collect()
+
+    key = lambda rs: sorted(
+        (r["store_id"], r["batch_id"], r["jaccard"]) for r in rs
+    )
+    assert key(fresh) == key(from_store)
+    pairs = {(r["store_id"], r["batch_id"]) for r in fresh}
+    assert (1, 10) in pairs and (1, 12) in pairs
+    assert all(s < 10 <= b for s, b in pairs)  # cross-side only
