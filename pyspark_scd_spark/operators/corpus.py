@@ -779,3 +779,57 @@ def bpe_encode_checksum(
         )
         .select(F.col("doc_id").alias(id_col), "n_tokens", "ids_checksum")
     )
+
+
+def quality_calibrate_quantile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    grid_points: int = 101,
+) -> DataFrame:
+    """Cross-source quantile calibration of the quality score —
+    quantile mapping: a document's score is replaced by the POOLED
+    corpus score at its within-source percentile, so a single global
+    quality threshold cuts every source at the same relative depth
+    (raw thresholds over-prune sources whose writing style scores
+    systematically low — the classic multi-source curation bias).
+
+    Scale shape: within-source percent_rank is one co-partitioned
+    window; the pooled inverse-CDF is a ``grid_points``-point exact
+    percentile grid computed in ONE aggregate and broadcast back —
+    per-doc calibration is an array lookup, no global sort and no
+    corpus-sized join. Ordering ties break on id so the mapping is
+    engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(TXT.quality_score(text_col), 4).alias("raw_score"),
+    )
+    w = W.partitionBy(source_col).orderBy(
+        F.col("raw_score").asc(), F.col(id_col).asc()
+    )
+    ranked = base.withColumn(
+        "src_pr", F.round(F.percent_rank().over(w), 9)
+    )
+    probs = ", ".join(
+        repr(i / (grid_points - 1)) for i in range(grid_points)
+    )
+    grid = base.agg(
+        F.expr(f"percentile(raw_score, array({probs}))").alias("__grid")
+    )
+    idx = (
+        F.floor(F.col("src_pr") * (grid_points - 1)).cast("int") + 1
+    )
+    return ranked.crossJoin(F.broadcast(grid)).select(
+        id_col,
+        source_col,
+        "raw_score",
+        "src_pr",
+        F.round(F.element_at("__grid", idx), 4).alias(
+            "calibrated_score"
+        ),
+    )

@@ -7397,3 +7397,48 @@ def q_dedup_incremental_batch(spark, sf_dir):
         bands=21,
         verify_threshold=0.5,
     )
+
+
+@register(
+    "quality_calibrate_quantile",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks
+               FROM documents),
+    m AS (
+      SELECT doc_id, source,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dis,
+        (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+          * 1.0 / length(text) AS digit_ratio
+      FROM t),
+    base AS (
+      SELECT doc_id, source,
+        ROUND(LEAST(1.0, n_tok / 100.0) * 0.4
+              + CASE WHEN n_tok > 0 THEN n_dis / n_tok ELSE 0.0 END * 0.4
+              + (1.0 - digit_ratio) * 0.2, 4) AS raw_score
+      FROM m),
+    r AS (SELECT doc_id, source, raw_score,
+            ROUND(percent_rank() OVER (PARTITION BY source
+                ORDER BY raw_score ASC, doc_id ASC), 9) AS src_pr
+          FROM base),
+    g AS (SELECT quantile_cont(raw_score,
+            [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS grid FROM base)
+    SELECT doc_id, source, raw_score, src_pr,
+           ROUND(grid[CAST(FLOOR(src_pr * 100) AS INTEGER) + 1], 4)
+             AS calibrated_score
+    FROM r, g
+    """,
+    doc="Cross-source quantile calibration (operators/corpus.py "
+    "quality_calibrate_quantile): each doc's quality score is mapped "
+    "to the POOLED score at its within-source percentile — quantile "
+    "mapping, so one global threshold cuts every source at the same "
+    "relative depth. Within-source percent_rank is one co-partitioned "
+    "window; the pooled inverse CDF is a 101-point exact-percentile "
+    "grid computed in one aggregate and broadcast — per-doc "
+    "calibration is an array lookup, no global sort.",
+)
+def q_quality_calibrate_quantile(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.quality_calibrate_quantile(d)
