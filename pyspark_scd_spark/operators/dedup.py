@@ -931,3 +931,51 @@ def span_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_cluster_assign(
+    store_clusters: DataFrame,
+    cross_pairs: DataFrame,
+    batch_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign a NEW batch's documents to the store's existing near-dup
+    clusters — the daily continuation of ``connected_components``
+    without re-clustering history: a batch doc joins the minimum
+    cluster among its matched store docs (a matched store doc that
+    was a singleton contributes its own id); unmatched docs open new
+    singleton clusters (``is_new_cluster``). Intra-batch merges
+    belong to the batch's own (small) self-pass — documented
+    limitation of the incremental form, same contract as
+    ``minhash_lsh_pairs_incremental``.
+
+    Inputs: ``store_clusters`` (doc_id, component) from the store's
+    CC run — matched store docs absent from it are treated as
+    singletons; ``cross_pairs`` (store_id, batch_id) from the
+    incremental matcher; ``batch_ids`` the batch's id column. All
+    joins are id-keyed and batch-sized — history never rescans.
+    """
+    sc = store_clusters.select(
+        F.col(id_col).alias("store_id"), F.col("component")
+    )
+    assign = (
+        cross_pairs.select("store_id", "batch_id")
+        .join(sc, "store_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce("component", F.col("store_id")).alias("__c"),
+        )
+        .groupBy("batch_id")
+        .agg(F.min("__c").alias("__cluster"))
+    )
+    return (
+        batch_ids.select(F.col(id_col))
+        .join(
+            assign, F.col(id_col) == F.col("batch_id"), "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("__cluster", F.col(id_col)).alias("cluster_id"),
+            F.col("__cluster").isNull().alias("is_new_cluster"),
+        )
+    )

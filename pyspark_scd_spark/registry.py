@@ -7442,3 +7442,87 @@ def q_quality_calibrate_quantile(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.quality_calibrate_quantile(d)
+
+
+@register(
+    "dedup_incremental_clusters",
+    """
+    WITH RECURSIVE docs AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+         FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter_s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s
+                 AND a.doc_id < b.doc_id AND b.doc_id < 400
+                GROUP BY 1, 2),
+    pairs_s AS (SELECT doc_a, doc_b FROM inter_s
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs_s
+              UNION SELECT doc_b, doc_a FROM pairs_s),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    sclust AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a),
+    inter_x AS (SELECT a.doc_id AS store_id, b.doc_id AS batch_id,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s
+                 AND a.doc_id < 400 AND b.doc_id >= 400
+                GROUP BY 1, 2),
+    xp AS (SELECT store_id, batch_id FROM inter_x
+           JOIN sizes sa ON sa.doc_id = store_id
+           JOIN sizes sb ON sb.doc_id = batch_id
+           WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    assign AS (SELECT xp.batch_id,
+                      MIN(COALESCE(sc.cluster_id, xp.store_id))
+                        AS cluster_id
+               FROM xp LEFT JOIN sclust sc ON sc.doc_id = xp.store_id
+               GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.cluster_id, d.doc_id) AS cluster_id,
+           a.cluster_id IS NULL AS is_new_cluster
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+    LEFT JOIN assign a ON a.batch_id = d.doc_id
+    """,
+    doc="Incremental cluster maintenance (operators/dedup.py "
+    "incremental_cluster_assign): batch docs inherit the MIN existing "
+    "cluster among their matched store docs (singleton store matches "
+    "contribute their own id); unmatched docs open new singleton "
+    "clusters. Store clusters come from the store-only CC run and "
+    "cross matches from the incremental LSH matcher — history is "
+    "never re-clustered; intra-batch merges belong to the batch "
+    "self-pass (documented). Oracle: store-side recursive-CTE "
+    "closure + exact cross-side Jaccard + the same min/coalesce "
+    "assignment.",
+)
+def q_dedup_incremental_clusters(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    store_pairs = dedup.ngram_jaccard_pairs(
+        store, n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    store_clusters = dedup.connected_components(
+        store_pairs, strategy=_cc_strategy(d)
+    )
+    cross = dedup.minhash_lsh_pairs_incremental(
+        store, batch, num_hashes=63, bands=21, verify_threshold=0.5
+    ).select("store_id", "batch_id")
+    node_col = store_clusters.columns[0]
+    return dedup.incremental_cluster_assign(
+        store_clusters.select(
+            F.col(node_col).alias("doc_id"), "component"
+        ),
+        cross,
+        batch.select("doc_id"),
+    )
