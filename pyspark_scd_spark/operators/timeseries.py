@@ -267,3 +267,34 @@ def ewma_daily(
         "cnt",
         F.round(num / den, round_to).alias("ewma"),
     )
+
+
+def autocorrelation(
+    daily: DataFrame,
+    lag: int = 7,
+    key_col: str = "event_type",
+    time_col: str = "day",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """Per-key autocorrelation at a fixed lag over a (daily) rollup —
+    the seasonality detector: corr(x_t, x_{t−lag}) near 1 means the
+    series repeats with that period (lag=7 → weekly rhythm). Returns
+    (key, lag, n_pairs, autocorr).
+
+    The lag pairing is one LAG window over the tiny rollup series
+    (|days × keys| rows, never raw events) and the correlation one
+    aggregate — same cost profile as the anomaly/EWMA rollup family.
+    Pairs with no t−lag observation drop out (gaps shorten n_pairs
+    rather than biasing the estimate with zeros).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(time_col)
+    paired = daily.withColumn(
+        "__prev", F.lag(value_col, lag).over(w)
+    ).filter(F.col("__prev").isNotNull())
+    return paired.groupBy(key_col).agg(
+        F.lit(int(lag)).alias("lag"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr(value_col, "__prev"), 4).alias("autocorr"),
+    )

@@ -7526,3 +7526,37 @@ def q_dedup_incremental_clusters(spark, sf_dir):
         cross,
         batch.select("doc_id"),
     )
+
+
+@register(
+    "events_autocorr_weekly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    paired AS (
+      SELECT event_type, cnt,
+             LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev
+      FROM daily)
+    SELECT event_type, CAST(7 AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(cnt, prev), 4) AS autocorr
+    FROM paired WHERE prev IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Weekly-seasonality detector (operators/timeseries.py "
+    "autocorrelation): per event_type correlation of the daily count "
+    "with its own lag-7 value — near 1 means a weekly rhythm. One "
+    "LAG window + one corr aggregate over the |days x types| rollup; "
+    "raw events are touched only by the rollup groupBy.",
+)
+def q_events_autocorr_weekly(spark, sf_dir):
+    from pyspark_scd_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return TS.autocorrelation(daily, lag=7)
