@@ -282,3 +282,81 @@ def hybrid_search_rrf(
             "rank",
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 10,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent token pairs by pointwise
+    mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with
+    probabilities over the adjacent-pair space — high PMI means the
+    pair co-occurs far more than chance ("new york", "machine
+    learning"), the standard phrase-detection signal feeding
+    tokenizer/phrase vocabularies. ``min_count`` drops rare pairs
+    whose PMI estimates are noise (the classic PMI pathology).
+
+    One pair explode + two map-side-combined aggregates (pairs and
+    unigrams); totals ride 1-row broadcasts; the top-k is a
+    TakeOrdered — no corpus-sized sort.
+    """
+    toks = docs.select(TXT.tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") > 1
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("tok_a"), F.col("p.1").alias("tok_b"))
+    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_n")
+    )
+    # unigram frequencies over the SAME pair space (left + right
+    # occurrences), so p(a)·p(b) and p(ab) share a denominator
+    uni = (
+        pairs.select(F.col("tok_a").alias("tok"))
+        .unionAll(pairs.select(F.col("tok_b").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("uni_n"))
+    )
+    tot_pairs = pair_counts.agg(
+        F.sum("pair_n").cast("double").alias("__tp")
+    )
+    tot_uni = uni.agg(F.sum("uni_n").cast("double").alias("__tu"))
+    scored = (
+        pair_counts.filter(F.col("pair_n") >= min_count)
+        .join(
+            uni.select(F.col("tok").alias("tok_a"), F.col("uni_n").alias("__na")),
+            "tok_a",
+        )
+        .join(
+            uni.select(F.col("tok").alias("tok_b"), F.col("uni_n").alias("__nb")),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot_pairs))
+        .crossJoin(F.broadcast(tot_uni))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_n",
+            F.round(
+                F.log(
+                    (F.col("pair_n") / F.col("__tp"))
+                    / (
+                        (F.col("__na") / F.col("__tu"))
+                        * (F.col("__nb") / F.col("__tu"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(k)

@@ -298,3 +298,51 @@ def autocorrelation(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.corr(value_col, "__prev"), 4).alias("autocorr"),
     )
+
+
+def cusum_changepoints(
+    daily: DataFrame,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    key_col: str = "event_type",
+    time_col: str = "day",
+    value_col: str = "cnt",
+) -> DataFrame:
+    """One-sided CUSUM change-point detection on a per-key series —
+    the classic drift detector: S_t = max(0, S_{t−1} + z_t − k)
+    accumulates standardized excursions above the series mean and
+    flags when it crosses ``threshold``; ``slack`` (k) absorbs noise
+    so only sustained shifts alarm.
+
+    The recursion has a closed form — S_t = R_t − min_{u≤t} R_u with
+    R_t the running sum of (z − k) — so the whole detector is TWO
+    cumulative windows over the rollup series, no iteration and no
+    UDF; per-key mean/stddev come from a broadcast aggregate. Returns
+    every flagged (key, day) with its cusum statistic.
+    """
+    from pyspark.sql import Window as W
+
+    stats = daily.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd") - F.lit(
+        float(slack)
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(time_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = (
+        daily.join(F.broadcast(stats), key_col)
+        .filter(F.col("__sd") > 0)
+        .withColumn("__r", F.sum(z).over(w))
+        .withColumn("__rmin", F.min(F.least(F.col("__r"), F.lit(0.0))).over(w))
+        .withColumn(
+            "cusum", F.round(F.col("__r") - F.col("__rmin"), 4)
+        )
+    )
+    return run.filter(F.col("cusum") >= threshold).select(
+        key_col, time_col, value_col, "cusum"
+    )

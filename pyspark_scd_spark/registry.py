@@ -7560,3 +7560,91 @@ def q_events_autocorr_weekly(spark, sf_dir):
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     return TS.autocorrelation(daily, lag=7)
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (SELECT event_type, AVG(cnt) AS mu,
+                     stddev_pop(cnt) AS sd
+              FROM daily GROUP BY 1),
+    run AS (
+      SELECT d.event_type, d.day, d.cnt,
+             SUM((d.cnt - s.mu) / s.sd - 0.5) OVER w AS r
+      FROM daily d JOIN stats s ON s.event_type = d.event_type
+      WHERE s.sd > 0
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (
+      SELECT event_type, day, cnt,
+             ROUND(r - MIN(LEAST(r, 0.0)) OVER
+                 (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               4) AS cusum
+      FROM run)
+    SELECT event_type, day, cnt, cusum
+    FROM c WHERE cusum >= 2.0
+    """,
+    doc="CUSUM change-point detection (operators/timeseries.py "
+    "cusum_changepoints): S_t = max(0, S_(t-1) + z_t - k) flags "
+    "sustained level shifts; computed via the closed form "
+    "S_t = R_t - min(0, min R_u) — TWO cumulative windows over the "
+    "daily rollup, no iteration, no UDF; per-key mean/stddev ride a "
+    "broadcast aggregate. k=0.5; h=2 here so the stationary synthetic "
+    "series still exercises the flag path (production alarms use "
+    "h~4-5 sigma).",
+)
+def q_events_cusum_changepoint(spark, sf_dir):
+    from pyspark_scd_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return TS.cusum_changepoints(daily, slack=0.5, threshold=2.0)
+
+
+@register(
+    "corpus_collocations_pmi",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pairs AS (
+      SELECT unnest(t[1:len(t) - 1]) AS tok_a,
+             unnest(t[2:len(t)]) AS tok_b
+      FROM toks WHERE len(t) > 1),
+    pc AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+           FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS uni_n FROM (
+              SELECT tok_a AS tok FROM pairs
+              UNION ALL SELECT tok_b FROM pairs)
+            GROUP BY 1),
+    tp AS (SELECT CAST(SUM(pair_n) AS DOUBLE) AS tp FROM pc),
+    tu AS (SELECT CAST(SUM(uni_n) AS DOUBLE) AS tu FROM uni)
+    SELECT tok_a, tok_b, pair_n,
+           ROUND(ln((pair_n / tp)
+                    / ((na.uni_n / tu) * (nb.uni_n / tu))), 4) AS pmi
+    FROM pc
+    JOIN uni na ON na.tok = tok_a
+    JOIN uni nb ON nb.tok = tok_b, tp, tu
+    WHERE pair_n >= 10
+    ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50
+    """,
+    doc="Collocation mining (operators/search.py collocations_pmi): "
+    "top-50 adjacent pairs by PMI = ln(p(ab)/(p(a)p(b))) over the "
+    "pair space, min_count=10 against the rare-pair PMI pathology — "
+    "the phrase-detection signal feeding tokenizer/phrase vocabs. "
+    "Two map-side-combined aggregates + 1-row broadcasts + "
+    "TakeOrdered; no corpus-sized sort.",
+)
+def q_corpus_collocations_pmi(spark, sf_dir):
+    from pyspark_scd_spark.operators import search
+
+    d = _t(spark, sf_dir, "documents")
+    return search.collocations_pmi(d, min_count=10, k=50)

@@ -70,3 +70,27 @@ def test_epoch_us_ntz_and_ltz(spark):
     assert a == b == int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
     # as_event_time restores a watermark-legal TIMESTAMP from NTZ
     assert dict(ntz.select(as_event_time("ts").alias("ts")).dtypes)["ts"] == "timestamp"
+
+
+def test_cusum_fires_after_planted_level_shift(spark):
+    import datetime as dt
+
+    from pyspark_scd_spark.operators import timeseries as TS
+
+    base = dt.date(2024, 1, 1)
+    # 30 flat days at 10, then a sustained shift to 14
+    rows = [
+        ("a", base + dt.timedelta(days=i), 10 if i < 30 else 14)
+        for i in range(45)
+    ]
+    daily = spark.createDataFrame(rows, ["event_type", "day", "cnt"])
+    got = TS.cusum_changepoints(
+        daily, slack=0.5, threshold=3.0
+    ).collect()
+    days = sorted((r["day"] - base).days for r in got)
+    # fires only AFTER the shift, within a few days of day 30, and
+    # keeps firing while the shift persists
+    assert days, "detector never fired"
+    assert days[0] >= 30
+    assert days[0] <= 36
+    assert days[-1] == 44
