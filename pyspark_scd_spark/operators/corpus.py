@@ -804,11 +804,14 @@ def quality_calibrate_quantile(
     """
     from pyspark.sql import Window as W
 
+    # cached: the ranked window and the percentile-grid aggregate are
+    # independent consumers — uncached, the tokenize+quality pass over
+    # the corpus would run twice (same convention as dedup._shingles)
     base = df.select(
         F.col(id_col),
         F.col(source_col),
         F.round(TXT.quality_score(text_col), 4).alias("raw_score"),
-    )
+    ).cache()
     w = W.partitionBy(source_col).orderBy(
         F.col("raw_score").asc(), F.col(id_col).asc()
     )

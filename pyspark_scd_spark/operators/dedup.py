@@ -379,18 +379,14 @@ def minhash_lsh_pairs_incremental(
             "batch_id",
         )
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
-                4,
-            ),
+            "__j",
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
         )
-        .filter(
-            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
-            >= verify_threshold
-        )
+        .filter(F.col("__j") >= verify_threshold)
     )
-    return j.select("store_id", "batch_id", "jaccard")
+    return j.select(
+        "store_id", "batch_id", F.round("__j", 4).alias("jaccard")
+    )
 
 
 def minhash_lsh_pairs(
@@ -469,18 +465,20 @@ def minhash_lsh_pairs(
     )
     na = sizes.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
+    # threshold on the UNROUNDED ratio (the oracle and the incremental
+    # tier both do) — rounding first would admit pairs up to half an
+    # ulp-at-4dp below the threshold and diverge from both
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
-                4,
-            ),
+            "__j",
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
         )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("__j") >= verify_threshold)
+        .select(
+            "doc_a", "doc_b", F.round("__j", 4).alias("jaccard")
+        )
     )
 
 

@@ -306,14 +306,20 @@ def collocations_pmi(
     toks = docs.select(TXT.tokens(text_col).alias("__toks")).filter(
         F.size("__toks") > 1
     )
-    pairs = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                F.expr("slice(__toks, 2, size(__toks) - 1)"),
-            )
-        ).alias("p")
-    ).select(F.col("p.0").alias("tok_a"), F.col("p.1").alias("tok_b"))
+    # cached: pair counts and both unigram arms consume this explode —
+    # uncached, the corpus-wide tokenize+zip+explode would run 3x
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    F.expr("slice(__toks, 2, size(__toks) - 1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("tok_a"), F.col("p.1").alias("tok_b"))
+        .cache()
+    )
     pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
         F.count(F.lit(1)).cast("long").alias("pair_n")
     )
@@ -328,7 +334,6 @@ def collocations_pmi(
     tot_pairs = pair_counts.agg(
         F.sum("pair_n").cast("double").alias("__tp")
     )
-    tot_uni = uni.agg(F.sum("uni_n").cast("double").alias("__tu"))
     scored = (
         pair_counts.filter(F.col("pair_n") >= min_count)
         .join(
@@ -340,7 +345,10 @@ def collocations_pmi(
             "tok_b",
         )
         .crossJoin(F.broadcast(tot_pairs))
-        .crossJoin(F.broadcast(tot_uni))
+        # every pair contributes one left + one right occurrence, so
+        # the unigram total is EXACTLY 2x the pair total — no second
+        # corpus aggregate needed
+        .withColumn("__tu", 2.0 * F.col("__tp"))
         .select(
             "tok_a",
             "tok_b",

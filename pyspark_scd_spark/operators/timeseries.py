@@ -281,18 +281,19 @@ def autocorrelation(
     series repeats with that period (lag=7 → weekly rhythm). Returns
     (key, lag, n_pairs, autocorr).
 
-    The lag pairing is one LAG window over the tiny rollup series
-    (|days × keys| rows, never raw events) and the correlation one
-    aggregate — same cost profile as the anomaly/EWMA rollup family.
-    Pairs with no t−lag observation drop out (gaps shorten n_pairs
-    rather than biasing the estimate with zeros).
+    The lag pairing joins the rollup to itself on CALENDAR day
+    arithmetic (t−lag), not row offsets — a missing day (zero-event
+    gap) shortens ``n_pairs`` instead of silently pairing values at
+    the wrong calendar distance. The self-join and the correlation
+    run over the tiny |days × keys| rollup, never raw events — same
+    cost profile as the anomaly/EWMA rollup family.
     """
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(key_col).orderBy(time_col)
-    paired = daily.withColumn(
-        "__prev", F.lag(value_col, lag).over(w)
-    ).filter(F.col("__prev").isNotNull())
+    prev = daily.select(
+        F.col(key_col),
+        F.date_add(F.col(time_col), int(lag)).alias(time_col),
+        F.col(value_col).alias("__prev"),
+    )
+    paired = daily.join(prev, [key_col, time_col])
     return paired.groupBy(key_col).agg(
         F.lit(int(lag)).alias("lag"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),

@@ -7509,14 +7509,23 @@ def q_dedup_incremental_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     store = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
+    # ONE store shingle pass feeds both the store-side jaccard pairs
+    # and the incremental matcher (each would otherwise re-run the
+    # widest stage of the suite on the same docs)
+    store_sh = dedup.shingle_pairs(store, n=3).cache()
     store_pairs = dedup.ngram_jaccard_pairs(
-        store, n=3, threshold=0.5
+        store, n=3, threshold=0.5, shingles=store_sh
     ).select("doc_a", "doc_b")
     store_clusters = dedup.connected_components(
         store_pairs, strategy=_cc_strategy(d)
     )
     cross = dedup.minhash_lsh_pairs_incremental(
-        store, batch, num_hashes=63, bands=21, verify_threshold=0.5
+        store,
+        batch,
+        num_hashes=63,
+        bands=21,
+        verify_threshold=0.5,
+        store_shingles=store_sh,
     ).select("store_id", "batch_id")
     node_col = store_clusters.columns[0]
     return dedup.incremental_cluster_assign(
@@ -7536,21 +7545,22 @@ def q_dedup_incremental_clusters(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2),
     paired AS (
-      SELECT event_type, cnt,
-             LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
-               AS prev
-      FROM daily)
+      SELECT a.event_type, a.cnt, b.cnt AS prev
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day = a.day - INTERVAL 7 DAY)
     SELECT event_type, CAST(7 AS INTEGER) AS lag,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            ROUND(corr(cnt, prev), 4) AS autocorr
-    FROM paired WHERE prev IS NOT NULL
+    FROM paired
     GROUP BY event_type
     """,
     doc="Weekly-seasonality detector (operators/timeseries.py "
     "autocorrelation): per event_type correlation of the daily count "
-    "with its own lag-7 value — near 1 means a weekly rhythm. One "
-    "LAG window + one corr aggregate over the |days x types| rollup; "
-    "raw events are touched only by the rollup groupBy.",
+    "with its own CALENDAR lag-7 value — near 1 means a weekly rhythm; "
+    "a missing day shortens n_pairs instead of misaligning the lag. "
+    "One self-join + one corr aggregate over the |days x types| "
+    "rollup; raw events are touched only by the rollup groupBy.",
 )
 def q_events_autocorr_weekly(spark, sf_dir):
     from pyspark_scd_spark.operators import timeseries as TS
