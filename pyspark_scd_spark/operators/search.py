@@ -368,3 +368,81 @@ def collocations_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     ).limit(k)
+
+
+def retrieval_disagreement(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k0: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retriever-distillation hard-pair mining: the candidates the
+    lexical and dense tiers DISAGREE on — docs in exactly one tier's
+    top-``k0``. A BM25-only hit is a dense-retriever miss candidate
+    (trains the embedding model); a cosine-only hit is a lexical
+    blind spot (vocabulary mismatch). The agreement set carries no
+    training signal; mining the symmetric difference is the standard
+    first step of retriever distillation.
+
+    Same two legs as ``hybrid_search_rrf`` (BM25 inverted-index
+    probe, broadcast-query cosine); the mining itself is a full-outer
+    join of two ≤|Q|·k0 ranked lists keeping the one-sided rows.
+
+    Returns (query_id, doc_id, found_by ∈ {lexical, dense}, kw_rank,
+    vec_rank) where exactly one rank is non-null.
+    """
+    from pyspark_scd_spark.functions import vectors as V
+
+    ids = [int(q) for q in query_ids]
+    kw = bm25_topk(
+        docs,
+        docs.filter(F.col(id_col).isin(ids)).select(
+            F.col(id_col).alias("query_id"), text_col
+        ),
+        k=k0,
+        id_col=id_col,
+        text_col=text_col,
+        exclude_self=True,
+    ).select("query_id", F.col(id_col), F.col("rank").alias("kw_rank"))
+    qv = embeddings.filter(F.col(vec_id_col).isin(ids)).select(
+        F.col(vec_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    vec_scored = (
+        embeddings.join(F.broadcast(qv))
+        .filter(F.col(vec_id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(vec_id_col).alias(id_col),
+            F.round(V.cosine(F.col(vec_col), F.col("__qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    vec = (
+        vec_scored.withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= k0)
+        .select("query_id", id_col, "vec_rank")
+    )
+    both = kw.join(vec, ["query_id", id_col], "full_outer")
+    return (
+        both.filter(
+            F.col("kw_rank").isNull() | F.col("vec_rank").isNull()
+        )
+        .select(
+            "query_id",
+            id_col,
+            F.when(F.col("kw_rank").isNotNull(), F.lit("lexical"))
+            .otherwise(F.lit("dense"))
+            .alias("found_by"),
+            F.col("kw_rank").cast("int").alias("kw_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+    )

@@ -7658,3 +7658,84 @@ def q_corpus_collocations_pmi(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return search.collocations_pmi(d, min_count=10, k=50)
+
+
+@register(
+    "retrieval_disagreement",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, SUM(tf) AS dlen FROM tf GROUP BY 1),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(dlen) AS avgdl FROM dlen),
+    qtok AS (SELECT DISTINCT doc_id AS query_id, tok FROM toks
+             WHERE doc_id >= 100 AND doc_id < 105),
+    cand AS (SELECT q.query_id, t.doc_id, t.tf, f.df, l.dlen,
+                    s.n_docs, s.avgdl
+             FROM tf t JOIN qtok q USING (tok)
+             JOIN dfreq f USING (tok)
+             JOIN dlen l ON l.doc_id = t.doc_id, stats s
+             WHERE t.doc_id <> q.query_id),
+    kw0 AS (SELECT query_id, doc_id,
+                   ROUND(SUM(ln((n_docs - df + CAST('0.5' AS DOUBLE))
+                                / (df + CAST('0.5' AS DOUBLE))
+                                + CAST('1.0' AS DOUBLE))
+                         * (tf * CAST('{1.2 + 1.0!r}' AS DOUBLE))
+                         / (tf + CAST('{1.2!r}' AS DOUBLE)
+                            * (CAST('{1.0 - 0.75!r}' AS DOUBLE)
+                               + CAST('{0.75!r}' AS DOUBLE)
+                                 * dlen / avgdl))), 6) AS bm25
+            FROM cand GROUP BY 1, 2),
+    kw AS (SELECT query_id, doc_id, rk AS kw_rank FROM (
+             SELECT query_id, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY bm25 DESC, doc_id ASC) AS rk
+             FROM kw0) WHERE rk <= 20),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           WHERE vec_id >= 100 AND vec_id < 105),
+    vs AS (SELECT q.query_id, e.vec_id AS doc_id,
+                  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+           FROM e CROSS JOIN qv q WHERE e.vec_id <> q.query_id),
+    vec AS (SELECT query_id, doc_id, rk AS vec_rank FROM (
+              SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, doc_id ASC) AS rk
+              FROM vs) WHERE rk <= 20),
+    both_legs AS (
+      SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+             COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+             kw.kw_rank, vec.vec_rank
+      FROM kw FULL OUTER JOIN vec
+        ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id)
+    SELECT query_id, doc_id,
+           CASE WHEN kw_rank IS NOT NULL THEN 'lexical'
+                ELSE 'dense' END AS found_by,
+           CAST(kw_rank AS INTEGER) AS kw_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank
+    FROM both_legs
+    WHERE kw_rank IS NULL OR vec_rank IS NULL
+    """,
+    doc="Retriever-distillation hard-pair mining (operators/search.py "
+    "retrieval_disagreement): the symmetric difference of the BM25 "
+    "and cosine top-20 lists per query — lexical-only hits are dense "
+    "miss candidates, dense-only hits are lexical blind spots; the "
+    "agreement set carries no training signal. Same validated legs "
+    "as hybrid_search_rrf; the mining is a full-outer join of two "
+    "tiny ranked lists.",
+)
+def q_retrieval_disagreement(spark, sf_dir):
+    from pyspark_scd_spark.operators import search
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return search.retrieval_disagreement(
+        d, e, query_ids=list(range(100, 105)), k0=20
+    )
