@@ -94,12 +94,21 @@ def search(
         [(int(q), list(map(float, v))) for q, v in queries],
         schema="query_id bigint, qv array<double>",
     )
-    probed = similarity.ivf_probe_cells(
-        qdf, centroids, n_probe=n_probe, vec_col="qv"
-    ).select("query_id", "qv", F.col("probe_cell").alias("ivf_cell"))
-    cells = sorted(
-        {int(r["ivf_cell"]) for r in probed.select("ivf_cell").collect()}
+    # one collect serves both the partition-pruning IN-list and the
+    # broadcast join side: re-executing the probe-cell expression job
+    # twice would pay the n_queries x n_cells cosine codegen twice
+    probe_rows = (
+        similarity.ivf_probe_cells(
+            qdf, centroids, n_probe=n_probe, vec_col="qv"
+        )
+        .select("query_id", "qv", F.col("probe_cell").alias("ivf_cell"))
+        .collect()
     )
+    probed = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["ivf_cell"]) for r in probe_rows],
+        schema="query_id bigint, qv array<double>, ivf_cell int",
+    )
+    cells = sorted({int(r["ivf_cell"]) for r in probe_rows})
     # the IN-list is a pure partition predicate over the probed cells
     pruned = idx.filter(F.col("ivf_cell").isin(cells))
     scored = pruned.join(F.broadcast(probed), "ivf_cell").select(

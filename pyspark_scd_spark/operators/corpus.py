@@ -806,7 +806,12 @@ def quality_calibrate_quantile(
 
     # cached: the ranked window and the percentile-grid aggregate are
     # independent consumers — uncached, the tokenize+quality pass over
-    # the corpus would run twice (same convention as dedup._shingles)
+    # the corpus would run twice (same convention as dedup._shingles).
+    # Lifetime contract: the cache lives until Spark's LRU evicts it;
+    # long-lived sessions calling this repeatedly should
+    # spark.catalog.clearCache() (or unpersist via df.storageLevel)
+    # between calls — the library never unpersists a relation the
+    # returned lazy plan still references.
     base = df.select(
         F.col(id_col),
         F.col(source_col),

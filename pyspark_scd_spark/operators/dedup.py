@@ -322,6 +322,11 @@ def minhash_lsh_pairs_incremental(
     Returns (store_id, batch_id, jaccard ≥ verify_threshold) — exact
     Jaccard verification on the candidate pairs only, same
     recall-by-band-margin argument as ``minhash_lsh_pairs``.
+
+    Cache lifetime: the internal shingle caches persist until Spark's
+    LRU evicts them; a daily-batch driver looping over many batches
+    should pass pre-staged ``store_shingles``/``store_banded`` (no
+    internal cache is taken then) or clearCache() between batches.
     """
     sh_s = (
         store_shingles

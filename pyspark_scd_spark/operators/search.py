@@ -307,7 +307,9 @@ def collocations_pmi(
         F.size("__toks") > 1
     )
     # cached: pair counts and both unigram arms consume this explode —
-    # uncached, the corpus-wide tokenize+zip+explode would run 3x
+    # uncached, the corpus-wide tokenize+zip+explode would run 3x.
+    # Lifetime contract (same as dedup._shingles): held until LRU
+    # eviction; repeated calls in a long session should clearCache().
     pairs = (
         toks.select(
             F.explode(

@@ -81,7 +81,8 @@ def lsh_bucket_expr(
     of py4j round trips per table (same fix as _pq_best_sql); the
     zip-fold dot is arithmetically identical to the Column form."""
     planes = hyperplanes(dim, n_planes, seed)
-    vd = f"transform({vec_col}, t -> CAST(t AS DOUBLE))"
+    quoted = "`" + vec_col.replace("`", "``") + "`"
+    vd = f"transform({quoted}, t -> CAST(t AS DOUBLE))"
     terms = []
     for i, p in enumerate(planes):
         y = "array(" + ", ".join(_sql_dbl(x) for x in p) + ")"

@@ -5940,9 +5940,19 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str,
     TIMESTAMP(NANOS) the file stream source cannot ingest directly).
     ``prepare`` optionally transforms the batch table before staging —
     e.g. the orders-as-snapshots projection."""
+    import hashlib
     import tempfile
 
-    key = (sf_dir, name, getattr(prepare, "__name__", None))
+    if prepare is None:
+        prep_key = None
+    else:
+        # Key on the code object, not __name__: two same-named local
+        # closures with diverging bodies must NOT share a staging dir.
+        code = prepare.__code__
+        prep_key = hashlib.md5(
+            code.co_code + repr(code.co_consts).encode()
+        ).hexdigest()
+    key = (sf_dir, name, prep_key)
     if key not in _STREAM_SRC_CACHE:
         out = tempfile.mkdtemp(prefix=f"stream_src_{name}_") + "/data"
         df = _t(spark, sf_dir, name)

@@ -16,6 +16,15 @@ Python DataSource API exposes:
 
 At scale the data files are written by the cluster; only the
 (files-count-sized) manifest passes through the driver.
+
+Filesystem contract: ``commit`` runs on the DRIVER and assumes the
+sink path is a filesystem the driver can see (local FS in tests; a
+shared mount in a cluster — for object stores this sink would need a
+Hadoop-FS port). Concurrent append jobs to the SAME path serialize
+their read-modify-write of ``_MANIFEST.json`` through an exclusive
+``fcntl`` lock on ``_MANIFEST.lock``, so two simultaneous appends on
+one host cannot drop each other's files; cross-host writers need an
+external coordinator (as real table formats use a catalog/CAS).
 """
 
 from __future__ import annotations
@@ -67,6 +76,18 @@ class ManifestJsonWriter(DataSourceWriter):
             ),
             key=lambda e: e["file"],
         )
+        # Exclusive lock: commit is a read-modify-write of the
+        # manifest; two concurrent append writers must serialize or
+        # the last os.replace silently drops the other's files.
+        import fcntl
+
+        os.makedirs(self.path, exist_ok=True)
+        lock_path = os.path.join(self.path, "_MANIFEST.lock")
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            self._commit_locked(entries)
+
+    def _commit_locked(self, entries):
         mpath = os.path.join(self.path, "_MANIFEST.json")
         prior: list = []
         if os.path.exists(mpath):
