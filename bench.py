@@ -66,6 +66,10 @@ HEADLINE = [
     "bpe_train_merges",
     "sim_search_ivf_pq",
     "hybrid_search_rrf",
+    "embedding_neardup_pairs_ann",
+    "knn_label_vote_ann",
+    "dedup_semantic_clusters",
+    "ann_pair_recall_report",
 ]
 
 

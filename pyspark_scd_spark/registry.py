@@ -1268,6 +1268,28 @@ def q_sim_search_topk(spark, sf_dir):
     return similarity.brute_force_topk(e, queries, k=10)
 
 
+def _lsh_cand_ctes(n_planes: int = 8, n_tables: int = 8,
+                   ordered: bool = True) -> str:
+    """Shared oracle CTEs replaying lsh_candidates(multiprobe=True):
+    per-table sign-bit buckets (hyperplane constants inlined), one
+    side expanded to the Hamming<=1 probe set, DISTINCT co-bucketed
+    id pairs. XOR is symmetric, so expanding one side covers both."""
+    from pyspark_scd_spark.operators.similarity import duckdb_bucket_sql
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, n_planes, seed=42 + t)} AS b FROM e"
+        for t in range(n_tables)
+    )
+    probes = ", ".join(["b"] + [f"xor(b, {1 << i})" for i in range(n_planes)])
+    op = "<" if ordered else "<>"
+    return f"""cb AS ({per_table}),
+    pb AS (SELECT vec_id, t, unnest([{probes}]) AS pb FROM cb),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM pb a JOIN cb c ON a.t = c.t AND a.pb = c.b
+             WHERE a.vec_id {op} c.vec_id)"""
+
+
 def _sim_search_lsh_oracle() -> str:
     """DuckDB twin of lsh_bucketed_topk(dim=64, k=5, n_planes=6,
     n_tables=3): the hyperplane constants inline as literals, so the
@@ -6436,12 +6458,14 @@ def q_scd_asof_lookup(spark, sf_dir):
 
 @register(
     "dedup_semantic_clusters",
-    """
+    f"""
     WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-              WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+    {_lsh_cand_ctes(ordered=True)},
+    pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cand
+              JOIN e ea ON ea.vec_id = cand.id_a
+              JOIN e eb ON eb.vec_id = cand.id_b
+              WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach AS (SELECT a, b FROM edges
@@ -6453,19 +6477,21 @@ def q_scd_asof_lookup(spark, sf_dir):
     FROM (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
           FROM reach GROUP BY a)
     """,
-    doc="Semantic (embedding) near-dup clusters: the cosine pair grid "
-    "(embedding_neardup_pairs_grid, no driver collect) closed into "
-    "connected components — the embedding tier's analogue of "
-    "dedup_cc_clusters, completing the five-tier dedup story "
-    "end-to-end. Oracle is a recursive-CTE transitive closure over "
-    "the same thresholded pairs.",
+    doc="Semantic (embedding) near-dup clusters over the ANN tier — "
+    "the 100 TB default path: multi-probe LSH candidates + exact "
+    "cosine verify (embedding_neardup_pairs_ann) closed into "
+    "connected components. The transitive closure partially absorbs "
+    "candidate-tier misses (a missed a-b edge still clusters via "
+    "a-c-b); the exact grid twin remains available for bounded "
+    "subsets. Oracle replays candidates, verify and a recursive-CTE "
+    "closure.",
 )
 def q_dedup_semantic_clusters(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup, similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs_grid(
-        e, threshold=0.3
+    pairs = similarity.embedding_neardup_pairs_ann(
+        e, threshold=0.3, dim=64, n_planes=8, n_tables=8
     ).select("id_a", "id_b")
     cc = dedup.connected_components(
         pairs, src_col="id_a", dst_col="id_b",
@@ -7748,4 +7774,174 @@ def q_retrieval_disagreement(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return search.retrieval_disagreement(
         d, e, query_ids=list(range(100, 105)), k0=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN candidate generation + exact re-rank (the dense tier's scale path)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_ann_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_lsh_cand_ctes(ordered=True)},
+    j AS (SELECT id_a, id_b,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.3
+    """
+
+
+@register(
+    "embedding_neardup_pairs_ann",
+    _neardup_ann_oracle(),
+    doc="Semantic near-dup pairs, ANN tier — the 100 TB default path "
+    "for the dense quartet: multi-probe hyperplane LSH candidates "
+    "(8 tables x 8 planes, Hamming<=1) -> exact cosine verify >= 0.3 "
+    "on the 4dp-rounded value (operators/similarity.py "
+    "embedding_neardup_pairs_ann). Candidate volume is "
+    "O(n*bucket*tables) with auto_planes, vs the grid twin's O(n^2) "
+    "matmul; the hyperplanes are deterministic constants, so the "
+    "FULL composition (candidates AND verify) replays in oracle SQL. "
+    "Recall vs the exact twin is measured per cosine band by "
+    "ann_pair_recall_report.",
+)
+def q_embedding_neardup_pairs_ann(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs_ann(
+        e, threshold=0.3, dim=64, n_planes=8, n_tables=8
+    )
+
+
+def _knn_ann_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_lsh_cand_ctes(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS nid, eb.label AS nlabel,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, nid ASC) AS rk FROM s),
+    v AS (SELECT vec_id, label, nlabel, COUNT(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label, nlabel AS predicted_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY votes DESC, nlabel ASC) AS pr FROM v)
+    SELECT vec_id, label, predicted_label,
+           CAST(votes AS INTEGER) AS n_agree,
+           predicted_label <> label AS mislabeled
+    FROM p WHERE pr = 1
+    """
+
+
+@register(
+    "knn_label_vote_ann",
+    _knn_ann_oracle(),
+    doc="kNN label-consistency audit, ANN tier (operators/similarity"
+    ".py knn_label_vote_ann): neighbor candidates from multi-probe "
+    "LSH (8x8, Hamming<=1) instead of the exact all-pairs grid, then "
+    "the identical exact-cosine top-5 re-rank, majority vote and "
+    "tie-breaks as knn_label_vote. Per-anchor candidate work is "
+    "O(bucket*tables) — the shape that survives 100x corpus growth.",
+)
+def q_knn_label_vote_ann(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote_ann(
+        e, k=5, dim=64, n_planes=8, n_tables=8
+    )
+
+
+def _hardneg_ann_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_lsh_cand_ctes(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS neg_id, eb.label AS neg_label,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b
+          WHERE ea.label <> eb.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, neg_id ASC) AS rank FROM s)
+    SELECT vec_id, label, neg_id, neg_label,
+           ROUND(c, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """
+
+
+@register(
+    "hard_negative_mining_ann",
+    _hardneg_ann_oracle(),
+    doc="Contrastive hard negatives, ANN tier (operators/similarity"
+    ".py hard_negative_mining_ann): multi-probe LSH candidates with "
+    "same-label pairs masked, exact-cosine top-3 re-rank per anchor "
+    "— ranking at 6dp (cosine DESC, id ASC), emitted cosine 4dp "
+    "half-away, the exact twin's contract. The hard-negative use "
+    "case needs the MOST similar cross-label rows, exactly where "
+    "LSH recall concentrates.",
+)
+def q_hard_negative_mining_ann(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining_ann(
+        e, k=3, dim=64, n_planes=8, n_tables=8
+    )
+
+
+def _ann_pair_recall_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3),
+    {_lsh_cand_ctes(ordered=True)},
+    ann AS (SELECT id_a, id_b FROM cand
+            JOIN e ea ON ea.vec_id = cand.id_a
+            JOIN e eb ON eb.vec_id = cand.id_b
+            WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3),
+    j AS (SELECT CAST(CASE WHEN cosine < 0.35 THEN 0.30
+                      WHEN cosine < 0.40 THEN 0.35
+                      WHEN cosine < 0.45 THEN 0.40
+                      ELSE 0.45 END AS DOUBLE) AS band_lo,
+                 CASE WHEN ann.id_a IS NULL THEN 0 ELSE 1 END AS hit
+          FROM exact LEFT JOIN ann USING (id_a, id_b))
+    SELECT band_lo, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS recall
+    FROM j GROUP BY band_lo
+    """
+
+
+@register(
+    "ann_pair_recall_report",
+    _ann_pair_recall_oracle(),
+    doc="Recall of the ANN pair tier vs the exact grid twin, per "
+    "cosine band (operators/similarity.py ann_pair_recall_report) — "
+    "the measurement that justifies making ANN the default path. "
+    "LSH recall is a function of pair angle, so banding shows it "
+    "concentrating where near-duplicates live (this corpus is "
+    "near-isotropic, the worst case: 0.6 at cosine 0.3 rising to "
+    "1.0 at >=0.55). Both legs are deterministic engine operators, "
+    "so the ANN quality report is itself oracle-checkable.",
+)
+def q_ann_pair_recall_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_pair_recall_report(
+        e, threshold=0.3, dim=64, n_planes=8, n_tables=8
     )

@@ -1,0 +1,135 @@
+"""ANN candidate-generation + exact re-rank tier (the dense quartet's
+scale path): correctness contracts vs the exact grid twins, recall
+floors, auto-sizing, and plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators import similarity
+from pyspark_scd_spark.plans import explain
+from pyspark_scd_spark.sources.readers import read_parquet_table
+
+
+def _emb(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "embeddings")
+
+
+def test_ann_pairs_subset_of_exact_with_identical_cosines(spark, sf_dir):
+    """Candidate generation is approximate; the VERIFY stage is exact:
+    every emitted ANN pair must appear in the exact grid output with a
+    bit-identical cosine, and no pair below threshold may leak."""
+    e = _emb(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_grid(
+            e, threshold=0.3
+        ).collect()
+    }
+    ann = similarity.embedding_neardup_pairs_ann(
+        e, threshold=0.3, dim=64, n_planes=8, n_tables=8
+    ).collect()
+    assert len(ann) > 0
+    for r in ann:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"ANN emitted pair not in exact set: {key}"
+        assert r["cosine"] == exact[key], (key, r["cosine"], exact[key])
+    # recall floor on this near-isotropic corpus (the ANN worst case;
+    # measured 0.57-0.63 overall at sf0.001-0.1)
+    assert len(ann) / len(exact) >= 0.45, (len(ann), len(exact))
+
+
+def test_ann_pair_recall_report_consistent(spark, sf_dir):
+    """The report's own numbers must reproduce the subset measurement:
+    sum(n_hit) == |ann∩exact|, sum(n_true) == |exact|, and recall
+    rises (weakly) with the cosine band on every corpus."""
+    e = _emb(spark, sf_dir)
+    rep = sorted(
+        similarity.ann_pair_recall_report(
+            e, threshold=0.3, dim=64, n_planes=8, n_tables=8
+        ).collect(),
+        key=lambda r: r["band_lo"],
+    )
+    n_true = sum(r["n_true"] for r in rep)
+    n_hit = sum(r["n_hit"] for r in rep)
+    exact_n = similarity.embedding_neardup_pairs_grid(e, threshold=0.3).count()
+    ann_n = similarity.embedding_neardup_pairs_ann(
+        e, threshold=0.3, dim=64, n_planes=8, n_tables=8
+    ).count()
+    assert n_true == exact_n
+    assert n_hit == ann_n  # verify stage makes ann ⊆ exact
+    for r in rep:
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_knn_ann_contract(spark, sf_dir):
+    """Same output contract as the exact twin: one vote row per anchor
+    that has candidates, n_agree <= k, prediction among the corpus
+    labels, deterministic across runs."""
+    e = _emb(spark, sf_dir)
+    out1 = similarity.knn_label_vote_ann(e, k=5, dim=64).collect()
+    out2 = similarity.knn_label_vote_ann(e, k=5, dim=64).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    labels = {r["label"] for r in e.select("label").distinct().collect()}
+    ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    seen = set()
+    for r in out1:
+        assert r["vec_id"] in ids
+        assert r["vec_id"] not in seen  # one row per anchor
+        seen.add(r["vec_id"])
+        assert 1 <= r["n_agree"] <= 5
+        assert r["predicted_label"] in labels
+        assert r["mislabeled"] == (r["predicted_label"] != r["label"])
+
+
+def test_hard_negative_ann_exactness_on_candidates(spark, sf_dir):
+    """Every ANN hard negative must be a true cross-label pair with
+    the exact cosine; ranks are 1..k contiguous per anchor."""
+    e = _emb(spark, sf_dir)
+    out = similarity.hard_negative_mining_ann(e, k=3, dim=64).collect()
+    assert out
+    lab = {r["vec_id"]: r["label"] for r in e.collect()}
+    by_anchor = {}
+    for r in out:
+        assert lab[r["neg_id"]] == r["neg_label"]
+        assert r["neg_label"] != r["label"]
+        by_anchor.setdefault(r["vec_id"], []).append(r["rank"])
+    for anchor, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), anchor
+
+
+def test_auto_planes_scaling():
+    """auto_planes keeps expected bucket size constant: +1 plane per
+    corpus doubling — the property that makes candidate volume O(n)
+    instead of O(n²)."""
+    assert similarity.auto_planes(1_000, target_bucket=32) == 5
+    assert similarity.auto_planes(2_000, target_bucket=32) == 6
+    assert similarity.auto_planes(64_000, target_bucket=32) == 11
+    assert similarity.auto_planes(10, target_bucket=32) == 4  # lo clamp
+    assert similarity.auto_planes(10**12, target_bucket=32) == 20  # hi clamp
+
+
+def test_auto_blocks_floor(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    b = similarity._auto_blocks(e, "embedding")
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    assert b >= math.ceil(math.sqrt(2.0 * par))
+
+
+def test_lsh_candidates_plan_is_bucket_equijoin(spark, sf_dir):
+    """The candidate join must be an equi-join on (table, bucket) —
+    never a cartesian/BNLJ — and must not materialize on the driver
+    (no LocalTableScan of corpus-derived rows)."""
+    e = _emb(spark, sf_dir)
+    cand = similarity.lsh_candidates(e, dim=64, n_planes=8, n_tables=8)
+    plan = explain.physical_plan(cand)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # hash-partitioned equi-join on the (t, bucket) keys
+    assert re.search(r"hashpartitioning\((?:ta|t)", plan) or re.search(
+        r"\[(?:ta|t)[^\]]*\], \[(?:tb|t)", plan
+    ), plan
