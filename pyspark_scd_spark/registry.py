@@ -2339,17 +2339,41 @@ def q_udtf_word_positions(spark, sf_dir):
 
 @register(
     "approx_distinct_hll",
-    None,  # sketch-based: HLL estimates differ across engines — the
-    # pytest tolerance check (tests/test_llm_ops.py) is the gate
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_err_le_5pct,
+           TRUE AS orders_err_le_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="HyperLogLog++ approximate distinct counts (2% target rsd): "
     "the sketch path for cardinality at 100 TB — mergeable partial "
-    "sketches, constant memory, vs the exact count's expand+2-phase.",
+    "sketches, constant memory, vs the exact count's expand+2-phase. "
+    "Driver-checkable via the bounded-error contract: the query emits "
+    "the EXACT counts (oracle-replayable) plus booleans asserting the "
+    "sketch landed within ±5% relative error — the green row asserts "
+    "the error bound, since a second engine cannot replay the sketch "
+    "registers themselves. The raw estimates stay under the pytest "
+    "tolerance check (tests/test_llm_ops.py).",
 )
 def q_approx_distinct_hll(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within("__ap", "exact_parts").alias("parts_err_le_5pct"),
+        within("__ao", "exact_orders").alias("orders_err_le_5pct"),
     )
 
 
@@ -4265,37 +4289,46 @@ def q_corpus_clean_pipeline(spark, sf_dir):
 
 @register(
     "approx_sketch_stats",
-    None,  # HLL++/KLL sketch results are engine-specific; rows-only.
+    """
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           ROUND(MEDIAN(l_extendedprice), 2) AS exact_p50_price,
+           TRUE AS orders_err_le_5pct,
+           TRUE AS parts_err_le_5pct,
+           TRUE AS p50_err_le_5pct
+    FROM lineitem
+    """,
     doc="Sketch-based approximate statistics in ONE aggregation pass: "
     "HLL++ approx_count_distinct on the lineitem join keys and KLL-ish "
-    "approx_percentile on price, beside their exact twins for observed "
-    "relative error. At 100 TB the exact column drops and the sketch "
-    "pass is the only affordable form (mergeable partial sketches, "
-    "map-side combine, |result| = 1 row regardless of input). "
-    "Accuracy asserted within 5% in tests/test_corpus.py.",
+    "approx_percentile on price. At 100 TB the exact column drops and "
+    "the sketch pass is the only affordable form (mergeable partial "
+    "sketches, map-side combine, |result| = 1 row regardless of "
+    "input). Driver-checkable via the bounded-error contract: exact "
+    "twins are oracle-replayed, the sketch values assert within ±5% "
+    "as booleans the oracle emits as TRUE (engine-specific sketch "
+    "registers cannot be replayed). Raw estimates stay under the "
+    "pytest tolerance check (tests/test_corpus.py).",
 )
 def q_approx_sketch_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     agg = li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
         F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__ap"),
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50_price"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__ep50"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
     )
     return agg.select(
-        "approx_orders",
         "exact_orders",
-        F.round(
-            F.abs(F.col("approx_orders") - F.col("exact_orders"))
-            / F.col("exact_orders"),
-            4,
-        ).alias("rel_err_orders"),
-        "approx_parts",
         "exact_parts",
-        "approx_p50_price",
-        F.round("exact_p50_price", 2).alias("exact_p50_price"),
+        F.round("__ep50", 2).alias("exact_p50_price"),
+        within("__ao", "exact_orders").alias("orders_err_le_5pct"),
+        within("__ap", "exact_parts").alias("parts_err_le_5pct"),
+        within("__p50", "__ep50").alias("p50_err_le_5pct"),
     )
 
 

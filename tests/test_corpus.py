@@ -146,10 +146,10 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
     from pyspark_scd_spark.registry import REGISTRY
 
     r = REGISTRY["approx_sketch_stats"].builder(spark, sf_dir).collect()[0]
-    assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.05 * r["exact_orders"]
-    assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"]
+    assert r["orders_err_le_5pct"] and r["parts_err_le_5pct"], r
     # approx_percentile is exact-rank-within-accuracy: sanity bound.
-    assert abs(r["approx_p50_price"] - r["exact_p50_price"]) <= 0.05 * r["exact_p50_price"]
+    assert r["p50_err_le_5pct"], r
+    assert r["exact_orders"] > 0 and r["exact_p50_price"] > 0
 
 
 def test_corpus_prep_job_end_to_end(spark, sf_dir, tmp_path):

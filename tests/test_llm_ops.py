@@ -257,12 +257,13 @@ def test_ivf_assignment_matches_brute_force(spark):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The registry entry now emits the bounded-error contract
+    directly: exact counts + within-5% booleans. Assert every group's
+    sketch landed inside the bound, and the exact side agrees with an
+    independent exact aggregation."""
     from pyspark_scd_spark.registry import REGISTRY
 
-    approx = {
-        r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
-        for r in REGISTRY["approx_distinct_hll"].builder(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["approx_distinct_hll"].builder(spark, sf_dir).collect()
     from pyspark_scd_spark.sources.readers import read_parquet_table
 
     li = read_parquet_table(spark, sf_dir, "lineitem")
@@ -275,10 +276,11 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         )
         .collect()
     }
-    for k, (ap, ao) in approx.items():
-        ep, eo = exact[k]
-        assert abs(ap - ep) / ep < 0.1, (k, ap, ep)
-        assert abs(ao - eo) / eo < 0.1, (k, ao, eo)
+    assert rows and len(rows) == len(exact)
+    for r in rows:
+        ep, eo = exact[r["l_returnflag"]]
+        assert r["exact_parts"] == ep and r["exact_orders"] == eo
+        assert r["parts_err_le_5pct"] and r["orders_err_le_5pct"], r
 
 
 def test_resize_payload_contract(docs):
