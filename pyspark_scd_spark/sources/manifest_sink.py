@@ -53,6 +53,13 @@ class ManifestJsonWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("manifest_json sink requires a path")
         self.overwrite = overwrite
+        # Optional streaming-batch provenance: a foreachBatch caller
+        # passes its batch_id so the manifest records which micro-batch
+        # committed each file — the hook idempotent_batch_writer uses
+        # to skip replayed batches (exactly-once on top of
+        # foreachBatch's at-least-once contract).
+        bid = options.get("batch_id")
+        self.batch_id = None if bid is None else int(bid)
 
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
@@ -68,11 +75,25 @@ class ManifestJsonWriter(DataSourceWriter):
         return _FileCommit(filename=fname, n_rows=n)
 
     def commit(self, messages):
+        # Empty partitions produce zero-row part files; keep them out
+        # of the manifest (and off disk) so file count tracks data,
+        # not the writer's partitioning.
+        for m in messages:
+            if m is not None and m.n_rows == 0:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
         entries = sorted(
             (
                 {"file": m.filename, "n_rows": m.n_rows}
+                | (
+                    {}
+                    if self.batch_id is None
+                    else {"batch_id": self.batch_id}
+                )
                 for m in messages
-                if m is not None
+                if m is not None and m.n_rows > 0
             ),
             key=lambda e: e["file"],
         )
@@ -146,6 +167,44 @@ def read_manifest_table(spark, path: str):
     if not files:
         raise ValueError(f"empty manifest at {path}")
     return spark.read.json(files), manifest
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Micro-batch ids already recorded in the manifest (empty when no
+    manifest exists yet)."""
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return set()
+    with open(mpath) as f:
+        manifest = json.load(f)
+    return {
+        e["batch_id"] for e in manifest["files"] if "batch_id" in e
+    }
+
+
+def idempotent_batch_writer(path: str):
+    """foreachBatch handler giving EXACTLY-ONCE manifest commits on
+    top of foreachBatch's at-least-once replay contract: a micro-batch
+    whose batch_id is already in the manifest is skipped wholesale
+    (Structured Streaming replays a batch only in full and with the
+    same batch_id, so skip-if-committed is the standard idempotence
+    recipe). The data write itself may leave orphan part files on a
+    crash between write and commit — readers never see them because
+    ``read_manifest_table`` trusts only the manifest.
+    """
+
+    def write_batch(df, batch_id: int) -> None:
+        if int(batch_id) in committed_batch_ids(path):
+            return
+        (
+            df.write.format("manifest_json")
+            .option("path", path)
+            .option("batch_id", str(int(batch_id)))
+            .mode("append")
+            .save()
+        )
+
+    return write_batch
 
 
 def register(spark) -> None:

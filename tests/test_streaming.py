@@ -496,3 +496,123 @@ def test_stream_debounce_bursts_chain_across_batches(spark, tmp_path):
     # leaders: 1 (burst A, spans both files) and 4 (new burst);
     # 2 and 3 suppressed — 3 only if state chained across batches
     assert got == [1, 4]
+
+
+def _debounce_crash_files(tmp_path):
+    """Two source files forming one burst that SPANS the restart
+    boundary: events 1,2 (t=0,4s) in file a; 3 (t=8s, within gap of
+    t=4s — suppressed only if state survives the restart) and 4
+    (t=20s, new burst) in file b."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    us = 1_000_000
+    pd.DataFrame(
+        {"event_id": [1, 2], "user_id": [7, 7],
+         "event_type": ["click", "click"], "ts_us": [0, 4 * us]}
+    ).to_parquet(src / "a.parquet")
+    b = pd.DataFrame(
+        {"event_id": [3, 4], "user_id": [7, 7],
+         "event_type": ["click", "click"], "ts_us": [8 * us, 20 * us]}
+    )
+    return src, b
+
+
+def _debounce_stream_from(spark, src):
+    from pyspark_scd_spark.streaming.dedup import debounce_stream
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, ts_us bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    return debounce_stream(stream, gap_seconds=5)
+
+
+def test_stream_crash_recovery_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: drain the stream while only HALF the source
+    exists (simulating a failure mid-source), then restart a NEW query
+    from the SAME checkpoint once the rest has arrived. Recovery must
+    (a) reload the stateful operator's state — event 3 is suppressed
+    only if the burst state survived the restart — and (b) not re-emit
+    run 1's output — the file-source offsets and the parquet sink's
+    commit log both live in the checkpoint."""
+    src, file_b = _debounce_crash_files(tmp_path)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    def run_once():
+        q = (
+            _debounce_stream_from(spark, src)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # run 1: only file a visible; query terminates (the "crash")
+    got1 = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got1 == [1], got1  # leader of the open burst
+
+    file_b.to_parquet(src / "b.parquet")
+    run_once()  # run 2: fresh query object, same checkpoint
+    got2 = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    # equals the batch twin over the full source: 2 suppressed in run 1,
+    # 3 suppressed ACROSS the restart, 4 opens a new burst; 1 not re-emitted
+    assert got2 == [1, 4], got2
+
+
+def test_manifest_sink_exactly_once_across_restart(spark, tmp_path):
+    """The manifest sink's exactly-once claim, exercised end to end:
+    a checkpointed foreachBatch stream through idempotent_batch_writer
+    is killed mid-source, restarted, and then a completed micro-batch
+    is REPLAYED (foreachBatch's documented at-least-once hazard). The
+    manifest must hold each batch_id at most once and the committed
+    table must equal the batch twin with no duplicates."""
+    from pyspark_scd_spark.sources import manifest_sink as MS
+
+    MS.register(spark)
+    src, file_b = _debounce_crash_files(tmp_path)
+    table, ck = str(tmp_path / "table"), tmp_path / "ck2"
+    handler = MS.idempotent_batch_writer(table)
+
+    def run_once():
+        q = (
+            _debounce_stream_from(spark, src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # run 1: file a only (crash mid-source)
+    df1, m1 = MS.read_manifest_table(spark, table)
+    assert sorted(r["event_id"] for r in df1.collect()) == [1], m1
+
+    file_b.to_parquet(src / "b.parquet")
+    run_once()  # run 2: restart from checkpoint
+
+    df2, m2 = MS.read_manifest_table(spark, table)
+    # simulate a crash-replay of an already-committed micro-batch:
+    # rerun the handler with batch_id 0 and run-1's data
+    replay_df = spark.createDataFrame(
+        [(1, 7, "click", 0)],
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint",
+    )
+    handler(replay_df, 0)
+    df3, m3 = MS.read_manifest_table(spark, table)
+    assert m3 == m2, "replayed batch mutated the manifest"
+    # one committed data file per (micro-batch, non-empty partition);
+    # the two leaders land in two batches (maxFilesPerTrigger=1) and
+    # a replayed batch adds nothing
+    bids = sorted(e["batch_id"] for e in m3["files"])
+    assert bids == [0, 1], bids
+    got = sorted(r["event_id"] for r in df3.collect())
+    assert got == [1, 4], got
+    assert m3["total_rows"] == 2
