@@ -574,10 +574,13 @@ def bpe_train_merges(
     groupBy (only distinct pairs shuffle), the winning pair is one
     driver row (like k-means' k x d centroid state), and the merge
     apply is windows co-partitioned on doc_id. ``localCheckpoint``
-    truncates lineage each round. Production trainers batch hundreds
-    of merges per corpus pass; one-merge-per-pass keeps each round
+    truncates lineage each round. One-merge-per-pass keeps each round
     exactly replayable by a second engine (the oracle unrolls rounds
-    as CTE chains).
+    as CTE chains), but sequential rounds make 10k+ vocabularies
+    unusable — at vocab scale use ``bpe_train_merges_batched`` (many
+    merges per corpus pass) or train on a bounded sample with this
+    exact trainer (the sample-then-train contract: merge quality
+    converges long before the full corpus is counted).
 
     Overlap resolution is pure SQL: candidate positions (tok=A,
     next=B) form runs of consecutive positions; greedy keeps every
@@ -841,3 +844,130 @@ def quality_calibrate_quantile(
             "calibrated_score"
         ),
     )
+
+
+def bpe_train_merges_batched(
+    df: DataFrame,
+    rounds: int = 4,
+    batch_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> tuple[DataFrame, DataFrame]:
+    """BPE training at realistic vocab scope: ``rounds`` corpus passes,
+    each merging a BATCH of up to ``batch_size`` pairs — the shape that
+    reaches 10k+ merges in bounded jobs, versus ``bpe_train_merges``'s
+    one-pair-per-pass (exact but O(vocab) sequential jobs).
+
+    Batch selection is DECLARATIVE so a second engine can replay it:
+    rank the round's top ``batch_size`` pairs by (freq DESC, pair ASC);
+    keep a pair iff it shares no token with ANY higher-ranked pair of
+    the batch (kept or not — a NOT EXISTS, not a sequential matching).
+    Kept pairs are therefore pairwise token-disjoint, which makes the
+    simultaneous apply EXACT: no position can be claimed by two kept
+    pairs (it would need a shared token), adjacent candidates are
+    always the same A=A run pair, and the per-run greedy keep works
+    unchanged. The approximation relative to strict sequential BPE is
+    only that ranks 2..m use the PRE-round counts — the standard
+    batched-BPE trade (counts shift by at most the higher merges'
+    overlap), not a correctness bug; each round's batch IS exact for
+    its pre-round corpus.
+
+    Driver state per round: ``batch_size`` pair rows (the k-means
+    centroid pattern) — never corpus data. ``tokens_after`` in the
+    merge table is the post-ROUND token count (shared by the round's
+    merges). Returns ``(merge_table, tokens)`` like the sequential
+    trainer; ``step`` numbers merges globally in (round, freq DESC,
+    pair ASC) order.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), TXT.tokens(text_col).alias("t")
+    ).filter(F.size("t") > 0)
+    rows = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    rows = rows.localCheckpoint()
+
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    merges: list = []
+    step = 0
+    for _rnd in range(rounds):
+        p = rows.withColumn("nxt", F.lead("tok").over(wdoc))
+        top = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(
+                F.col("freq").desc(), F.col("tok").asc(), F.col("nxt").asc()
+            )
+            .limit(batch_size)
+            .collect()
+        )
+        if not top:
+            break
+        kept: list = []
+        used: set = set()
+        for r in top:
+            a, b = r["tok"], r["nxt"]
+            if a not in used and b not in used:
+                kept.append((a, b, int(r["freq"])))
+            used.add(a)
+            used.add(b)
+        cand = None
+        for a, b, _f in kept:
+            this = (F.col("tok") == a) & (F.col("nxt") == b)
+            cand = this if cand is None else (cand | this)
+        wc = W.partitionBy("doc_id", "cand").orderBy("pos")
+        wg = W.partitionBy("doc_id", "grp")
+        marked = (
+            p.withColumn("cand", cand)
+            .withColumn(
+                "grp",
+                F.when(
+                    F.col("cand"), F.col("pos") - F.row_number().over(wc)
+                ),
+            )
+            .withColumn(
+                "keep",
+                F.col("cand")
+                & ((F.col("pos") - F.min("pos").over(wg)) % 2 == 0),
+            )
+            .withColumn(
+                "dropped",
+                F.coalesce(F.lag("keep").over(wdoc), F.lit(False)),
+            )
+        )
+        applied = marked.filter(~F.col("dropped")).select(
+            "doc_id",
+            F.col("pos").alias("opos"),
+            F.when(
+                F.col("keep"),
+                F.concat_ws(sep, F.col("tok"), F.col("nxt")),
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        rows = applied.select(
+            "doc_id",
+            (
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy("opos")
+                )
+                - 1
+            ).cast("long").alias("pos"),
+            "tok",
+        ).localCheckpoint()
+        n_after = rows.count()
+        for a, b, freq in kept:
+            step += 1
+            merges.append((step, a, b, freq, n_after))
+
+    merge_table = spark.createDataFrame(
+        merges,
+        schema="step int, token_a string, token_b string, "
+        "pair_freq bigint, tokens_after bigint",
+    )
+    return merge_table, rows

