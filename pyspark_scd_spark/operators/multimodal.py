@@ -93,12 +93,16 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode → (width, height, channels, mean intensity).
 
-    ``fake=False`` decodes REAL images when PIL is importable on the
+    ``fake=False`` decodes REAL images: PIL when importable on the
     executors (optional dependency — this container does not ship it),
-    and raises NotImplementedError otherwise. ``fake=True`` derives
-    deterministic pseudo-features from a sha256 of the bytes —
-    exercising the exact same Arrow batch path, schema, and
-    partitioning as the real decoder either way.
+    else the vendored pure-Python PPM/PGM/BMP codec
+    (functions/imagecodec.py) for those formats, and
+    NotImplementedError for formats neither path covers. The two real
+    paths agree on the feature contract (imagecodec mirrors PIL's
+    channel semantics, incl. palette-index mode for 8-bit BMP).
+    ``fake=True`` derives deterministic pseudo-features from a sha256
+    of the bytes — exercising the exact same Arrow batch path, schema,
+    and partitioning as the real decoder either way.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,13 +112,9 @@ def decode_image_features(
                 from PIL import Image as pil_image  # type: ignore
             except ImportError:
                 pil_image = None
+        from pyspark_scd_spark.functions import imagecodec
+
         for pdf in batches:
-            if not fake and pil_image is None:
-                raise NotImplementedError(
-                    "image decoding requires PIL/opencv; not available "
-                    "in this environment — use fake=True for plumbing "
-                    "tests or run on a cluster image with codecs"
-                )
             feats = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if fake:
@@ -126,7 +126,7 @@ def decode_image_features(
                     feats["mean_intensity"].append(
                         round(sum(d[:16]) / (16 * 255.0), 6)
                     )
-                else:
+                elif pil_image is not None:
                     import io
 
                     img = pil_image.open(io.BytesIO(payload))
@@ -143,6 +143,20 @@ def decode_image_features(
                     feats["channels"].append(len(bands))
                     feats["mean_intensity"].append(
                         round(total / (n_samples * 255.0), 6)
+                    )
+                elif imagecodec.sniff(bytes(payload)):
+                    w, h, c, mean = imagecodec.features(bytes(payload))
+                    feats["doc_id"].append(int(doc_id))
+                    feats["width"].append(w)
+                    feats["height"].append(h)
+                    feats["channels"].append(c)
+                    feats["mean_intensity"].append(mean)
+                else:
+                    raise NotImplementedError(
+                        "payload is neither PPM/PGM/BMP (vendored "
+                        "codec) nor decodable without PIL/opencv — "
+                        "install PIL on the cluster image or use "
+                        "fake=True for plumbing tests"
                     )
             yield pd.DataFrame(feats)
 
