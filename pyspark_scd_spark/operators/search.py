@@ -108,6 +108,24 @@ def inverted_index(
     )
 
 
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The retrieval suite's shared stage: corpus tokenize ->
+    (doc_id, tok, tf) partial-aggregated postings. Every BM25-backed
+    consumer (hybrid_search_rrf, retrieval_disagreement) needs exactly
+    this table; stage it once (write_staged / cache) and pass it as
+    ``term_freq`` so the corpus-wide tokenize+explode runs once per
+    corpus snapshot instead of once per query suite — the same
+    shared-stage convention as dedup's shingle staging."""
+    toks = docs.select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("tok")
+    )
+    return toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -118,6 +136,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     exclude_self: bool = False,
+    term_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k per query: score(q, d) = Σ_t idf(t) ·
     tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl)) over the query's
@@ -138,11 +157,10 @@ def bm25_topk(
     with an external query table an id collision would silently drop
     a legitimate result, so it defaults off.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("tok")
-    )
-    tf = toks.groupBy(id_col, "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = (
+        term_freq
+        if term_freq is not None
+        else term_frequencies(docs, id_col, text_col)
     )
     dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
     stats = dlen.agg(
@@ -208,6 +226,7 @@ def hybrid_search_rrf(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    term_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the standard
     RAG-stack shape: a lexical BM25 ranking and a dense cosine ranking
@@ -234,6 +253,7 @@ def hybrid_search_rrf(
         id_col=id_col,
         text_col=text_col,
         exclude_self=True,  # queries ARE corpus docs here
+        term_freq=term_freq,
     ).select(
         "query_id",
         F.col(id_col),
@@ -381,6 +401,7 @@ def retrieval_disagreement(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    term_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Retriever-distillation hard-pair mining: the candidates the
     lexical and dense tiers DISAGREE on — docs in exactly one tier's
@@ -409,6 +430,7 @@ def retrieval_disagreement(
         id_col=id_col,
         text_col=text_col,
         exclude_self=True,
+        term_freq=term_freq,
     ).select("query_id", F.col(id_col), F.col("rank").alias("kw_rank"))
     qv = embeddings.filter(F.col(vec_id_col).isin(ids)).select(
         F.col(vec_id_col).alias("query_id"),

@@ -1113,6 +1113,25 @@ def q_dedup_exact(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 _SHINGLE_STAGE_CACHE: dict[str, str] = {}
+_TF_STAGE_CACHE: dict[str, str] = {}
+
+
+def _staged_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage for the retrieval suite (the dedup-shingle
+    convention applied to postings): the corpus tokenize -> (doc, tok,
+    tf) table both BM25 legs consume, staged once per sf_dir via the
+    two-phase writer."""
+    if sf_dir not in _TF_STAGE_CACHE:
+        import tempfile
+
+        from pyspark_scd_spark.operators.search import term_frequencies
+        from pyspark_scd_spark.sources.writers import write_staged
+
+        path = tempfile.mkdtemp(prefix="tf_stage_") + "/term_freq"
+        d = _t(spark, sf_dir, "documents")
+        write_staged(term_frequencies(d), path)
+        _TF_STAGE_CACHE[sf_dir] = path
+    return spark.read.parquet(_TF_STAGE_CACHE[sf_dir])
 
 
 def _cc_strategy(docs: DataFrame) -> str:
@@ -6911,7 +6930,8 @@ def q_hybrid_search_rrf(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     return search.hybrid_search_rrf(
-        d, e, query_ids=list(range(100, 105)), k=10, k0=20, rrf_k=60
+        d, e, query_ids=list(range(100, 105)), k=10, k0=20, rrf_k=60,
+        term_freq=_staged_term_freq(spark, sf_dir),
     )
 
 
@@ -7806,7 +7826,8 @@ def q_retrieval_disagreement(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     return search.retrieval_disagreement(
-        d, e, query_ids=list(range(100, 105)), k0=20
+        d, e, query_ids=list(range(100, 105)), k0=20,
+        term_freq=_staged_term_freq(spark, sf_dir),
     )
 
 
