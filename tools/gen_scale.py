@@ -7,7 +7,10 @@ parallelism is held constant. Usage:
 
     python tools/gen_scale.py [table ...]   # default: documents embeddings
 
-Writes /tmp/scale_x3/<t>.parquet and /tmp/scale_x10/<t>.parquet.
+Writes /tmp/scale_x{3,10,30}/<t>.parquet. Dimension tables
+(supplier/part/nation/region) copy through UNSHIFTED — dims are held
+constant, so per-dim-key fan-out grows with the tier (the hub-growth
+caveat SCALING.md documents).
 """
 
 from __future__ import annotations
@@ -31,11 +34,21 @@ KEY_COLS = {
     "customer": ["c_custkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id", "user_id"],
+    # dimension tables: copied once, unshifted
+    "supplier": [],
+    "part": [],
+    "nation": [],
+    "region": [],
 }
 
 
 def build(spark, table: str, copies: int, out_dir: str) -> None:
     base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    if not KEY_COLS[table]:  # dimension: pass through once
+        base.repartition(8).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+        return
     parts = []
     for i in range(copies):
         df = base
@@ -51,9 +64,15 @@ def build(spark, table: str, copies: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    tables = sys.argv[1:] or ["documents", "embeddings"]
+    args = sys.argv[1:]
+    tiers = [int(a[1:]) for a in args if a.startswith("x")]
+    tables = [a for a in args if not a.startswith("x")] or [
+        "documents", "embeddings"
+    ]
+    tiers = tiers or [3, 10]
     spark = get_spark(app_name="gen_scale")
-    for copies, out in ((3, "/tmp/scale_x3"), (10, "/tmp/scale_x10")):
+    for copies in tiers:
+        out = f"/tmp/scale_x{copies}"
         for t in tables:
             build(spark, t, copies, out)
             print(f"wrote {out}/{t}.parquet ({copies}x)")
