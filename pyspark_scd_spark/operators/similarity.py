@@ -1440,6 +1440,7 @@ def lsh_candidates(
     vec_col: str = "embedding",
     seed: int = 42,
     ordered: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """DISTINCT LSH candidate id pairs: two rows are candidates when
     their sign-bit buckets are equal — or, with ``multiprobe``, within
@@ -1503,12 +1504,16 @@ def lsh_candidates(
         if ordered
         else (F.col("id_a") != F.col("id_b"))
     )
-    return (
+    out = (
         pb.join(c, (F.col("ta") == F.col("tb")) & (F.col("pb") == F.col("b")))
         .filter(cond)
         .select("id_a", "id_b")
-        .distinct()
     )
+    # distinct=False defers dedup to the caller: when the verify stage
+    # filters hard (a cosine threshold), deduping the small SURVIVOR
+    # set beats shuffling the full candidate multiset here (duplicate
+    # factor bounded by tables x probes).
+    return out.distinct() if distinct else out
 
 
 def _join_pair_vectors(
@@ -1533,6 +1538,46 @@ def _join_pair_vectors(
         *[F.col(c).alias(f"__b_{c}") for c in extra_cols],
     )
     return cand.join(a, "id_a").join(b, "id_b")
+
+
+def _pair_cosine_pandas(df: DataFrame, decimals: int = 6) -> DataFrame:
+    """BLAS verify stage: cosine over candidate pairs computed
+    batch-at-a-time in numpy float64 over Arrow (mapInPandas) —
+    expression-tree cosine on millions of candidate rows is the slow
+    path (measured: it costs more than the grid twin's ENTIRE n^2
+    matmul at 26% candidate density); vectorized numpy matches the
+    grid emitters' arithmetic. Rounds half-away (DuckDB ROUND
+    semantics, like the grid). Keeps every column except __va/__vb,
+    appends ``cosine``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name not in ("__va", "__vb")]
+    out_schema = T.StructType(
+        list(keep) + [T.StructField("cosine", T.DoubleType())]
+    )
+    names = [f.name for f in keep]
+    p10 = 10.0 ** decimals
+
+    def _run(batches):
+        for pdf in batches:
+            out = pdf[names].copy()
+            if len(pdf) == 0:
+                out["cosine"] = pd.Series([], dtype="float64")
+                yield out
+                continue
+            va = np.array(list(pdf["__va"]), dtype=np.float64)
+            vb = np.array(list(pdf["__vb"]), dtype=np.float64)
+            c = (va * vb).sum(axis=1) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            out["cosine"] = (
+                np.sign(c) * np.floor(np.abs(c) * p10 + 0.5) / p10
+            )
+            yield out
+
+    return df.mapInPandas(_run, schema=out_schema)
 
 
 def _round_away_col(c, decimals: int):
@@ -1571,16 +1616,19 @@ def embedding_neardup_pairs_ann(
     """
     cand = lsh_candidates(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
-        ordered=True,
+        ordered=True, distinct=False,
     )
-    scored = _join_pair_vectors(df, cand, id_col, vec_col).select(
-        "id_a",
-        "id_b",
-        _round_away_col(
-            V.cosine(F.col("__va"), F.col("__vb")), round_to
-        ).alias("cosine"),
+    scored = _pair_cosine_pandas(
+        _join_pair_vectors(df, cand, id_col, vec_col), decimals=round_to
     )
-    return scored.filter(F.col("cosine") >= threshold)
+    # dedup AFTER the threshold: the survivor set is orders of
+    # magnitude smaller than the candidate multiset, and re-verified
+    # duplicates cost only vectorized numpy
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def knn_label_vote_ann(
@@ -1604,14 +1652,17 @@ def knn_label_vote_ann(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
     )
-    scored = _join_pair_vectors(
-        df, cand, id_col, vec_col, extra_cols=(label_col,)
+    scored = _pair_cosine_pandas(
+        _join_pair_vectors(
+            df, cand, id_col, vec_col, extra_cols=(label_col,)
+        ),
+        decimals=6,
     ).select(
         F.col("id_a").alias("qid"),
         F.col(f"__a_{label_col}").alias("qlabel"),
         F.col("id_b").alias("nid"),
         F.col(f"__b_{label_col}").alias("nlabel"),
-        F.round(V.cosine(F.col("__va"), F.col("__vb")), 6).alias("c"),
+        F.col("cosine").alias("c"),
     )
     w_rank = Window.partitionBy("qid").orderBy(
         F.col("c").desc(), F.col("nid").asc()
@@ -1659,18 +1710,17 @@ def hard_negative_mining_ann(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
     )
-    scored = (
+    scored = _pair_cosine_pandas(
         _join_pair_vectors(
             df, cand, id_col, vec_col, extra_cols=(label_col,)
-        )
-        .filter(F.col(f"__a_{label_col}") != F.col(f"__b_{label_col}"))
-        .select(
-            F.col("id_a").alias("qid"),
-            F.col(f"__a_{label_col}").alias("qlabel"),
-            F.col("id_b").alias("nid"),
-            F.col(f"__b_{label_col}").alias("nlabel"),
-            F.round(V.cosine(F.col("__va"), F.col("__vb")), 6).alias("c"),
-        )
+        ).filter(F.col(f"__a_{label_col}") != F.col(f"__b_{label_col}")),
+        decimals=6,
+    ).select(
+        F.col("id_a").alias("qid"),
+        F.col(f"__a_{label_col}").alias("qlabel"),
+        F.col("id_b").alias("nid"),
+        F.col(f"__b_{label_col}").alias("nlabel"),
+        F.col("cosine").alias("c"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("c").desc(), F.col("nid").asc()
