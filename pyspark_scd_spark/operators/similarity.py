@@ -1580,6 +1580,113 @@ def _pair_cosine_pandas(df: DataFrame, decimals: int = 6) -> DataFrame:
     return df.mapInPandas(_run, schema=out_schema)
 
 
+def candidate_pair_cosine(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+    decimals: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact cosine for a CANDIDATE pair list without joining vectors
+    onto every pair — the verify stage that survives 100x.
+
+    Joining full vectors onto each candidate moves O(|cand|·dim)
+    bytes through the shuffle and the Arrow boundary (measured: the
+    x30 kNN verify shipped ~90 GB that way and became the wall).
+    Here vectors move as PACKED NORMALIZED BLOCKS (the pair-grid
+    representation, O(corpus·√cells) replication) and candidates move
+    as skinny (id_a, id_b) rows grouped by their (block_a, block_b)
+    cell; a cogrouped applyInPandas gathers each cell's rows from the
+    two block matrices and emits numpy row dots. Arithmetic is the
+    grid twins' normalize-then-dot with half-away rounding — the
+    oracle-matched family.
+
+    Output: (id_a, id_b[, label_a, label_b], cosine); one row per
+    candidate row (caller dedups if it passed a multiset).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if n_blocks is None:
+        n_blocks = _auto_blocks(df, vec_col)
+    packed = _pack_vec_blocks(
+        df, n_blocks, id_col, vec_col, label_col
+    ).localCheckpoint()
+    blk = lambda c: F.pmod(  # noqa: E731  (must mirror _pack_vec_blocks)
+        F.xxhash64(F.col(c)), F.lit(n_blocks)
+    ).cast("int")
+    cand2 = cand.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        blk("id_a").alias("blk_a"),
+        blk("id_b").alias("blk_b"),
+    )
+    cells = _grid(packed, upper_only=False).select(
+        F.col("l_blk").alias("blk_a"),
+        F.col("r_blk").alias("blk_b"),
+        "l_n", "l_dim", "l_ids", "l_mat",
+        "r_n", "r_dim", "r_ids", "r_mat",
+        *(
+            ["l_labels", "r_labels"]
+            if label_col
+            else []
+        ),
+    )
+    fields = [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+    if label_col:
+        fields += [
+            T.StructField("label_a", T.IntegerType()),
+            T.StructField("label_b", T.IntegerType()),
+        ]
+    fields.append(T.StructField("cosine", T.DoubleType()))
+    out_schema = T.StructType(fields)
+    p10 = 10.0 ** decimals
+    with_labels = bool(label_col)
+
+    def _cell(key, cand_pdf, cell_pdf):
+        if len(cand_pdf) == 0 or len(cell_pdf) == 0:
+            return pd.DataFrame({f.name: [] for f in fields})
+        row = cell_pdf.iloc[0]
+        aids = np.frombuffer(row["l_ids"], dtype=np.int64)
+        amat = np.frombuffer(row["l_mat"], dtype=np.float64).reshape(
+            int(row["l_n"]), int(row["l_dim"])
+        )
+        bids = np.frombuffer(row["r_ids"], dtype=np.int64)
+        bmat = np.frombuffer(row["r_mat"], dtype=np.float64).reshape(
+            int(row["r_n"]), int(row["r_dim"])
+        )
+        # id -> row position via argsort+searchsorted (C-speed; a
+        # Python dict .map() here measured ~10x the whole cell cost)
+        aorder = np.argsort(aids, kind="stable")
+        border = np.argsort(bids, kind="stable")
+        ca = cand_pdf["id_a"].to_numpy(dtype=np.int64)
+        cb = cand_pdf["id_b"].to_numpy(dtype=np.int64)
+        ia = aorder[np.searchsorted(aids[aorder], ca)]
+        ib = border[np.searchsorted(bids[border], cb)]
+        c = (amat[ia] * bmat[ib]).sum(axis=1)
+        c = np.sign(c) * np.floor(np.abs(c) * p10 + 0.5) / p10
+        out = {"id_a": ca, "id_b": cb}
+        if with_labels:
+            alab = np.frombuffer(row["l_labels"], dtype=np.int64)
+            blab = np.frombuffer(row["r_labels"], dtype=np.int64)
+            out["label_a"] = alab[ia].astype(np.int32)
+            out["label_b"] = blab[ib].astype(np.int32)
+        out["cosine"] = c
+        return pd.DataFrame(out)
+
+    return (
+        cand2.groupBy("blk_a", "blk_b")
+        .cogroup(cells.groupBy("blk_a", "blk_b"))
+        .applyInPandas(_cell, schema=out_schema)
+    )
+
+
 def _round_away_col(c, decimals: int):
     """DuckDB-style ROUND (half away from zero, computed in double
     arithmetic): sign(x)·floor(|x|·10^d + 0.5)/10^d. IEEE ops are
@@ -1618,8 +1725,8 @@ def embedding_neardup_pairs_ann(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=True, distinct=False,
     )
-    scored = _pair_cosine_pandas(
-        _join_pair_vectors(df, cand, id_col, vec_col), decimals=round_to
+    scored = candidate_pair_cosine(
+        df, cand, id_col, vec_col, decimals=round_to
     )
     # dedup AFTER the threshold: the survivor set is orders of
     # magnitude smaller than the candidate multiset, and re-verified
@@ -1652,16 +1759,13 @@ def knn_label_vote_ann(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
     )
-    scored = _pair_cosine_pandas(
-        _join_pair_vectors(
-            df, cand, id_col, vec_col, extra_cols=(label_col,)
-        ),
-        decimals=6,
+    scored = candidate_pair_cosine(
+        df, cand, id_col, vec_col, label_col, decimals=6
     ).select(
         F.col("id_a").alias("qid"),
-        F.col(f"__a_{label_col}").alias("qlabel"),
+        F.col("label_a").alias("qlabel"),
         F.col("id_b").alias("nid"),
-        F.col(f"__b_{label_col}").alias("nlabel"),
+        F.col("label_b").alias("nlabel"),
         F.col("cosine").alias("c"),
     )
     w_rank = Window.partitionBy("qid").orderBy(
@@ -1710,17 +1814,18 @@ def hard_negative_mining_ann(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
     )
-    scored = _pair_cosine_pandas(
-        _join_pair_vectors(
-            df, cand, id_col, vec_col, extra_cols=(label_col,)
-        ).filter(F.col(f"__a_{label_col}") != F.col(f"__b_{label_col}")),
-        decimals=6,
-    ).select(
-        F.col("id_a").alias("qid"),
-        F.col(f"__a_{label_col}").alias("qlabel"),
-        F.col("id_b").alias("nid"),
-        F.col(f"__b_{label_col}").alias("nlabel"),
-        F.col("cosine").alias("c"),
+    scored = (
+        candidate_pair_cosine(
+            df, cand, id_col, vec_col, label_col, decimals=6
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            F.col("id_a").alias("qid"),
+            F.col("label_a").alias("qlabel"),
+            F.col("id_b").alias("nid"),
+            F.col("label_b").alias("nlabel"),
+            F.col("cosine").alias("c"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("c").desc(), F.col("nid").asc()
