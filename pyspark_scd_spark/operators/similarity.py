@@ -970,13 +970,23 @@ def hard_negative_mining(
 
 
 def _auto_blocks(
-    df: DataFrame, vec_col: str, target_mb: int = 32
+    df: DataFrame,
+    vec_col: str,
+    target_mb: int = 32,
+    max_chunk_rows: int = 4000,
 ) -> int:
     """Block count for the pair grid, derived from the corpus instead
     of hand-tuned: enough blocks that (a) a packed chunk is ~target_mb
-    of float64 (so a cell's matmul fits executor memory with headroom)
-    and (b) the upper-triangle grid B(B+1)/2 has at least ~parallelism
-    cells. Costs one metadata count plus a 1-row dim probe."""
+    of float64, (b) the upper-triangle grid B(B+1)/2 has at least
+    ~parallelism cells, and (c) — the binding constraint in practice —
+    a cell's DENSE SIMS MATRIX (chunk_rows² · 8 bytes, times one per
+    concurrent Python worker) stays bounded: at d=64 a 32 MB chunk is
+    65k rows whose sims matrix is 34 GB, so sizing by packed bytes
+    alone OOMs the host long before the chunk itself is large
+    (observed: kernel OOM at 60k vectors with B=8 → 7.5k-row chunks →
+    450 MB sims + sort workspace across 32 workers). 4000-row chunks
+    cap the sims at 128 MB/worker. Costs one metadata count plus a
+    1-row dim probe."""
     import math
 
     n = df.count()
@@ -985,7 +995,8 @@ def _auto_blocks(
     par = df.sparkSession.sparkContext.defaultParallelism
     by_bytes = math.ceil(n * max(dim, 1) * 8 / (target_mb * 1024 * 1024))
     by_par = math.ceil(math.sqrt(2.0 * par))
-    return max(1, by_par, by_bytes)
+    by_rows = math.ceil(n / max_chunk_rows)
+    return max(1, by_par, by_bytes, by_rows)
 
 
 def _pack_vec_blocks(
@@ -1721,20 +1732,20 @@ def embedding_neardup_pairs_ann(
     (candidates AND verify) replays in oracle SQL — the output is
     exact-checkable, only its candidate set is approximate.
     """
+    # distinct BEFORE verify: the candidate multiset carries a
+    # tables x probes duplication factor (measured 167M rows at 60k
+    # vectors), and every duplicate row pays the Arrow round-trip in
+    # the verify stage — a skinny-pair shuffle is far cheaper than
+    # pushing the multiset through Python.
     cand = lsh_candidates(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
-        ordered=True, distinct=False,
+        ordered=True, distinct=True,
     )
     scored = candidate_pair_cosine(
         df, cand, id_col, vec_col, decimals=round_to
     )
-    # dedup AFTER the threshold: the survivor set is orders of
-    # magnitude smaller than the candidate multiset, and re-verified
-    # duplicates cost only vectorized numpy
-    return (
-        scored.filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "cosine")
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
     )
 
 
