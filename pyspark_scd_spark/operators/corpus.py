@@ -971,3 +971,75 @@ def bpe_train_merges_batched(
         "pair_freq bigint, tokens_after bigint",
     )
     return merge_table, rows
+
+
+def dsir_importance_rank(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", simplified to
+    exact unigram features): rank the RAW pool by the importance
+    log-ratio of a target-domain unigram LM over the raw-pool LM,
+    ln Π p_target(w)/p_raw(w), with add-``smoothing`` estimates over
+    the joint vocabulary. The top of the ranking is the raw data
+    that looks most like the target domain — the standard
+    domain-adaptation selection pass before pretraining.
+
+    ``target_pred`` marks the (small) target sample; every other row
+    is the raw pool being selected from. Returns the top ``top_n``
+    raw docs as (doc_id, n_tokens, log_ratio, rank), ranking on the
+    4dp-rounded ratio with id tie-break so the cut is
+    engine-reproducible.
+
+    Scale shape: one tokenize pass; both LMs are ONE vocab-keyed
+    aggregate (map-side combined; the conditional sums share the
+    shuffle); the vocab table joins back token-keyed (broadcast while
+    the vocab fits) with the totals as a broadcast scalar; per-doc
+    scoring is a doc-keyed aggregate and the final cut a TopK — no
+    corpus-wide sort.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_target"),
+        F.explode(TXT.tokens(text_col)).alias("token"),
+    )
+    v = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = v.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("vsz"),
+    )
+    a = float(smoothing)
+    lr_term = F.log(
+        (F.col("ct") + a) / (F.col("nt") + a * F.col("vsz"))
+    ) - F.log((F.col("cr") + a) / (F.col("nr") + a * F.col("vsz")))
+    scored = (
+        toks.filter(~F.col("__is_target"))
+        .join(v, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(lr_term), 4).alias("log_ratio"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # TakeOrdered cut first (distributed, no global sort), THEN the
+    # rank window over the <= top_n survivors — never a
+    # single-partition window over the full scored pool.
+    cut = scored.orderBy(
+        F.col("log_ratio").desc(), F.col(id_col).asc()
+    ).limit(top_n)
+    w = W.orderBy(F.col("log_ratio").desc(), F.col(id_col).asc())
+    return cut.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "n_tokens", "log_ratio", "rank")

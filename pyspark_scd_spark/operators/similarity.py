@@ -143,6 +143,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates from the query's LSH bucket in ANY of
     ``n_tables`` independent hash tables, exact cosine re-rank within.
@@ -153,6 +154,13 @@ def lsh_bucketed_topk(
     it separates from the query in EVERY table — miss^L (same data:
     ≥0.9 at L=3). Cost: the corpus is exploded L× into (table, bucket)
     keys, still one equi-join, candidates deduped before re-rank.
+
+    ``multiprobe`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket in each table (Lv et al.,
+    VLDB'07): (planes+1)x more probe rows on the QUERY side only —
+    the corpus explosion is unchanged — buying the recall a
+    flipped-sign boundary bit costs. The serving-time recall knob
+    beside ``n_probe`` on the IVF tier.
     """
     def tabled(df, keep_cols, vcol):
         buckets = [
@@ -175,6 +183,17 @@ def lsh_bucketed_topk(
         [query_id_col, "__qv"],
         "__qv",
     )
+    if multiprobe:
+        probes = [F.col("b")] + [
+            F.col("b").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+        q = q.select(
+            query_id_col,
+            "__qv",
+            "t",
+            F.explode(F.array(*probes)).alias("b"),
+        )
 
     cand = (
         c.join(F.broadcast(q), ["t", "b"])

@@ -8090,3 +8090,111 @@ def q_bpe_train_merges_batched(spark, sf_dir):
         d, rounds=4, batch_size=16
     )
     return merge_table
+
+
+@register(
+    "dsir_importance_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS is_target,
+             unnest({_TOKS_SQL}) AS token
+      FROM documents),
+    v AS (SELECT token,
+                 SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+                 SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+          FROM toks GROUP BY token),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr,
+                   COUNT(*) AS vsz FROM v),
+    scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             ROUND(SUM(LN((v.ct + 1.0) / (tot.nt + 1.0 * vsz))
+                     - LN((v.cr + 1.0) / (tot.nr + 1.0 * vsz))), 4)
+               AS log_ratio
+      FROM toks t JOIN v USING (token), tot
+      WHERE NOT t.is_target
+      GROUP BY t.doc_id),
+    r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 log_ratio,
+                 CAST(ROW_NUMBER() OVER (ORDER BY log_ratio DESC,
+                      doc_id ASC) AS INTEGER) AS rank
+          FROM scored)
+    SELECT * FROM r WHERE rank <= 100
+    """,
+    doc="DSIR-style data selection (operators/corpus.py "
+    "dsir_importance_rank; Xie et al. 2023, simplified to exact "
+    "unigram features): rank the raw pool by the importance "
+    "log-ratio of a target-domain unigram LM (here the src0 sample) "
+    "over the raw-pool LM, add-1 smoothing over the joint "
+    "vocabulary; the top of the ranking is the raw data most like "
+    "the target domain. One tokenize pass; both LMs share one "
+    "vocab-keyed aggregate; broadcast totals; TakeOrdered cut — no "
+    "corpus-wide sort, no single-partition window over data.",
+)
+def q_dsir_importance_rank(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.dsir_importance_rank(
+        d, target_pred=(F.col("source") == "src0"), top_n=100
+    )
+
+
+def _sim_search_lsh_mp_oracle() -> str:
+    """DuckDB twin of lsh_bucketed_topk(multiprobe=True): the query
+    side's (t, b) keys expand to the Hamming<=1 probe set before the
+    bucket join; candidate set and re-rank replay exactly."""
+    from pyspark_scd_spark.operators.similarity import duckdb_bucket_sql
+
+    n_planes, n_tables = 6, 3
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, n_planes, seed=42 + t)} AS b FROM e"
+        for t in range(n_tables)
+    )
+    probes = ", ".join(
+        ["b"] + [f"xor(b, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    cb AS ({per_table}),
+    qb AS (SELECT vec_id AS query_id, t,
+                  unnest([{probes}]) AS b
+           FROM cb WHERE vec_id < 20),
+    cand AS (SELECT DISTINCT qb.query_id, cb.vec_id
+             FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b),
+    scored AS (SELECT c.query_id, c.vec_id,
+                      ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+               FROM cand c JOIN e ON e.vec_id = c.vec_id
+                           JOIN q ON q.query_id = c.query_id),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """
+
+
+@register(
+    "sim_search_lsh_multiprobe",
+    _sim_search_lsh_mp_oracle(),
+    doc="Multi-probe ANN top-k (operators/similarity.py "
+    "lsh_bucketed_topk(multiprobe=True); Lv et al. VLDB'07): each "
+    "query probes its own bucket plus every Hamming-1 neighbor in "
+    "all 3 tables — (planes+1)x more probe rows on the QUERY side "
+    "only, the corpus explosion unchanged — recovering neighbors "
+    "that a flipped boundary bit hides from sim_search_lsh. The "
+    "serving-time recall knob beside IVF's n_probe, and the "
+    "single-query twin of the candidate generator behind the "
+    "dense-quartet *_ann entries.",
+)
+def q_sim_search_lsh_multiprobe(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(
+        e, queries, dim=64, k=5, n_planes=6, multiprobe=True
+    )

@@ -133,3 +133,16 @@ def test_lsh_candidates_plan_is_bucket_equijoin(spark, sf_dir):
     assert re.search(r"hashpartitioning\((?:ta|t)", plan) or re.search(
         r"\[(?:ta|t)[^\]]*\], \[(?:tb|t)", plan
     ), plan
+
+
+def test_auto_blocks_caps_chunk_rows(spark):
+    """The sims-matrix OOM guard: block count must grow with row
+    count even when packed bytes are tiny (the memory driver is
+    (rows/B)^2 per worker, not chunk bytes)."""
+    import math
+
+    big = spark.range(0, 90_000).selectExpr(
+        "id AS vec_id", "array(cast(id as float)) AS embedding"
+    )
+    b = similarity._auto_blocks(big, "embedding", max_chunk_rows=4000)
+    assert b >= math.ceil(90_000 / 4000), b
