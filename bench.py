@@ -63,7 +63,11 @@ HEADLINE = [
     "scd_type2_intervals",
     "doc_pack_materialize",
     "corpus_weighted_sample",
-    "bpe_train_merges",
+    # batched (token-disjoint top-m per corpus pass) is the headline
+    # BPE form: bounded sequential jobs at real vocab sizes; the
+    # one-pair-per-pass serial form stays registered as the
+    # pedagogical twin (bpe_train_merges).
+    "bpe_train_merges_batched",
     "sim_search_ivf_pq",
     "hybrid_search_rrf",
     "embedding_neardup_pairs_ann",

@@ -14,11 +14,12 @@ hash exchange per iteration on the edge destination. Scale notes:
 - The degree-annotated edge list is built and cached ONCE; the loop
   never re-joins the degree table.
 - Each iteration's ranks table is |nodes| rows — orders of magnitude
-  smaller than |edges| — and is BROADCAST onto the cached edges, so
-  one iteration costs exactly one shuffle (the contribution groupBy
-  on dst). At graph sizes where |nodes| outgrows the broadcast
-  threshold, drop the hint and the same plan degrades gracefully to
-  a sort-merge join with AQE handling hub-node skew.
+  smaller than |edges|. The rank-onto-edges join carries NO broadcast
+  hint: AQE broadcasts it when it fits (one shuffle per iteration at
+  small |nodes|) and falls back to a partitioned hash join with skew
+  handling when |nodes| outgrows the threshold — a hinted broadcast
+  would ship the full rank vector to every executor every iteration
+  on a billion-node graph.
 - ``localCheckpoint`` every few iterations truncates the growing
   lineage (a 20-iteration plan otherwise nests 20 joins deep and
   chokes the optimizer).
@@ -75,11 +76,16 @@ def pagerank(
     out_edges = edges.join(deg, "src").cache()
     n = nodes.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    # No broadcast hints inside the loop: on a billion-node graph the
+    # ranks/mass tables are |nodes|-sized, and an explicit broadcast
+    # would ship the full rank vector to every executor every
+    # iteration. Left unhinted, AQE picks broadcast when the table
+    # actually fits (so small graphs keep the one-shuffle iteration)
+    # and a partitioned hash join when it doesn't — same results,
+    # scale-safe plan.
     for i in range(iters):
         mass = (
-            out_edges.join(
-                F.broadcast(ranks), out_edges["src"] == ranks["node"]
-            )
+            out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("__outdeg")).alias("__c"),
@@ -87,7 +93,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__mass"))
         )
-        ranks = nodes.join(F.broadcast(mass), "node", "left").select(
+        ranks = nodes.join(mass, "node", "left").select(
             "node",
             (
                 F.lit((1.0 - damping) / n)

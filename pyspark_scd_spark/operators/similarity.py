@@ -1460,6 +1460,80 @@ def auto_planes(
     return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
 
 
+def _lsh_bucket_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, t, b) bucket rows for all ``n_tables`` LSH tables in ONE
+    Arrow ``mapInPandas`` pass over the corpus, from an in-closure
+    plane tensor.
+
+    This replaces per-table ``lsh_bucket_expr`` columns in the
+    candidate path: inlining tables x planes x dim float literals into
+    the SQL text made the PLAN ~80 KB, and parsing/analyzing it
+    dominated each ANN query's fixed cost (NOTES.md round 3). The
+    planes ship once inside the pickled closure (~32 KB) instead of
+    inside every plan.
+
+    Arithmetic is bit-identical to ``lsh_bucket_expr`` /
+    ``duckdb_bucket_sql`` — the oracle replays the SQL twin, so bucket
+    ids must match exactly: float→double cast (exact), per-plane dot
+    as the serial left-fold ``acc += v[j]*p[j]`` with j ascending
+    (each step one IEEE double multiply + add, same sequence as
+    ``aggregate(zip_with(...))``), bit i set iff dot >= 0 (NaN and
+    null vectors contribute 0 in both engines).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (T, planes, dim)
+    pt = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("t", T.IntegerType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    n_t, n_p = n_tables, n_planes
+
+    def _run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.full((n, dim), np.nan, dtype=np.float64)
+            for i, v in enumerate(pdf[vec_col]):
+                if v is not None and len(v) == dim:
+                    vecs[i] = v
+            acc = np.zeros((n, n_t * n_p), dtype=np.float64)
+            for j in range(dim):  # serial left-fold: oracle-identical
+                acc += vecs[:, j : j + 1] * pt[j]
+            bits = (acc >= 0.0).reshape(n, n_t, n_p)
+            buckets = (bits * weights).sum(axis=2, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_t),
+                    "t": np.tile(np.arange(n_t, dtype=np.int32), n),
+                    "b": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_run, schema=out_schema)
+
+
 def lsh_candidates(
     df: DataFrame,
     dim: int,
@@ -1497,19 +1571,15 @@ def lsh_candidates(
     """
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    base = df.select(id_col, vec_col)
-    tabs = [
-        F.struct(
-            F.lit(t).alias("t"),
-            lsh_bucket_expr(vec_col, dim, n_planes, seed=seed + t).alias("b"),
-        )
-        for t in range(n_tables)
-    ]
-    cb = base.select(
-        F.col(id_col), F.explode(F.array(*tabs)).alias("__tb")
-    ).select(
-        F.col(id_col), F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b")
-    )
+    # One Arrow pass computes all tables' buckets (planes live in the
+    # closure, not the plan — see _lsh_bucket_rows); the SQL-expression
+    # form survives only as the DuckDB oracle twin (duckdb_bucket_sql).
+    # localCheckpoint: both join legs consume the bucket table — the
+    # checkpoint scans the corpus ONCE and pins the skinny (id, t, b)
+    # rows executor-side instead of re-running the pass per leg.
+    cb = _lsh_bucket_rows(
+        df, dim, n_planes, n_tables, id_col, vec_col, seed
+    ).localCheckpoint()
     if multiprobe:
         probes = [F.col("b")] + [
             F.col("b").bitwiseXOR(F.lit(1 << i).cast("bigint"))
@@ -1544,70 +1614,6 @@ def lsh_candidates(
     # set beats shuffling the full candidate multiset here (duplicate
     # factor bounded by tables x probes).
     return out.distinct() if distinct else out
-
-
-def _join_pair_vectors(
-    corpus: DataFrame,
-    cand: DataFrame,
-    id_col: str,
-    vec_col: str,
-    extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """Join both endpoints' vectors (and extra columns) back onto a
-    candidate pair list — two equi-joins on the id key (broadcast when
-    the corpus side fits, plain shuffle-hash beyond; both sides
-    already partition on high-cardinality ids)."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        *[F.col(c).alias(f"__a_{c}") for c in extra_cols],
-    )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        *[F.col(c).alias(f"__b_{c}") for c in extra_cols],
-    )
-    return cand.join(a, "id_a").join(b, "id_b")
-
-
-def _pair_cosine_pandas(df: DataFrame, decimals: int = 6) -> DataFrame:
-    """BLAS verify stage: cosine over candidate pairs computed
-    batch-at-a-time in numpy float64 over Arrow (mapInPandas) —
-    expression-tree cosine on millions of candidate rows is the slow
-    path (measured: it costs more than the grid twin's ENTIRE n^2
-    matmul at 26% candidate density); vectorized numpy matches the
-    grid emitters' arithmetic. Rounds half-away (DuckDB ROUND
-    semantics, like the grid). Keeps every column except __va/__vb,
-    appends ``cosine``."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    keep = [f for f in df.schema.fields if f.name not in ("__va", "__vb")]
-    out_schema = T.StructType(
-        list(keep) + [T.StructField("cosine", T.DoubleType())]
-    )
-    names = [f.name for f in keep]
-    p10 = 10.0 ** decimals
-
-    def _run(batches):
-        for pdf in batches:
-            out = pdf[names].copy()
-            if len(pdf) == 0:
-                out["cosine"] = pd.Series([], dtype="float64")
-                yield out
-                continue
-            va = np.array(list(pdf["__va"]), dtype=np.float64)
-            vb = np.array(list(pdf["__vb"]), dtype=np.float64)
-            c = (va * vb).sum(axis=1) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            out["cosine"] = (
-                np.sign(c) * np.floor(np.abs(c) * p10 + 0.5) / p10
-            )
-            yield out
-
-    return df.mapInPandas(_run, schema=out_schema)
 
 
 def candidate_pair_cosine(
@@ -1645,8 +1651,14 @@ def candidate_pair_cosine(
     packed = _pack_vec_blocks(
         df, n_blocks, id_col, vec_col, label_col
     ).localCheckpoint()
+    # Block assignment must replay _pack_vec_blocks' hash bit-for-bit,
+    # so candidate ids are cast to the CORPUS id type BEFORE hashing
+    # (xxhash64(int) != xxhash64(bigint) for the same value — a
+    # type-mismatched candidate table would route pairs to the wrong
+    # cell and silently score the wrong vectors).
+    id_type = df.schema[id_col].dataType
     blk = lambda c: F.pmod(  # noqa: E731  (must mirror _pack_vec_blocks)
-        F.xxhash64(F.col(c)), F.lit(n_blocks)
+        F.xxhash64(F.col(c).cast(id_type)), F.lit(n_blocks)
     ).cast("int")
     cand2 = cand.select(
         F.col("id_a").cast("long"),
@@ -1665,6 +1677,14 @@ def candidate_pair_cosine(
             else []
         ),
     )
+    # Semi-join the B^2 grid on the cells candidates actually occupy:
+    # the grid's packed-block bytes grow O(n^2/chunk) while a sparse
+    # candidate set touches few cells — without this the cogroup
+    # shuffles every cell's matrices regardless (AQE broadcasts the
+    # tiny distinct-key side, so the heavy blobs gain a filter without
+    # gaining an exchange).
+    occupied = cand2.select("blk_a", "blk_b").distinct()
+    cells = cells.join(F.broadcast(occupied), ["blk_a", "blk_b"], "left_semi")
     fields = [
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType()),
@@ -1697,8 +1717,21 @@ def candidate_pair_cosine(
         border = np.argsort(bids, kind="stable")
         ca = cand_pdf["id_a"].to_numpy(dtype=np.int64)
         cb = cand_pdf["id_b"].to_numpy(dtype=np.int64)
-        ia = aorder[np.searchsorted(aids[aorder], ca)]
-        ib = border[np.searchsorted(bids[border], cb)]
+        ia = aorder[np.clip(np.searchsorted(aids[aorder], ca), 0, len(aids) - 1)]
+        ib = border[np.clip(np.searchsorted(bids[border], cb), 0, len(bids) - 1)]
+        # Membership check: a candidate id absent from the corpus (or
+        # hashed under a different type) would otherwise silently pair
+        # the WRONG vector — fail loudly instead.
+        if not (np.array_equal(aids[ia], ca) and np.array_equal(bids[ib], cb)):
+            missing_a = ca[aids[ia] != ca]
+            missing_b = cb[bids[ib] != cb]
+            raise ValueError(
+                "candidate_pair_cosine: candidate ids not found in their "
+                f"corpus block (cell {key}): id_a={missing_a[:5].tolist()} "
+                f"id_b={missing_b[:5].tolist()} — candidate table references "
+                "ids absent from the corpus, or the id column's type hashes "
+                "differently than the corpus id column."
+            )
         c = (amat[ia] * bmat[ib]).sum(axis=1)
         c = np.sign(c) * np.floor(np.abs(c) * p10 + 0.5) / p10
         out = {"id_a": ca, "id_b": cb}
