@@ -1950,3 +1950,88 @@ def ann_pair_recall_report(
         F.sum("__hit").cast("bigint").alias("n_hit"),
         F.round(F.sum("__hit") / F.count(F.lit(1)), 6).alias("recall"),
     )
+
+
+def embedding_neardup_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    store_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Daily-ingest semantic near-dup: exact-cosine-verified pairs
+    between a NEW batch of vectors and the existing STORE only — the
+    embedding twin of ``minhash_lsh_pairs_incremental`` (dedup.py),
+    completing the dedup lifecycle for the dense tier.
+
+    The store's LSH bucket table (id, t, b) is the persistable
+    artifact: pass ``store_buckets`` (written by an earlier run via
+    ``_lsh_bucket_rows``, one row per vector per table) and each
+    day's work is one Arrow bucket pass over the BATCH, a probe join
+    against the store's bucket table, and an exact-cosine verify that
+    packs only the CANDIDATE store vectors — O(batch·tables·buckets),
+    never a store re-scan and never O(store²). Store↔store pairs were
+    settled by earlier runs; batch↔batch dups get their own (much
+    smaller) self-pass via ``embedding_neardup_pairs_ann``.
+
+    Multi-probe expands the BATCH side to Hamming≤1 (XOR is
+    symmetric, so one-sided expansion covers both directions — same
+    argument as ``lsh_candidates``). Returns (store_id, batch_id,
+    cosine) with cosine ≥ threshold on the ``round_to``-rounded value,
+    the grid/ANN family contract.
+    """
+    cb_store = (
+        store_buckets
+        if store_buckets is not None
+        else _lsh_bucket_rows(
+            store, dim, n_planes, n_tables, id_col, vec_col
+        )
+    )
+    cb_batch = _lsh_bucket_rows(
+        batch, dim, n_planes, n_tables, id_col, vec_col
+    )
+    if multiprobe:
+        probes = [F.col("b")] + [
+            F.col("b").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+        pb = cb_batch.select(
+            F.col(id_col).alias("id_b"),
+            F.col("t").alias("tb"),
+            F.explode(F.array(*probes)).alias("pb"),
+        )
+    else:
+        pb = cb_batch.select(
+            F.col(id_col).alias("id_b"),
+            F.col("t").alias("tb"),
+            F.col("b").alias("pb"),
+        )
+    cand = (
+        cb_store.select(F.col(id_col).alias("id_a"), "t", "b")
+        .join(pb, (F.col("t") == F.col("tb")) & (F.col("b") == F.col("pb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify packs only the store vectors candidates actually touch
+    # (left-semi on the candidate store ids) plus the batch — the
+    # per-day verify cost tracks the candidate set, not the store.
+    needed_store = store.select(id_col, vec_col).join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    corpus = needed_store.unionByName(batch.select(id_col, vec_col))
+    scored = candidate_pair_cosine(
+        corpus, cand, id_col, vec_col, decimals=round_to
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("id_a").alias("store_id"),
+        F.col("id_b").alias("batch_id"),
+        "cosine",
+    )

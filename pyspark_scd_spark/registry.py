@@ -6022,9 +6022,23 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str,
     else:
         # Key on the code object, not __name__: two same-named local
         # closures with diverging bodies must NOT share a staging dir.
+        # Closure cell values and referenced global names are part of
+        # the key too — identical bytecode with different captured
+        # variables (or different globals) is a different transform.
         code = prepare.__code__
+        def _cell_repr(c):
+            try:
+                v = c.cell_contents
+            except ValueError:  # unfilled cell
+                return "<empty>"
+            return "<self>" if v is prepare else repr(v)
+
+        cells = tuple(_cell_repr(c) for c in (prepare.__closure__ or ()))
         prep_key = hashlib.md5(
-            code.co_code + repr(code.co_consts).encode()
+            code.co_code
+            + repr(code.co_consts).encode()
+            + repr(code.co_names).encode()
+            + repr(cells).encode()
         ).hexdigest()
     key = (sf_dir, name, prep_key)
     if key not in _STREAM_SRC_CACHE:
@@ -6184,6 +6198,24 @@ def q_stream_dedup_watermark(spark, sf_dir):
     )
 
 
+def _scd_snaps_prep(orders):
+    """Shared snapshot projection for the SCD stream builders
+    (module-level so both classify variants share one staging dir)."""
+    snaps = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.to_date("o_orderdate").alias("snap_date"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    deduped = scd.snapshot_dedup(
+        snaps, ["key", "snap_date"], tiebreak_cols=["o_orderkey"]
+    ).drop("o_orderkey")
+    return scd.with_row_hash(deduped, SCD_HASH_COLS).select(
+        "key", "snap_date", "row_hash"
+    )
+
+
 @register(
     "stream_scd_status",
     f"""
@@ -6213,24 +6245,52 @@ def q_stream_dedup_watermark(spark, sf_dir):
 def q_stream_scd_status(spark, sf_dir):
     from pyspark_scd_spark.streaming import scd_stream as SS
 
-    def prep(orders):
-        snaps = orders.select(
-            F.col("o_custkey").alias("key"),
-            F.to_date("o_orderdate").alias("snap_date"),
-            "o_orderstatus",
-            "o_orderpriority",
-            "o_orderkey",
-        )
-        deduped = scd.snapshot_dedup(
-            snaps, ["key", "snap_date"], tiebreak_cols=["o_orderkey"]
-        ).drop("o_orderkey")
-        return scd.with_row_hash(deduped, SCD_HASH_COLS).select(
-            "key", "snap_date", "row_hash"
-        )
-
-    snaps = _stream_source(spark, sf_dir, "orders", prepare=prep)
+    snaps = _stream_source(spark, sf_dir, "orders", prepare=_scd_snaps_prep)
     out = SS.scd_status_stream(
         snaps, key_col="key", time_col="snap_date", hash_col="row_hash"
+    )
+    return _run_stream_to_batch(out)
+
+
+@register(
+    "stream_scd_status_ttl",
+    f"""
+    WITH snaps AS ({SNAPS_SQL}),
+    l AS (SELECT key, snap_date, o_orderstatus, o_orderpriority,
+                 LAG(snap_date) OVER w AS prev_date,
+                 LAG(o_orderstatus) OVER w AS prev_status,
+                 LAG(o_orderpriority) OVER w AS prev_prio
+          FROM snaps
+          WINDOW w AS (PARTITION BY key ORDER BY snap_date))
+    SELECT key, CAST(snap_date AS DATE) AS snap_date,
+           CASE WHEN prev_date IS NULL
+                     OR date_diff('day', prev_date, snap_date) > 90
+                THEN 'New'
+                WHEN o_orderstatus <> prev_status
+                     OR o_orderpriority <> prev_prio THEN 'Changed'
+                ELSE 'No Change' END AS change_status
+    FROM l
+    """,
+    doc="Stateful streaming SCD classification with EVENT-time TTL "
+    "expiry (streaming/scd_stream.py scd_status_stream, "
+    "event_ttl_days=90): an entity idle longer than the TTL between "
+    "consecutive snapshots re-enters as New — the deterministic "
+    "expiry twin of the processing-time GroupState timeout, so the "
+    "TTL path itself is oracle-checkable (the wall-clock timeout is "
+    "covered by pytest only, being replay-nondeterministic by "
+    "nature). Oracle = per-key lag classification with the same "
+    "gap>90d cold-start reset.",
+)
+def q_stream_scd_status_ttl(spark, sf_dir):
+    from pyspark_scd_spark.streaming import scd_stream as SS
+
+    snaps = _stream_source(spark, sf_dir, "orders", prepare=_scd_snaps_prep)
+    out = SS.scd_status_stream(
+        snaps,
+        key_col="key",
+        time_col="snap_date",
+        hash_col="row_hash",
+        event_ttl_days=90,
     )
     return _run_stream_to_batch(out)
 
@@ -8197,4 +8257,239 @@ def q_sim_search_lsh_multiprobe(spark, sf_dir):
     )
     return similarity.lsh_bucketed_topk(
         e, queries, dim=64, k=5, n_planes=6, multiprobe=True
+    )
+
+
+def _neardup_incr_oracle() -> str:
+    """DuckDB twin of embedding_neardup_incremental: store/batch split
+    on vec_id % 10, per-table sign-bit buckets over each side
+    (hyperplane constants inlined), Hamming<=1 probe expansion on the
+    BATCH side only, DISTINCT (store, batch) candidates, exact cosine
+    verify at 4dp."""
+    from pyspark_scd_spark.operators.similarity import duckdb_bucket_sql
+
+    per_store = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, 8, seed=42 + t)} AS b FROM s"
+        for t in range(8)
+    )
+    per_batch = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, 8, seed=42 + t)} AS b FROM nb"
+        for t in range(8)
+    )
+    probes = ", ".join(["b"] + [f"xor(b, {1 << i})" for i in range(8)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    nb AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+    cbs AS ({per_store}),
+    cbb AS ({per_batch}),
+    pb AS (SELECT vec_id, t, unnest([{probes}]) AS pb FROM cbb),
+    cand AS (SELECT DISTINCT cbs.vec_id AS store_id,
+                    pb.vec_id AS batch_id
+             FROM cbs JOIN pb ON cbs.t = pb.t AND cbs.b = pb.pb),
+    j AS (SELECT store_id, batch_id,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = cand.store_id
+                    JOIN e eb ON eb.vec_id = cand.batch_id)
+    SELECT store_id, batch_id, cosine FROM j WHERE cosine >= 0.3
+    """
+
+
+@register(
+    "embedding_neardup_incremental",
+    _neardup_incr_oracle(),
+    doc="Daily-ingest semantic near-dup (operators/similarity.py "
+    "embedding_neardup_incremental): new-batch vectors (vec_id%10=7 "
+    "here) probe the STORE's persisted LSH bucket table only — one "
+    "Arrow bucket pass over the batch, Hamming<=1 probe join, exact "
+    "cosine verify packing only candidate store vectors. O(batch) "
+    "per day, never a store re-scan — the embedding twin of "
+    "minhash_lsh_pairs_incremental, completing the dense dedup "
+    "lifecycle.",
+)
+def q_embedding_neardup_incremental(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    return similarity.embedding_neardup_incremental(
+        store, batch, threshold=0.3, dim=64, n_planes=8, n_tables=8
+    )
+
+
+@register(
+    "stream_embedding_neardup",
+    _neardup_incr_oracle(),
+    doc="Streaming twin of embedding_neardup_incremental: the batch "
+    "vectors arrive as a file-source stream (maxFilesPerTrigger "
+    "throttled so availableNow replays in MULTIPLE micro-batches), "
+    "and a foreachBatch sink runs the incremental probe-and-verify "
+    "of each micro-batch against the static store, appending to "
+    "parquet. Each arriving vector is paired against the store "
+    "exactly once regardless of micro-batch boundaries, so the "
+    "result equals the one-shot incremental run — which is the "
+    "oracle: micro-batching is an execution detail, not a "
+    "semantics change.",
+)
+def q_stream_embedding_neardup(spark, sf_dir):
+    import tempfile
+
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = e.filter(F.col("vec_id") % 10 != 7).localCheckpoint()
+    batch_stream = _stream_source(
+        spark, sf_dir, "embeddings",
+        prepare=lambda df: df.filter(F.col("vec_id") % 10 == 7)
+        .repartition(4),
+    )
+    outdir = tempfile.mkdtemp(prefix="stream_neardup_out_") + "/data"
+    ck = tempfile.mkdtemp(prefix="stream_neardup_ck_")
+
+    def _probe(mb: DataFrame, epoch_id: int) -> None:
+        if mb.isEmpty():
+            return
+        similarity.embedding_neardup_incremental(
+            store, mb, threshold=0.3, dim=64, n_planes=8, n_tables=8
+        ).write.mode("append").parquet(outdir)
+
+    q = (
+        batch_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ck)
+        .option("maxFilesPerTrigger", 2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(outdir)
+
+
+_LATE_ACCT_CACHE: dict[tuple, str] = {}
+
+
+@register(
+    "stream_late_data_accounting",
+    """
+    WITH c AS (SELECT date_trunc('hour', MIN(ts)) + INTERVAL 2 HOUR
+                      AS cut FROM events),
+    wm AS (SELECT MAX(epoch_us(ts)) - 1000000 AS w FROM events),
+    tot AS (SELECT date_trunc('hour', ts) AS ws,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1),
+    ot AS (SELECT date_trunc('hour', ts) AS ws,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events, c WHERE ts >= cut GROUP BY 1)
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us, n_total,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_on_time,
+           CAST(n_total - COALESCE(n, 0) AS BIGINT) AS n_dropped
+    FROM tot LEFT JOIN ot USING (ws), wm
+    WHERE epoch_us(ws) + 3600000000 <= w
+    """,
+    doc="Late-data-dropped ACCOUNTING for a watermarked streaming "
+    "aggregation: the staged replay writes the stream's oldest two "
+    "hours of events as a SECOND file (later mtime), so with "
+    "maxFilesPerTrigger=1 they arrive in micro-batch 2 — after "
+    "batch 1 (which contains the stream's max event time) has pushed "
+    "the watermark past their windows — and the hourly tumbling agg "
+    "(1s delay, append) deterministically DROPS them. The builder "
+    "then reconciles the stream's emitted counts against the staged "
+    "batch totals per closed window: n_dropped = n_total - "
+    "n_on_time. The oracle replays the same split declaratively, so "
+    "the driver hash-checks that the watermark dropped EXACTLY the "
+    "designated late rows — dropped-row accounting made "
+    "oracle-checkable.",
+)
+def q_stream_late_data_accounting(spark, sf_dir):
+    import tempfile
+    import time as _time
+
+    from pyspark_scd_spark.functions.time import as_event_time
+
+    key = (sf_dir,)
+    if key not in _LATE_ACCT_CACHE:
+        out = tempfile.mkdtemp(prefix="stream_src_lateacct_") + "/data"
+        ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+        # The cutoff travels as epoch MICROS (a tz-free long):
+        # collecting a timestamp renders it in the driver's local
+        # zone, which silently shifts the cut on non-UTC machines.
+        cut_us = ev.agg(
+            epoch_us(F.date_trunc("hour", F.min("ts"))).alias("c")
+        ).collect()[0]["c"] + 7_200_000_000
+        # Three staged files whose PATH order and MTIME order both
+        # ascend (the part file is renamed to a fixed sequence name,
+        # and a sleep separates the mtimes) — whichever ordering the
+        # file source uses, the on-time file (which carries the
+        # stream's max event time) forms micro-batch 0 and the late
+        # file the FINAL micro-batch. The middle file is EMPTY: the
+        # aggregation's drop-side watermark lags one batch behind the
+        # event-time stats (measured: a late row lands in state when
+        # it arrives in the very next batch, and is dropped from the
+        # batch after), so the schema-only spacer batch lets the
+        # max-ts watermark take effect before the late rows arrive —
+        # making the drop deterministic instead of
+        # propagation-timing-dependent.
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        def _stage_one(df, seq: int) -> None:
+            tmp = tempfile.mkdtemp(prefix="stream_src_lateacct_tmp_")
+            df.repartition(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            _os.makedirs(out, exist_ok=True)
+            _shutil.move(part, _os.path.join(out, f"{seq:05d}.parquet"))
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+        ontime = ev.filter(epoch_us(F.col("ts")) >= F.lit(cut_us))
+        _stage_one(ontime, 0)
+        _time.sleep(1.2)
+        _stage_one(ontime.limit(0), 1)
+        _time.sleep(1.2)
+        _stage_one(ev.filter(epoch_us(F.col("ts")) < F.lit(cut_us)), 2)
+        _LATE_ACCT_CACHE[key] = out
+    path = _LATE_ACCT_CACHE[key]
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        stream.withColumn("ts", as_event_time("ts"))
+        .withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(F.col("w.start").alias("window_start"), "n_on_time")
+    )
+    got = _run_stream_to_batch(agg)
+    allrows = spark.read.parquet(path).withColumn(
+        "ts", as_event_time("ts")
+    )
+    tot = allrows.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_total"))
+    wm = allrows.agg(
+        (F.max(epoch_us(F.col("ts"))) - F.lit(1000000)).alias("__w")
+    )
+    return (
+        tot.join(got, "window_start", "left")
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            epoch_us(F.col("window_start")) + F.lit(3600000000)
+            <= F.col("__w")
+        )
+        .select(
+            epoch_us(F.col("window_start")).alias("window_start_us"),
+            "n_total",
+            F.coalesce(F.col("n_on_time"), F.lit(0))
+            .cast("long")
+            .alias("n_on_time"),
+            (F.col("n_total") - F.coalesce(F.col("n_on_time"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
     )

@@ -32,19 +32,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _classify(last_hash, hashes, times):
+def _classify(last_hash, hashes, times, last_time=None, ttl_days=None):
     """Fold (hash, time) pairs, already time-ordered, against the
-    entity's last hash; returns (statuses, new_last_hash)."""
+    entity's last (hash, time); returns (statuses, new_last_hash,
+    new_last_time). With ``ttl_days``, an entity whose gap since its
+    previous snapshot exceeds the TTL re-enters as New — EVENT-time
+    expiry, deterministic under replay (unlike the processing-time
+    GroupState timeout, which depends on wall-clock)."""
+    import pandas as pd
+
     statuses = []
-    for h in hashes:
-        if last_hash is None:
+    for h, t in zip(hashes, times):
+        t = pd.Timestamp(t)
+        expired = (
+            ttl_days is not None
+            and last_time is not None
+            and (t - last_time).days > ttl_days
+        )
+        if last_hash is None or expired:
             statuses.append("New")
         elif h != last_hash:
             statuses.append("Changed")
         else:
             statuses.append("No Change")
-        last_hash = h
-    return statuses, last_hash
+        last_hash, last_time = h, t
+    return statuses, last_hash, last_time
 
 
 def scd_status_stream(
@@ -53,6 +65,7 @@ def scd_status_stream(
     time_col: str = "snap_date",
     hash_col: str = "row_hash",
     state_ttl_minutes: int | None = None,
+    event_ttl_days: int | None = None,
 ) -> DataFrame:
     """Classify each streaming snapshot row as New / Changed /
     No Change against per-entity GroupState holding the last row hash.
@@ -69,6 +82,14 @@ def scd_status_stream(
     than the TTL — the knob that bounds state for unbounded key spaces
     (a dropped entity re-enters as New, the correct cold-start
     semantics for dimension keys retired longer than the TTL).
+
+    ``event_ttl_days`` is the DETERMINISTIC expiry twin: it compares
+    EVENT times (the snapshot dates themselves), so an entity whose
+    gap between consecutive snapshots exceeds the TTL re-enters as
+    New regardless of processing wall-clock — replayable, and
+    therefore oracle-checkable (registry ``stream_scd_status_ttl``).
+    Both knobs bound state semantics; processing-time TTL additionally
+    frees the state store.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -84,7 +105,10 @@ def scd_status_stream(
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("last_hash", T.StringType())]
+        [
+            T.StructField("last_hash", T.StringType()),
+            T.StructField("last_time", T.StringType()),
+        ]
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -100,12 +124,23 @@ def scd_status_stream(
             )
             return
         last_hash = state.get[0] if state.exists else None
+        last_time = (
+            pd.Timestamp(state.get[1])
+            if state.exists and state.get[1] is not None
+            else None
+        )
         batch = pd.concat(list(pdfs))
         batch = batch.sort_values(time_col, kind="mergesort")
-        statuses, last_hash = _classify(
-            last_hash, batch[hash_col].tolist(), batch[time_col].tolist()
+        statuses, last_hash, last_time = _classify(
+            last_hash,
+            batch[hash_col].tolist(),
+            batch[time_col].tolist(),
+            last_time=last_time,
+            ttl_days=event_ttl_days,
         )
-        state.update((last_hash,))
+        state.update(
+            (last_hash, str(last_time) if last_time is not None else None)
+        )
         if state_ttl_minutes is not None:
             state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
@@ -182,7 +217,7 @@ def scd_status_stream_tws(
             last_hash = prev[0] if prev is not None else None
             batch = pd.concat(list(rows))
             batch = batch.sort_values(time_col, kind="mergesort")
-            statuses, last_hash = _classify(
+            statuses, last_hash, _ = _classify(
                 last_hash,
                 batch[hash_col].tolist(),
                 batch[time_col].tolist(),
