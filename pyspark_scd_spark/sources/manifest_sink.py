@@ -207,5 +207,127 @@ def idempotent_batch_writer(path: str):
     return write_batch
 
 
+def compact_manifest_table(
+    spark,
+    path: str,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """OPTIMIZE-style small-file compaction for a manifest table:
+    merge committed files smaller than ``target_rows_per_file`` into
+    ~target-sized files and atomically swap the manifest — readers
+    see either the old file set or the new one, never a mixture, and
+    read equivalence is exact because the rewrite moves the JSONL
+    LINES verbatim (``spark.read.text``; no parse/re-serialize drift).
+
+    Protocol:
+    1. snapshot the manifest and pick the small committed files;
+    2. rewrite their lines via a distributed text job into a staging
+       dir, rename the outputs to fresh ``part-*.jsonl`` names inside
+       the table (uncommitted, hence invisible — same orphan rule as
+       a crashed write task);
+    3. under the manifest lock, re-read the manifest, verify every
+       compacted source file is STILL committed (a concurrent
+       overwrite aborts the swap and cleans up the staged files),
+       replace their entries with the merged files', publish
+       atomically;
+    4. delete the superseded files after publish (a reader holding
+       the pre-swap manifest object should finish before compaction
+       runs — same visibility caveat as VACUUM).
+
+    Returns {"before_files", "after_files", "rows_compacted",
+    "skipped"} (skipped=True when fewer than two small files exist).
+    """
+    import fcntl
+    import glob
+    import math
+    import shutil
+    import tempfile
+
+    mpath = os.path.join(path, "_MANIFEST.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    before = len(manifest["files"])
+    small = [
+        e for e in manifest["files"] if e["n_rows"] < target_rows_per_file
+    ]
+    if len(small) < 2:
+        return {
+            "before_files": before,
+            "after_files": before,
+            "rows_compacted": 0,
+            "skipped": True,
+        }
+    total = sum(e["n_rows"] for e in small)
+    n_out = max(1, math.ceil(total / target_rows_per_file))
+
+    staging = tempfile.mkdtemp(prefix="manifest_compact_")
+    src_paths = [os.path.join(path, e["file"]) for e in small]
+    (
+        spark.read.text(src_paths)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .text(staging)
+    )
+    new_entries = []
+    for staged in sorted(glob.glob(os.path.join(staging, "part-*"))):
+        n_rows = 0
+        with open(staged) as f:
+            for _ in f:
+                n_rows += 1
+        if n_rows == 0:  # empty output partition: don't commit it
+            os.remove(staged)
+            continue
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        shutil.move(staged, os.path.join(path, fname))
+        new_entries.append({"file": fname, "n_rows": n_rows})
+    shutil.rmtree(staging, ignore_errors=True)
+
+    compacted_names = {e["file"] for e in small}
+    lock_path = os.path.join(path, "_MANIFEST.lock")
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        with open(mpath) as f:
+            current = json.load(f)
+        current_names = {e["file"] for e in current["files"]}
+        if not compacted_names <= current_names:
+            # a concurrent overwrite retired our sources: abort —
+            # remove the staged (uncommitted, invisible) outputs
+            for e in new_entries:
+                try:
+                    os.remove(os.path.join(path, e["file"]))
+                except FileNotFoundError:
+                    pass
+            return {
+                "before_files": before,
+                "after_files": len(current["files"]),
+                "rows_compacted": 0,
+                "skipped": True,
+            }
+        kept = [
+            e for e in current["files"] if e["file"] not in compacted_names
+        ]
+        entries = sorted(kept + new_entries, key=lambda e: e["file"])
+        new_manifest = {
+            "files": entries,
+            "total_rows": sum(e["n_rows"] for e in entries),
+        }
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, mpath)
+    for name in compacted_names:
+        try:
+            os.remove(os.path.join(path, name))
+        except FileNotFoundError:
+            pass
+    return {
+        "before_files": before,
+        "after_files": len(entries),
+        "rows_compacted": total,
+        "skipped": False,
+    }
+
+
 def register(spark) -> None:
     spark.dataSource.register(ManifestJsonSink)

@@ -152,3 +152,62 @@ def test_manifest_sink_append_and_overwrite(spark, tmp_path):
     # overwrite removed the superseded part files from disk
     on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
     assert on_disk == {e["file"] for e in m2["files"]}
+
+
+def test_manifest_compaction_read_equivalence(spark, tmp_path):
+    """OPTIMIZE-style compaction: many small committed files merge
+    into few, the manifest swaps atomically, and the table reads back
+    IDENTICALLY (same multiset of rows) across the swap."""
+    import json
+    import os
+
+    from pyspark_scd_spark.sources import manifest_sink
+
+    manifest_sink.register(spark)
+    out = str(tmp_path / "ctab")
+    # 5 appends x 4 partitions -> up to 20 small files
+    for lo in range(0, 100, 20):
+        spark.range(lo, lo + 20, 1, 4).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS tag"
+        ).write.format("manifest_json").option("path", out).mode(
+            "append"
+        ).save()
+
+    before_df, m_before = manifest_sink.read_manifest_table(spark, out)
+    before_rows = sorted(r["id"] for r in before_df.collect())
+    n_before = len(m_before["files"])
+    assert n_before >= 5
+
+    stats = manifest_sink.compact_manifest_table(
+        spark, out, target_rows_per_file=1000
+    )
+    assert not stats["skipped"]
+    assert stats["before_files"] == n_before
+    assert stats["after_files"] < n_before
+
+    after_df, m_after = manifest_sink.read_manifest_table(spark, out)
+    assert m_after["total_rows"] == m_before["total_rows"] == 100
+    assert sorted(r["id"] for r in after_df.collect()) == before_rows
+    # the manifest names exactly the on-disk part files (superseded
+    # small files are gone)
+    listed = {e["file"] for e in m_after["files"]}
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert listed == on_disk
+    assert len(listed) == stats["after_files"]
+
+    # compaction is idempotent: a second pass with nothing small
+    # enough to merge is a no-op
+    stats2 = manifest_sink.compact_manifest_table(
+        spark, out, target_rows_per_file=1000
+    )
+    assert stats2["skipped"] or stats2["after_files"] <= stats["after_files"]
+
+    # a later append composes with the compacted manifest
+    spark.range(100, 110, 1, 2).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS tag"
+    ).write.format("manifest_json").option("path", out).mode(
+        "append"
+    ).save()
+    final_df, m_final = manifest_sink.read_manifest_table(spark, out)
+    assert m_final["total_rows"] == 110
+    assert sorted(r["id"] for r in final_df.collect()) == list(range(110))
