@@ -77,6 +77,52 @@ HEADLINE = [
 ]
 
 
+# Standing 10x tier: a heavy subset re-run against key-shifted 10x
+# fixtures (tools/gen_scale.py), so round-over-round deltas measure
+# throughput instead of fixed cost — 44/48 headline queries finish
+# under 3s at sf0.1, where job-scheduling noise is a large share of
+# the signal. Fixtures are built once and cached in /tmp.
+X10_DIR = "/tmp/scale_x10_bench"
+X10_HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+    "knn_label_vote",
+    "embedding_neardup_pairs",
+    "hard_negative_mining",
+    "q21_last_shipper",
+    "graph_pagerank_topk",
+    "basket_lift_pairs",
+    "scd_merge_incremental",
+    "bpe_train_merges_batched",
+    "embedding_neardup_pairs_ann",
+    "knn_label_vote_ann",
+    "dedup_semantic_clusters",
+]
+
+
+def _ensure_x10(spark) -> bool:
+    """Build (once) the 10x fixtures for every testdata table; reuse
+    across rounds via a _DONE marker."""
+    import traceback
+
+    marker = os.path.join(X10_DIR, "_DONE")
+    if os.path.exists(marker):
+        return True
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from gen_scale import KEY_COLS, build  # noqa: PLC0415
+
+        for t in KEY_COLS:
+            build(spark, t, 10, X10_DIR)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return True
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -112,17 +158,31 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # 10x tier (only when benching the standard sf0.1 dir — a custom
+    # SPARK_GRAFT_SF_DIR means the caller wants that tier alone)
+    x10: dict[str, float] = {}
+    if sf == 0.1 and _ensure_x10(spark):
+        for name in X10_HEAVY:
+            if name not in queries:
+                continue
+            t0 = time.time()
+            n = queries[name](spark, X10_DIR).count()
+            x10[name] = round(time.time() - t0, 3)
+            assert n >= 0
+            spark.catalog.clearCache()
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if x10:
+        out["queries_x10"] = x10
+        out["value_x10"] = round(sum(x10.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -2035,3 +2035,187 @@ def embedding_neardup_incremental(
         F.col("id_b").alias("batch_id"),
         "cosine",
     )
+
+
+def auto_cells(n_rows: int, target_cell: int = 64, lo: int = 8,
+               hi: int = 65536) -> int:
+    """IVF cell count giving an expected cell population of
+    ``target_cell``: growing k with n keeps per-cell pair work
+    constant, so same-cell candidate volume is O(n·target_cell·probe²)
+    — genuinely linear in n, unlike hyperplane LSH whose density on
+    clustered corpora stays near-quadratic (measured: 3.5% candidate
+    density at 100k vectors under auto_planes — SCALING.md round 4)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(n_rows / max(target_cell, 1))))
+
+
+def _ivf_cell_rows(
+    df: DataFrame,
+    centroids,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    fold: str = "serial",
+) -> DataFrame:
+    """(id, cell) rows — each vector's top-``n_probe`` centroid cells
+    — in one Arrow ``mapInPandas`` pass with the centroid matrix in
+    the closure (k x dim SQL literals would re-create the plan-parse
+    fixed cost _lsh_bucket_rows eliminated; at k=1000+ the literal
+    form is unusable).
+
+    Contract matches ``ivf_probe_cells`` / the DuckDB oracle exactly:
+    cosine = dot/(|v|·|c|), rounded half-away to 9 dp; cells ranked
+    (score DESC, cell DESC). With ``fold='serial'`` (the registry /
+    oracle-replay default) every dot is the serial left-fold
+    (j-ascending multiply-add); ``fold='blas'`` is one GEMM per
+    Arrow batch — at auto_cells scale (k≈n/64) the 64-step serial
+    loop over an (n, k) accumulator is memory-bandwidth-bound and
+    dominates assignment cost (measured ~20s of the 34s IVF total at
+    100k vectors, k=1563), while the GEMM is <1s; the two differ only
+    in float association, which the 9 dp rounding almost always
+    absorbs, so 'blas' is the documented large-k scale path and
+    'serial' the bit-replayable oracle twin.
+
+    Top-``n_probe`` selection is an exact-integer argpartition: the
+    9 dp score is an int64 (|s9| <= 1e9), combined with the cell id
+    into key = s9*k + cell (monotone in the (score, cell) DESC order,
+    tie-free since cell is unique) — O(nk) selection instead of the
+    O(nk log k) two-key lexsort that dominated the first cut.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    n_probe = min(n_probe, k)
+    if fold == "serial":
+        cnorm = np.empty(k)
+        for i in range(k):
+            acc = 0.0
+            for j in range(dim):
+                acc += C[i, j] * C[i, j]
+            cnorm[i] = math.sqrt(acc)
+    else:
+        cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("cell", T.IntegerType())]
+    )
+    kk = np.int64(k)
+
+    def _run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.full((n, dim), np.nan, dtype=np.float64)
+            for i, v in enumerate(pdf[vec_col]):
+                if v is not None and len(v) == dim:
+                    vecs[i] = v
+            if fold == "serial":
+                accd = np.zeros((n, k), dtype=np.float64)
+                accn = np.zeros(n, dtype=np.float64)
+                for j in range(dim):  # left-fold, oracle-identical
+                    accd += vecs[:, j : j + 1] * C[:, j]
+                    accn += vecs[:, j] * vecs[:, j]
+            else:
+                accd = vecs @ C.T
+                accn = np.einsum("ij,ij->i", vecs, vecs)
+            cos = accd / (np.sqrt(accn)[:, None] * cnorm)
+            with np.errstate(invalid="ignore"):
+                s9 = (
+                    np.sign(cos) * np.floor(np.abs(cos) * 1e9 + 0.5)
+                )
+            # degenerate vectors rank last; zero-norm centroids clamp
+            np.nan_to_num(
+                s9, copy=False, nan=-2e9, posinf=2e9, neginf=-2e9
+            )
+            key = s9.astype(np.int64) * kk + np.arange(k, dtype=np.int64)
+            if n_probe < k:
+                part = np.argpartition(-key, n_probe - 1, axis=-1)[
+                    :, :n_probe
+                ]
+            else:
+                part = np.broadcast_to(
+                    np.arange(k), (n, k)
+                ).copy()
+            topkey = np.take_along_axis(key, part, axis=-1)
+            order = np.take_along_axis(
+                part, np.argsort(-topkey, axis=-1), axis=-1
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "cell": order.astype(np.int32).ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_run, schema=out_schema)
+
+
+def embedding_neardup_pairs_ivf(
+    df: DataFrame,
+    threshold: float,
+    centroids=None,
+    k_cells: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    fold: str = "serial",
+) -> DataFrame:
+    """Semantic near-dup pairs, IVF tier — the candidate generator
+    that actually scales (SCALING.md round 4): vectors are assigned to
+    their top-``n_probe`` centroid cells and candidates are SAME-CELL
+    pairs only, so candidate volume is O(n·cell_size·probe²) — linear
+    in n with ``auto_cells`` growing k — versus hyperplane LSH whose
+    candidate density on clustered corpora stays near-quadratic
+    (round-4 study, 100k·64d clustered corpus: LSH emitted 175M
+    candidates / 3.5% of all pairs and ran 62s steady, barely under
+    the exact O(n²) BLAS grid's 40s; this tier's same-cell candidate
+    volume is ~13M at the same n — see SCALING.md for the measured
+    table and the n where each tier wins).  Near-dup pairs concentrate
+    in shared cells, so recall concentrates exactly where duplicates
+    live.
+
+    ``centroids`` defaults to the first ``k_cells`` vectors by id — a
+    deterministic, oracle-replayable sample (pass ``kmeans_train``
+    output for tighter cells; the candidate contract is unchanged).
+    The k-row collect is bounded by construction (k ≈ n/64 rows of
+    dim doubles), the same bounded-driver-state contract as
+    kmeans_train's per-iteration centroid aggregate.
+
+    Exact-cosine verify on candidates only, threshold on the
+    ``round_to``-rounded value — the grid/ANN family contract.
+    """
+    if centroids is None:
+        k = k_cells if k_cells is not None else auto_cells(df.count())
+        centroids = [
+            r["__v"]
+            for r in df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>").alias("__v"))
+            .collect()
+        ]
+    cells = _ivf_cell_rows(
+        df, centroids, n_probe, id_col, vec_col, fold=fold
+    ).localCheckpoint()
+    a = cells.select(F.col(id_col).alias("id_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = candidate_pair_cosine(
+        df, cand, id_col, vec_col, decimals=round_to
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -8493,3 +8493,49 @@ def q_stream_late_data_accounting(spark, sf_dir):
             .alias("n_dropped"),
         )
     )
+
+
+@register(
+    "embedding_neardup_pairs_ivf",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM e ORDER BY vec_id LIMIT 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c FROM cells WHERE rn <= 2),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM assign a JOIN assign b
+             ON a.c = b.c AND a.vec_id < b.vec_id),
+    j AS (SELECT id_a, id_b,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.3
+    """,
+    doc="Semantic near-dup pairs, IVF tier (operators/similarity.py "
+    "embedding_neardup_pairs_ivf): top-2 centroid-cell assignment "
+    "(9dp-rounded cosine, ties toward the larger cell), candidates = "
+    "same-cell pairs, exact cosine verify >= 0.3 at 4dp. Candidate "
+    "volume is O(n*cell*probe^2) with auto_cells growing k — LINEAR "
+    "in n, unlike hyperplane LSH whose candidate density on "
+    "clustered corpora stays near-quadratic (round-4 SCALING study, "
+    "100k x 64d: LSH emitted 175M candidates — 3.5% of all pairs — "
+    "vs this tier's ~13M same-cell candidates; measured walls and "
+    "the n where each tier wins are in SCALING.md). Centroids here "
+    "are the first 8 vectors (deterministic, oracle-replayable); "
+    "kmeans_train output composes for tighter cells.",
+)
+def q_embedding_neardup_pairs_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs_ivf(
+        e, threshold=0.3, k_cells=8, n_probe=2
+    )

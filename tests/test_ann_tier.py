@@ -135,6 +135,83 @@ def test_lsh_candidates_plan_is_bucket_equijoin(spark, sf_dir):
     ), plan
 
 
+def test_ivf_pairs_subset_of_exact_with_identical_cosines(spark, sf_dir):
+    """The IVF near-dup tier shares the family contract: candidates
+    are approximate (same-cell pairs) but the verify stage is exact —
+    every emitted pair appears in the exact grid output with a
+    bit-identical cosine, and nothing below threshold leaks."""
+    e = _emb(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_grid(
+            e, threshold=0.3
+        ).collect()
+    }
+    ivf = similarity.embedding_neardup_pairs_ivf(
+        e, threshold=0.3, k_cells=8, n_probe=2
+    ).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"IVF emitted pair not in exact set: {key}"
+        assert r["cosine"] == exact[key], (key, r["cosine"], exact[key])
+
+
+def test_ivf_recall_monotone_in_probes(spark, sf_dir):
+    """More probed cells per vector can only add same-cell pairs:
+    the probe=1 pair set must be a subset of the probe=2 set."""
+    e = _emb(spark, sf_dir)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs_ivf(
+            e, threshold=0.3, k_cells=8, n_probe=1
+        ).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs_ivf(
+            e, threshold=0.3, k_cells=8, n_probe=2
+        ).collect()
+    }
+    assert p1 <= p2
+    assert len(p2) >= len(p1)
+
+
+def test_ivf_near_identical_vectors_share_cells(spark):
+    """A planted near-duplicate (tiny noise on a copy) must land in
+    the same top-probe cell as its source and be recovered — the
+    'near-dup pairs concentrate in shared cells' property the tier's
+    recall claim rests on."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant near-dups of rows 0..4 with 1% noise
+    for j in range(5):
+        v = base[j] + 0.01 * rng.normal(size=8)
+        rows.append((100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.embedding_neardup_pairs_ivf(
+        df, threshold=0.95, k_cells=8, n_probe=1,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    for j in range(5):
+        assert (j, 100 + j) in found, (j, found)
+
+
+def test_auto_cells_keeps_cell_population_constant():
+    """auto_cells grows k linearly with n so expected cell population
+    stays at target — the property that makes same-cell candidate
+    volume O(n) rather than O(n²)."""
+    assert similarity.auto_cells(640, target_cell=64) == 10
+    assert similarity.auto_cells(6_400, target_cell=64) == 100
+    assert similarity.auto_cells(64_000, target_cell=64) == 1000
+    assert similarity.auto_cells(1, target_cell=64) == 8  # lo clamp
+    assert similarity.auto_cells(10**10, target_cell=64) == 65536  # hi
+
+
 def test_auto_blocks_caps_chunk_rows(spark):
     """The sims-matrix OOM guard: block count must grow with row
     count even when packed bytes are tiny (the memory driver is

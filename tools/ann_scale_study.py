@@ -1,11 +1,20 @@
 """ANN-vs-exact study at ≥100k vectors (SCALING.md, round 4).
 
-Runs the dense near-dup tier against a gen_vectors.py corpus:
+Runs the dense near-dup tiers against a gen_vectors.py corpus:
 
 - exact blocked-BLAS grid (ground truth; O(n²) matmul)
-- ANN tier under auto_planes (the registered 100 TB default shape)
-- per-band recall of the ANN pair set vs the exact set
+- hyperplane-LSH ANN tier under auto_planes (round-3 default shape)
+- IVF tier (auto_cells, BLAS fold) at a sweep of probe counts, plus
+  an optional kmeans-trained-centroid config
+- per-band recall of each approximate pair set vs the exact set
 - candidate-volume and wall-clock, steady-state (second run)
+
+Env knobs: ANN_STUDY_SKIP_LSH=1 (skip the LSH tier — it is
+near-quadratic on clustered corpora and dominates wall at ≥100k),
+ANN_STUDY_SKIP_EXACT=1 (skip ground truth + recall; wall/candidate
+slope only — for tiers where O(n²) is genuinely infeasible),
+ANN_STUDY_PROBES=2,4 (IVF probe sweep), ANN_STUDY_TRAINED=1
+(add a kmeans-trained-centroid IVF config, 3 Lloyd iterations).
 
 Usage: python tools/ann_scale_study.py /tmp/vec10k /tmp/vec100k
 """
@@ -35,11 +44,29 @@ def band_col():
     return expr
 
 
+def ivf_candidate_count(e, centroids, n_probe: int) -> int:
+    """Distinct same-cell candidate pairs for an IVF config — the
+    volume the verify stage pays for."""
+    cells = S._ivf_cell_rows(
+        e, centroids, n_probe, "vec_id", "embedding", fold="blas"
+    ).localCheckpoint()
+    a = cells.select(F.col("vec_id").alias("id_a"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+
+
 def run_tier(spark, d: str) -> None:
     e = spark.read.parquet(f"{d}/embeddings.parquet")
     n = e.count()
     planes = S.auto_planes(n)
-    print(f"\n## tier {d}: n={n}, auto_planes={planes}")
+    k = S.auto_cells(n)
+    print(f"\n## tier {d}: n={n}, auto_planes={planes}, auto_cells={k}")
 
     def timed(name, fn):
         t0 = time.time()
@@ -53,41 +80,92 @@ def run_tier(spark, d: str) -> None:
         print(f"{name}: rows={cnt} cold={cold:.1f}s steady={steady:.1f}s")
         return out
 
-    cand = timed(
-        "lsh_candidates(auto)",
-        lambda: S.lsh_candidates(e, 64, None, 8, True),
-    )
-    ann = timed(
-        "neardup_ann(auto)",
-        lambda: S.embedding_neardup_pairs_ann(e, THRESHOLD, 64, None, 8),
-    ).localCheckpoint()
+    approxes: list[tuple[str, object]] = []
+
+    if os.environ.get("ANN_STUDY_SKIP_LSH", "") == "":
+        timed(
+            "lsh_candidates(auto)",
+            lambda: S.lsh_candidates(e, 64, None, 8, True),
+        )
+        ann = timed(
+            "neardup_ann(auto)",
+            lambda: S.embedding_neardup_pairs_ann(e, THRESHOLD, 64, None, 8),
+        ).localCheckpoint()
+        approxes.append(("lsh", ann))
+
+    probes = [
+        int(p)
+        for p in os.environ.get("ANN_STUDY_PROBES", "2,4").split(",")
+    ]
+    # first-k centroids, shared across probe configs (the registry
+    # default); collected once so timing isolates the probe knob
+    first_k = [
+        r["__v"]
+        for r in e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("embedding").cast("array<double>").alias("__v"))
+        .collect()
+    ]
+    for p in probes:
+        nc = ivf_candidate_count(e, first_k, p)
+        print(f"ivf probe={p}: candidates={nc}")
+        ivf = timed(
+            f"neardup_ivf(probe={p})",
+            lambda p=p: S.embedding_neardup_pairs_ivf(
+                e, THRESHOLD, centroids=first_k, n_probe=p, fold="blas"
+            ),
+        ).localCheckpoint()
+        approxes.append((f"ivf_p{p}", ivf))
+
+    if os.environ.get("ANN_STUDY_TRAINED", "") != "":
+        t0 = time.time()
+        cents, _ = S.kmeans_train(e, k=k, max_iter=3, tol=0.0)
+        print(f"kmeans_train(k={k}, 3 iters): {time.time() - t0:.1f}s")
+        nc = ivf_candidate_count(e, cents, 2)
+        print(f"ivf trained probe=2: candidates={nc}")
+        ivf_t = timed(
+            "neardup_ivf(trained, probe=2)",
+            lambda: S.embedding_neardup_pairs_ivf(
+                e, THRESHOLD, centroids=cents, n_probe=2, fold="blas"
+            ),
+        ).localCheckpoint()
+        approxes.append(("ivf_trained_p2", ivf_t))
+
+    if os.environ.get("ANN_STUDY_SKIP_EXACT", "") != "":
+        spark.catalog.clearCache()
+        return
     exact = timed(
         "neardup_grid_exact",
         lambda: S.embedding_neardup_pairs_grid(e, THRESHOLD),
     ).localCheckpoint()
-    rec = (
-        exact.join(
-            ann.select("id_a", "id_b", F.lit(1).alias("__hit")),
-            ["id_a", "id_b"],
-            "left",
+
+    def recall_of(approx, name):
+        rec = (
+            exact.join(
+                approx.select("id_a", "id_b", F.lit(1).alias("__hit")),
+                ["id_a", "id_b"],
+                "left",
+            )
+            .select(
+                band_col().alias("band"),
+                F.coalesce("__hit", F.lit(0)).alias("h"),
+            )
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.sum("h").alias("n_hit"),
+                F.round(F.sum("h") / F.count(F.lit(1)), 4).alias("recall"),
+            )
+            .orderBy("band")
         )
-        .select(
-            band_col().alias("band"),
-            F.coalesce("__hit", F.lit(0)).alias("h"),
-        )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.sum("h").alias("n_hit"),
-            F.round(F.sum("h") / F.count(F.lit(1)), 4).alias("recall"),
-        )
-        .orderBy("band")
-    )
-    for r in rec.collect():
-        print(
-            f"band>={r['band']}: true={r['n_true']} hit={r['n_hit']} "
-            f"recall={r['recall']}"
-        )
+        for r in rec.collect():
+            print(
+                f"{name} band>={r['band']}: true={r['n_true']} "
+                f"hit={r['n_hit']} recall={r['recall']}"
+            )
+
+    for name, approx in approxes:
+        recall_of(approx, name)
     spark.catalog.clearCache()
 
 
