@@ -74,6 +74,7 @@ HEADLINE = [
     "knn_label_vote_ann",
     "dedup_semantic_clusters",
     "ann_pair_recall_report",
+    "embedding_neardup_pairs_ivf",
 ]
 
 
@@ -97,6 +98,7 @@ X10_HEAVY = [
     "embedding_neardup_pairs_ann",
     "knn_label_vote_ann",
     "dedup_semantic_clusters",
+    "embedding_neardup_pairs_ivf",
 ]
 
 

@@ -2037,17 +2037,25 @@ def embedding_neardup_incremental(
     )
 
 
-def auto_cells(n_rows: int, target_cell: int = 64, lo: int = 8,
+def auto_cells(n_rows: int, n_probe: int = 2, lo: int = 8,
                hi: int = 65536) -> int:
-    """IVF cell count giving an expected cell population of
-    ``target_cell``: growing k with n keeps per-cell pair work
-    constant, so same-cell candidate volume is O(n·target_cell·probe²)
-    — genuinely linear in n, unlike hyperplane LSH whose density on
-    clustered corpora stays near-quadratic (measured: 3.5% candidate
-    density at 100k vectors under auto_planes — SCALING.md round 4)."""
+    """Balanced IVF cell count k = n_probe·√n — the point where
+    centroid ASSIGNMENT (O(n·k·d)) and within-cell pair VERIFY
+    (O(n·(n/k)·probe²·d)) equalize, making total work O(n^1.5·d).
+
+    The round-4 study measured both failure modes of the naive
+    rules: k ∝ n (constant cell population) gives linear candidate
+    volume but QUADRATIC assignment — at 300k vectors the n×k cosine
+    matrix was 22s of the 25s wall; small fixed k degenerates toward
+    the O(n²) grid. k = probe·√n is the classic IVF balance (larger
+    cells than k∝n once n > ~4k·probe², so recall RISES with n while
+    the dense cells-verify absorbs the extra pairs at BLAS rates).
+    Either way LSH loses on clustered corpora: its candidate density
+    stays near-quadratic (measured 3.5% of all pairs at 100k under
+    auto_planes — SCALING.md round 4)."""
     import math
 
-    return max(lo, min(hi, math.ceil(n_rows / max(target_cell, 1))))
+    return max(lo, min(hi, round(n_probe * math.sqrt(n_rows))))
 
 
 def _ivf_cell_rows(
@@ -2158,6 +2166,97 @@ def _ivf_cell_rows(
     return df.select(id_col, vec_col).mapInPandas(_run, schema=out_schema)
 
 
+def _ivf_cell_vec_rows(
+    df: DataFrame,
+    centroids,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    fold: str,
+) -> DataFrame:
+    """(cell, id, vec) rows — ``_ivf_cell_rows`` assignment with the
+    vector carried along, so the within-cell verify needs NO join back
+    onto the corpus: one mapInPandas pass emits n·probe rows of
+    O(dim) bytes, the only shuffle the cells-verify path pays."""
+    cells = _ivf_cell_rows(df, centroids, n_probe, id_col, vec_col, fold)
+    return cells.join(df.select(id_col, vec_col), id_col)
+
+
+def _cell_dense_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Within-cell dense verify: group by cell, L2-normalize the
+    cell's vectors, one (chunked) GEMM per cell, emit upper-triangle
+    pairs whose half-away-rounded cosine clears ``threshold``.
+
+    This is the IVF-native verify shape: candidate pairs are never
+    materialized — per-cell pair work IS the candidate volume
+    (O(n·cell·probe²) with auto_cells), done at dense-BLAS rates
+    instead of the generic pair-gather's ~0.6M pairs/s (measured:
+    100k vectors / 15.5M candidates — 27s via candidate_pair_cosine,
+    ~3s here; the gather path stays as ``verify='pairs'`` for
+    candidate sets that do NOT share a grouping key, e.g. LSH
+    multi-table candidates). ``chunk_rows`` bounds the per-task sims
+    matrix (chunk_rows × cell_rows float64) — the x30 OOM lesson from
+    the pair grid applies to skewed cells too.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    p = 10.0 ** round_to
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(key, pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = mat[lo:hi] @ mat.T
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+            # upper triangle in sorted-id order: j > global row index
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = jj > (ii + lo)
+            out_a.append(ids[ii[keep] + lo])
+            out_b.append(ids[jj[keep]])
+            out_c.append(sims[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _pairs, schema=out_schema
+    )
+
+
 def embedding_neardup_pairs_ivf(
     df: DataFrame,
     threshold: float,
@@ -2168,20 +2267,22 @@ def embedding_neardup_pairs_ivf(
     vec_col: str = "embedding",
     round_to: int = 4,
     fold: str = "serial",
+    verify: str = "cells",
 ) -> DataFrame:
     """Semantic near-dup pairs, IVF tier — the candidate generator
     that actually scales (SCALING.md round 4): vectors are assigned to
     their top-``n_probe`` centroid cells and candidates are SAME-CELL
-    pairs only, so candidate volume is O(n·cell_size·probe²) — linear
-    in n with ``auto_cells`` growing k — versus hyperplane LSH whose
-    candidate density on clustered corpora stays near-quadratic
+    pairs only. With the balanced ``auto_cells`` rule (k = probe·√n)
+    total work — centroid assignment plus within-cell dense verify —
+    is O(n^1.5·d), versus the exact grid's O(n²·d) and hyperplane LSH
+    whose candidate density on clustered corpora stays near-quadratic
     (round-4 study, 100k·64d clustered corpus: LSH emitted 175M
-    candidates / 3.5% of all pairs and ran 62s steady, barely under
-    the exact O(n²) BLAS grid's 40s; this tier's same-cell candidate
-    volume is ~13M at the same n — see SCALING.md for the measured
-    table and the n where each tier wins).  Near-dup pairs concentrate
-    in shared cells, so recall concentrates exactly where duplicates
-    live.
+    candidates — 3.5% of all pairs — and ran 62s steady, 8× slower
+    than the exact O(n²) BLAS grid itself at that n; see SCALING.md
+    for the measured table and the n where each tier wins). Near-dup
+    pairs concentrate in shared cells, so recall concentrates exactly
+    where duplicates live — and rises with n under the balanced rule,
+    since cell population grows as √n.
 
     ``centroids`` defaults to the first ``k_cells`` vectors by id — a
     deterministic, oracle-replayable sample (pass ``kmeans_train``
@@ -2192,9 +2293,19 @@ def embedding_neardup_pairs_ivf(
 
     Exact-cosine verify on candidates only, threshold on the
     ``round_to``-rounded value — the grid/ANN family contract.
+    ``verify='cells'`` (default) never materializes candidate pairs:
+    vectors shuffle once to their cells (O(n·probe·dim) bytes) and
+    each cell runs a dense normalized GEMM, emitting only
+    above-threshold pairs — the IVF-native shape (measured at 100k
+    vectors: 27s via the generic pair-gather vs ~3s here).
+    ``verify='pairs'`` routes the same-cell candidate set through
+    ``candidate_pair_cosine`` (the LSH tier's verify) — identical
+    output, kept for cross-tier comparability.
     """
     if centroids is None:
-        k = k_cells if k_cells is not None else auto_cells(df.count())
+        k = k_cells if k_cells is not None else auto_cells(
+            df.count(), n_probe
+        )
         centroids = [
             r["__v"]
             for r in df.orderBy(id_col)
@@ -2202,6 +2313,16 @@ def embedding_neardup_pairs_ivf(
             .select(F.col(vec_col).cast("array<double>").alias("__v"))
             .collect()
         ]
+    if verify == "cells":
+        assigned = _ivf_cell_vec_rows(
+            df, centroids, n_probe, id_col, vec_col, fold
+        )
+        pairs = _cell_dense_pairs(
+            assigned, threshold, id_col, vec_col, round_to
+        )
+        # a pair sharing >1 probed cell is emitted once per shared
+        # cell with an identical cosine — dedup is output-sized
+        return pairs.distinct()
     cells = _ivf_cell_rows(
         df, centroids, n_probe, id_col, vec_col, fold=fold
     ).localCheckpoint()

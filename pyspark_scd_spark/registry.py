@@ -8522,15 +8522,17 @@ def q_stream_late_data_accounting(spark, sf_dir):
     doc="Semantic near-dup pairs, IVF tier (operators/similarity.py "
     "embedding_neardup_pairs_ivf): top-2 centroid-cell assignment "
     "(9dp-rounded cosine, ties toward the larger cell), candidates = "
-    "same-cell pairs, exact cosine verify >= 0.3 at 4dp. Candidate "
-    "volume is O(n*cell*probe^2) with auto_cells growing k — LINEAR "
-    "in n, unlike hyperplane LSH whose candidate density on "
+    "same-cell pairs, exact cosine verify >= 0.3 at 4dp. Under the "
+    "balanced auto_cells rule (k = probe*sqrt(n)) assignment plus "
+    "within-cell dense verify total O(n^1.5*d) — vs the exact "
+    "grid's O(n^2*d) and hyperplane LSH, whose candidate density on "
     "clustered corpora stays near-quadratic (round-4 SCALING study, "
     "100k x 64d: LSH emitted 175M candidates — 3.5% of all pairs — "
-    "vs this tier's ~13M same-cell candidates; measured walls and "
-    "the n where each tier wins are in SCALING.md). Centroids here "
-    "are the first 8 vectors (deterministic, oracle-replayable); "
-    "kmeans_train output composes for tighter cells.",
+    "and ran 8x slower than the exact grid itself; measured walls "
+    "and the n where each tier wins are in SCALING.md). Centroids "
+    "here are the first 8 vectors (deterministic, oracle-replayable "
+    "— k pinned so the oracle SQL stays static); kmeans_train "
+    "output composes for tighter cells.",
 )
 def q_embedding_neardup_pairs_ivf(spark, sf_dir):
     from pyspark_scd_spark.operators import similarity

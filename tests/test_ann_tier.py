@@ -201,15 +201,44 @@ def test_ivf_near_identical_vectors_share_cells(spark):
         assert (j, 100 + j) in found, (j, found)
 
 
-def test_auto_cells_keeps_cell_population_constant():
-    """auto_cells grows k linearly with n so expected cell population
-    stays at target — the property that makes same-cell candidate
-    volume O(n) rather than O(n²)."""
-    assert similarity.auto_cells(640, target_cell=64) == 10
-    assert similarity.auto_cells(6_400, target_cell=64) == 100
-    assert similarity.auto_cells(64_000, target_cell=64) == 1000
-    assert similarity.auto_cells(1, target_cell=64) == 8  # lo clamp
-    assert similarity.auto_cells(10**10, target_cell=64) == 65536  # hi
+def test_ivf_verify_paths_identical(spark, sf_dir):
+    """verify='cells' (within-cell dense GEMM, no candidate
+    materialization) and verify='pairs' (same-cell candidates through
+    the generic pair-gather) are two physical plans for ONE logical
+    operator: identical pair sets, identical 4dp cosines."""
+    e = _emb(spark, sf_dir)
+    cells = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_ivf(
+            e, threshold=0.3, k_cells=8, n_probe=2, verify="cells"
+        ).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_ivf(
+            e, threshold=0.3, k_cells=8, n_probe=2, verify="pairs"
+        ).collect()
+    }
+    assert cells == pairs
+    assert len(cells) > 0
+
+
+def test_auto_cells_balances_assignment_and_verify():
+    """auto_cells follows the balanced IVF rule k = probe·√n, the
+    point where O(n·k·d) assignment and O(n·(n/k)·probe²·d) verify
+    equalize — total work O(n^1.5·d) (k∝n measured quadratic in
+    assignment at 300k; SCALING.md round 4)."""
+    assert similarity.auto_cells(10_000, n_probe=2) == 200
+    assert similarity.auto_cells(100_000, n_probe=2) == 632
+    assert similarity.auto_cells(1_000_000, n_probe=2) == 2000
+    assert similarity.auto_cells(100_000, n_probe=4) == 1265
+    assert similarity.auto_cells(1, n_probe=2) == 8  # lo clamp
+    assert similarity.auto_cells(10**9, n_probe=4) == 65536  # hi clamp
+    # k grows as sqrt(n): 100x data -> 10x cells
+    assert (
+        similarity.auto_cells(1_000_000) / similarity.auto_cells(10_000)
+        == 10.0
+    )
 
 
 def test_auto_blocks_caps_chunk_rows(spark):
