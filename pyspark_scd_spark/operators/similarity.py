@@ -2233,9 +2233,12 @@ def _cell_dense_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         mat = mat / norms
+        # bound the sims chunk to ~128 MB even for pathologically
+        # skewed cells (chunk_rows x n float64)
+        chunk = max(64, min(chunk_rows, 16_000_000 // n))
         out_a, out_b, out_c = [], [], []
-        for lo in range(0, n, chunk_rows):
-            hi = min(lo + chunk_rows, n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
             sims = mat[lo:hi] @ mat.T
             sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
             # upper triangle in sorted-id order: j > global row index

@@ -8541,3 +8541,68 @@ def q_embedding_neardup_pairs_ivf(spark, sf_dir):
     return similarity.embedding_neardup_pairs_ivf(
         e, threshold=0.3, k_cells=8, n_probe=2
     )
+
+
+@register(
+    "dedup_semantic_clusters_ivf",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM e ORDER BY vec_id LIMIT 8),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c FROM cells WHERE rn <= 2),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM assign a JOIN assign b
+             ON a.c = b.c AND a.vec_id < b.vec_id),
+    pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cand
+              JOIN e ea ON ea.vec_id = cand.id_a
+              JOIN e eb ON eb.vec_id = cand.id_b
+              WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+          FROM reach GROUP BY a)
+    """,
+    doc="Semantic near-dup clusters over the IVF tier — the "
+    "composition the round-4 scale study promotes for clustered "
+    "corpora: same-cell IVF candidates + within-cell dense-GEMM "
+    "verify (embedding_neardup_pairs_ivf) closed into connected "
+    "components. Identical closure semantics to the LSH-tier "
+    "dedup_semantic_clusters (kept registered — multi-table LSH "
+    "remains the better candidate generator on corpora too "
+    "isotropic for centroids to partition well); oracle replays "
+    "centroid assignment, same-cell candidates, verify, and a "
+    "recursive-CTE closure.",
+)
+def q_dedup_semantic_clusters_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup, similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs_ivf(
+        e, threshold=0.3, k_cells=8, n_probe=2
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(
+        pairs, src_col="id_a", dst_col="id_b",
+        strategy=_cc_strategy(e),
+    )
+    w = Window.partitionBy("component")
+    return cc.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w)
+    ).select(
+        F.col("id_a").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

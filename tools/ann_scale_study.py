@@ -14,7 +14,15 @@ near-quadratic on clustered corpora and dominates wall at ≥100k),
 ANN_STUDY_SKIP_EXACT=1 (skip ground truth + recall; wall/candidate
 slope only — for tiers where O(n²) is genuinely infeasible),
 ANN_STUDY_PROBES=2,4 (IVF probe sweep), ANN_STUDY_TRAINED=1
-(add a kmeans-trained-centroid IVF config, 3 Lloyd iterations).
+(add a kmeans-trained-centroid IVF config, 3 Lloyd iterations),
+ANN_STUDY_SKIP_COUNTS=1 (skip the candidate-count jobs — they
+MATERIALIZE the distinct pair set the cells-verify path never
+builds: ~4B pairs ≈ 70 GB of raw shuffle at 1M vectors/probe=4),
+ANN_STUDY_EXACT_ONLY=1 (run only the exact grid — for a clean
+ground-truth wall in a fresh session; heavy approx jobs measurably
+contaminate later timings via GC/page-cache pressure: the same
+exact grid measured 48s after light jobs and 136s after a
+712M-candidate count at 300k).
 
 Usage: python tools/ann_scale_study.py /tmp/vec10k /tmp/vec100k
 """
@@ -81,6 +89,14 @@ def run_tier(spark, d: str) -> None:
         return out
 
     approxes: list[tuple[str, object]] = []
+    skip_counts = os.environ.get("ANN_STUDY_SKIP_COUNTS", "") != ""
+    if os.environ.get("ANN_STUDY_EXACT_ONLY", "") != "":
+        timed(
+            "neardup_grid_exact",
+            lambda: S.embedding_neardup_pairs_grid(e, THRESHOLD),
+        )
+        spark.catalog.clearCache()
+        return
 
     if os.environ.get("ANN_STUDY_SKIP_LSH", "") == "":
         timed(
@@ -107,8 +123,9 @@ def run_tier(spark, d: str) -> None:
         .collect()
     ]
     for p in probes:
-        nc = ivf_candidate_count(e, first_k, p)
-        print(f"ivf probe={p}: candidates={nc}")
+        if not skip_counts:
+            nc = ivf_candidate_count(e, first_k, p)
+            print(f"ivf probe={p}: candidates={nc}")
         ivf = timed(
             f"neardup_ivf(probe={p})",
             lambda p=p: S.embedding_neardup_pairs_ivf(
@@ -121,8 +138,9 @@ def run_tier(spark, d: str) -> None:
         t0 = time.time()
         cents, _ = S.kmeans_train(e, k=k, max_iter=3, tol=0.0)
         print(f"kmeans_train(k={k}, 3 iters): {time.time() - t0:.1f}s")
-        nc = ivf_candidate_count(e, cents, 2)
-        print(f"ivf trained probe=2: candidates={nc}")
+        if not skip_counts:
+            nc = ivf_candidate_count(e, cents, 2)
+            print(f"ivf trained probe=2: candidates={nc}")
         ivf_t = timed(
             "neardup_ivf(trained, probe=2)",
             lambda: S.embedding_neardup_pairs_ivf(
@@ -134,10 +152,22 @@ def run_tier(spark, d: str) -> None:
     if os.environ.get("ANN_STUDY_SKIP_EXACT", "") != "":
         spark.catalog.clearCache()
         return
-    exact = timed(
-        "neardup_grid_exact",
-        lambda: S.embedding_neardup_pairs_grid(e, THRESHOLD),
-    ).localCheckpoint()
+    if os.environ.get("ANN_STUDY_TRUTH_ONCE", "") != "":
+        # ground truth for recall only — wall comes from a dedicated
+        # ANN_STUDY_EXACT_ONLY run, so one untimed pass suffices
+        t0 = time.time()
+        exact = S.embedding_neardup_pairs_grid(
+            e, THRESHOLD
+        ).localCheckpoint()
+        print(
+            f"neardup_grid_exact(truth-once): rows={exact.count()} "
+            f"wall={time.time() - t0:.1f}s"
+        )
+    else:
+        exact = timed(
+            "neardup_grid_exact",
+            lambda: S.embedding_neardup_pairs_grid(e, THRESHOLD),
+        ).localCheckpoint()
 
     def recall_of(approx, name):
         rec = (
