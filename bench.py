@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "ann_pair_recall_report",
     "embedding_neardup_pairs_ivf",
+    "knn_label_vote_ivf",
 ]
 
 

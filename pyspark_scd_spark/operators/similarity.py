@@ -2260,6 +2260,161 @@ def _cell_dense_pairs(
     )
 
 
+def ivf_candidates(
+    df: DataFrame,
+    centroids=None,
+    k_cells: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ordered: bool = True,
+    fold: str = "serial",
+) -> DataFrame:
+    """Same-cell candidate pairs of the IVF tier — the composable
+    candidate generator (the analogue of ``lsh_candidates`` for
+    corpora with centroid structure). ``ordered=True`` emits each
+    unordered pair once (id_a < id_b — symmetric pair consumers);
+    ``ordered=False`` emits both directions (per-anchor top-k
+    consumers: kNN audit, hard-negative mining). Centroids default to
+    the first ``k_cells`` vectors by id (deterministic,
+    oracle-replayable); pass ``kmeans_train`` output for tighter
+    cells and ``auto_cells`` for the balanced k = probe·√n rule.
+    """
+    if centroids is None:
+        k = k_cells if k_cells is not None else auto_cells(
+            df.count(), n_probe
+        )
+        centroids = [
+            r["__v"]
+            for r in df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>").alias("__v"))
+            .collect()
+        ]
+    cells = _ivf_cell_rows(
+        df, centroids, n_probe, id_col, vec_col, fold=fold
+    ).localCheckpoint()
+    a = cells.select(F.col(id_col).alias("id_a"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), "cell")
+    cond = (
+        F.col("id_a") < F.col("id_b")
+        if ordered
+        else F.col("id_a") != F.col("id_b")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(cond)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def knn_label_vote_ivf(
+    df: DataFrame,
+    k: int = 5,
+    k_cells: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-consistency audit, IVF tier: neighbors restricted to
+    same-cell candidates (directed — every vector is an anchor), exact
+    cosine re-rank to top-k, then the majority vote / tie-break
+    contract of the exact twin ``knn_label_vote_grid``. The candidate
+    generator the round-4 study promotes for clustered corpora
+    (balanced ``auto_cells``: per-anchor candidate work ~probe²·√n);
+    the LSH twin ``knn_label_vote_ann`` remains for corpora without
+    centroid structure. Anchors alone in their cells emit no vote —
+    both engines replay identically.
+    """
+    cand = ivf_candidates(
+        df, None, k_cells, n_probe, id_col, vec_col, ordered=False
+    )
+    scored = candidate_pair_cosine(
+        df, cand, id_col, vec_col, label_col, decimals=6
+    ).select(
+        F.col("id_a").alias("qid"),
+        F.col("label_a").alias("qlabel"),
+        F.col("id_b").alias("nid"),
+        F.col("label_b").alias("nlabel"),
+        F.col("cosine").alias("c"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= k
+    )
+    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("nlabel").asc()
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nlabel").alias("predicted_label"),
+            F.col("votes").cast("int").alias("n_agree"),
+            (F.col("nlabel") != F.col("qlabel")).alias("mislabeled"),
+        )
+    )
+
+
+def hard_negative_mining_ivf(
+    df: DataFrame,
+    k: int = 3,
+    k_cells: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard negatives, IVF tier: directed same-cell
+    candidates with same-label pairs masked, exact cosine re-rank to
+    the top-k different-label neighbors per anchor. Ranking at 6 dp
+    (cosine DESC, id ASC); emitted cosine re-rounds to 4 dp half-away
+    — the exact twin ``hard_negative_mining_grid``'s contract. The
+    hard-negative use case needs the MOST similar cross-label rows;
+    on clustered corpora those share cells by construction.
+    """
+    cand = ivf_candidates(
+        df, None, k_cells, n_probe, id_col, vec_col, ordered=False
+    )
+    scored = (
+        candidate_pair_cosine(
+            df, cand, id_col, vec_col, label_col, decimals=6
+        )
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            F.col("id_a").alias("qid"),
+            F.col("label_a").alias("qlabel"),
+            F.col("id_b").alias("nid"),
+            F.col("label_b").alias("nlabel"),
+            F.col("cosine").alias("c"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nid").alias("neg_id"),
+            F.col("nlabel").alias("neg_label"),
+            _round_away_col(F.col("c"), 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs_ivf(
     df: DataFrame,
     threshold: float,
@@ -2326,16 +2481,9 @@ def embedding_neardup_pairs_ivf(
         # a pair sharing >1 probed cell is emitted once per shared
         # cell with an identical cosine — dedup is output-sized
         return pairs.distinct()
-    cells = _ivf_cell_rows(
-        df, centroids, n_probe, id_col, vec_col, fold=fold
-    ).localCheckpoint()
-    a = cells.select(F.col(id_col).alias("id_a"), "cell")
-    b = cells.select(F.col(id_col).alias("id_b"), "cell")
-    cand = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cand = ivf_candidates(
+        df, centroids, None, n_probe, id_col, vec_col,
+        ordered=True, fold=fold,
     )
     scored = candidate_pair_cosine(
         df, cand, id_col, vec_col, decimals=round_to

@@ -1309,6 +1309,28 @@ def _lsh_cand_ctes(n_planes: int = 8, n_tables: int = 8,
              WHERE a.vec_id {op} c.vec_id)"""
 
 
+def _ivf_cand_ctes(k_cells: int = 8, n_probe: int = 2,
+                   ordered: bool = True) -> str:
+    """Shared oracle CTEs replaying ivf_candidates: first-k centroids
+    by id, top-``n_probe`` cell assignment (9dp-rounded cosine, ties
+    toward the larger cell — _ivf_cell_rows' exact rule), DISTINCT
+    same-cell id pairs. Expects an ``e(vec_id, v)`` CTE upstream."""
+    op = "<" if ordered else "<>"
+    return f"""cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM e ORDER BY vec_id LIMIT {k_cells}),
+    cells AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
+                          c DESC) AS rn
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, c FROM cells WHERE rn <= {n_probe}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM assign a JOIN assign b
+             ON a.c = b.c AND a.vec_id {op} b.vec_id)"""
+
+
 def _sim_search_lsh_oracle() -> str:
     """DuckDB twin of lsh_bucketed_topk(dim=64, k=5, n_planes=6,
     n_tables=3): the hyperplane constants inline as literals, so the
@@ -8497,22 +8519,10 @@ def q_stream_late_data_accounting(spark, sf_dir):
 
 @register(
     "embedding_neardup_pairs_ivf",
-    """
+    f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS c, v AS cv
-             FROM e ORDER BY vec_id LIMIT 8),
-    cells AS (
-      SELECT vec_id, c,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
-                          c DESC) AS rn
-      FROM e CROSS JOIN cent),
-    assign AS (SELECT vec_id, c FROM cells WHERE rn <= 2),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM assign a JOIN assign b
-             ON a.c = b.c AND a.vec_id < b.vec_id),
+    {_ivf_cand_ctes(ordered=True)},
     j AS (SELECT id_a, id_b,
                  ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
           FROM cand JOIN e ea ON ea.vec_id = cand.id_a
@@ -8545,22 +8555,10 @@ def q_embedding_neardup_pairs_ivf(spark, sf_dir):
 
 @register(
     "dedup_semantic_clusters_ivf",
-    """
+    f"""
     WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS c, v AS cv
-             FROM e ORDER BY vec_id LIMIT 8),
-    cells AS (
-      SELECT vec_id, c,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
-                          c DESC) AS rn
-      FROM e CROSS JOIN cent),
-    assign AS (SELECT vec_id, c FROM cells WHERE rn <= 2),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM assign a JOIN assign b
-             ON a.c = b.c AND a.vec_id < b.vec_id),
+    {_ivf_cand_ctes(ordered=True)},
     pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cand
               JOIN e ea ON ea.vec_id = cand.id_a
               JOIN e eb ON eb.vec_id = cand.id_b
@@ -8605,4 +8603,78 @@ def q_dedup_semantic_clusters_ivf(spark, sf_dir):
         F.col("id_a").alias("vec_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
+    )
+
+
+@register(
+    "knn_label_vote_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_ivf_cand_ctes(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS nid, eb.label AS nlabel,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, nid ASC) AS rk FROM s),
+    v AS (SELECT vec_id, label, nlabel, COUNT(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label, nlabel AS predicted_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY votes DESC, nlabel ASC) AS pr FROM v)
+    SELECT vec_id, label, predicted_label,
+           CAST(votes AS INTEGER) AS n_agree,
+           predicted_label <> label AS mislabeled
+    FROM p WHERE pr = 1
+    """,
+    doc="kNN label-consistency audit, IVF tier (operators/similarity"
+    ".py knn_label_vote_ivf): directed same-cell candidates instead "
+    "of LSH buckets, then the identical exact-cosine top-5 re-rank, "
+    "majority vote and tie-breaks as knn_label_vote. The candidate "
+    "generator the round-4 study promotes for clustered corpora — "
+    "per-anchor candidate work ~probe^2*sqrt(n) under balanced "
+    "auto_cells (k pinned to 8 here for the static oracle); the LSH "
+    "twin stays registered for corpora without centroid structure.",
+)
+def q_knn_label_vote_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote_ivf(e, k=5, k_cells=8, n_probe=2)
+
+
+@register(
+    "hard_negative_mining_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_ivf_cand_ctes(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS neg_id, eb.label AS neg_label,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b
+          WHERE ea.label <> eb.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, neg_id ASC) AS rank FROM s)
+    SELECT vec_id, label, neg_id, neg_label,
+           ROUND(c, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="Contrastive hard negatives, IVF tier (operators/similarity"
+    ".py hard_negative_mining_ivf): directed same-cell candidates "
+    "with same-label pairs masked, exact-cosine top-3 re-rank per "
+    "anchor — ranking at 6dp (cosine DESC, id ASC), emitted cosine "
+    "4dp half-away, the exact twin's contract. Hard negatives are "
+    "the MOST similar cross-label rows; on clustered corpora those "
+    "share a centroid cell by construction.",
+)
+def q_hard_negative_mining_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining_ivf(
+        e, k=3, k_cells=8, n_probe=2
     )

@@ -223,6 +223,50 @@ def test_ivf_verify_paths_identical(spark, sf_dir):
     assert len(cells) > 0
 
 
+def test_ivf_knn_with_one_cell_equals_exact_grid(spark, sf_dir):
+    """With k_cells=1 every vector shares the single cell, so the IVF
+    candidate set degenerates to ALL pairs — the kNN audit must then
+    equal the exact grid twin row for row (candidate restriction is
+    the ONLY approximation in the tier)."""
+    e = _emb(spark, sf_dir)
+    ivf = {
+        tuple(r)
+        for r in similarity.knn_label_vote_ivf(
+            e, k=5, k_cells=1, n_probe=1
+        ).collect()
+    }
+    grid = {
+        tuple(r)
+        for r in similarity.knn_label_vote_grid(e, k=5).collect()
+    }
+    assert ivf == grid
+    assert len(ivf) > 0
+
+
+def test_ivf_hard_negatives_contract(spark, sf_dir):
+    """IVF hard negatives: every row is a cross-label pair with rank
+    in 1..k, and with k_cells=1 the output equals the exact twin."""
+    e = _emb(spark, sf_dir)
+    rows = similarity.hard_negative_mining_ivf(
+        e, k=3, k_cells=8, n_probe=2
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["label"] != r["neg_label"]
+        assert 1 <= r["rank"] <= 3
+    ivf1 = {
+        tuple(r)
+        for r in similarity.hard_negative_mining_ivf(
+            e, k=3, k_cells=1, n_probe=1
+        ).collect()
+    }
+    grid = {
+        tuple(r)
+        for r in similarity.hard_negative_mining_grid(e, k=3).collect()
+    }
+    assert ivf1 == grid
+
+
 def test_auto_cells_balances_assignment_and_verify():
     """auto_cells follows the balanced IVF rule k = probe·√n, the
     point where O(n·k·d) assignment and O(n·(n/k)·probe²·d) verify
