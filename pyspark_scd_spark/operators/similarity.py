@@ -1485,8 +1485,12 @@ def _lsh_bucket_rows(
     ids must match exactly: float→double cast (exact), per-plane dot
     as the serial left-fold ``acc += v[j]*p[j]`` with j ascending
     (each step one IEEE double multiply + add, same sequence as
-    ``aggregate(zip_with(...))``), bit i set iff dot >= 0 (NaN and
-    null vectors contribute 0 in both engines).
+    ``aggregate(zip_with(...))``), bit i set iff NOT (dot < 0) — the
+    form that matches BOTH SQL engines on edge inputs: a NULL vector
+    yields a NULL dot (falsy ⇒ bit 0) and a NaN dot compares GREATER
+    than 0 in Spark SQL and DuckDB (NaN-greatest semantics, unlike
+    IEEE), so NaN ⇒ bit 1; numpy's ``acc >= 0`` would give bit 0 for
+    NaN and silently diverge the candidate set from the oracle.
     """
     import numpy as np
     import pandas as pd
@@ -1515,14 +1519,21 @@ def _lsh_bucket_rows(
             if n == 0:
                 continue
             vecs = np.full((n, dim), np.nan, dtype=np.float64)
+            valid = np.zeros(n, dtype=bool)
             for i, v in enumerate(pdf[vec_col]):
                 if v is not None and len(v) == dim:
                     vecs[i] = v
+                    valid[i] = True
             acc = np.zeros((n, n_t * n_p), dtype=np.float64)
             for j in range(dim):  # serial left-fold: oracle-identical
                 acc += vecs[:, j : j + 1] * pt[j]
-            bits = (acc >= 0.0).reshape(n, n_t, n_p)
+            # NOT (acc < 0): NaN dots set the bit, matching the SQL
+            # twins' NaN-greatest comparison semantics (see docstring)
+            bits = (~(acc < 0.0)).reshape(n, n_t, n_p)
             buckets = (bits * weights).sum(axis=2, dtype=np.int64)
+            # NULL / wrong-length vectors: SQL's dot is NULL, every
+            # CASE is falsy ⇒ bucket 0 (distinct from a NaN dot)
+            buckets[~valid] = 0
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), n_t),
@@ -1721,7 +1732,13 @@ def candidate_pair_cosine(
         ib = border[np.clip(np.searchsorted(bids[border], cb), 0, len(bids) - 1)]
         # Membership check: a candidate id absent from the corpus (or
         # hashed under a different type) would otherwise silently pair
-        # the WRONG vector — fail loudly instead.
+        # the WRONG vector — fail loudly instead. Residual gap: a
+        # foreign id whose hash routes to a block with NO corpus rows
+        # produces no grid cell at all, so its candidate rows vanish
+        # before this code runs (empty-cell early return above) —
+        # callers needing a hard guarantee should assert
+        # output rows == candidate rows (this function emits exactly
+        # one row per candidate row when all ids resolve).
         if not (np.array_equal(aids[ia], ca) and np.array_equal(bids[ib], cb)):
             missing_a = ca[aids[ia] != ca]
             missing_b = cb[bids[ib] != cb]
@@ -2016,7 +2033,13 @@ def embedding_neardup_incremental(
         cb_store.select(F.col(id_col).alias("id_a"), "t", "b")
         .join(pb, (F.col("t") == F.col("tb")) & (F.col("b") == F.col("pb")))
         .select("id_a", "id_b")
+        # localCheckpoint: cand feeds TWO jobs (the eager pack inside
+        # candidate_pair_cosine via the needed_store semi-join, then
+        # the cogroup) — without it each job re-runs the store bucket
+        # pass, i.e. exactly the store re-scan this operator exists
+        # to avoid
         .distinct()
+        .localCheckpoint()
     )
     # Verify packs only the store vectors candidates actually touch
     # (left-semi on the candidate store ids) plus the batch — the
@@ -2139,9 +2162,14 @@ def _ivf_cell_rows(
                 s9 = (
                     np.sign(cos) * np.floor(np.abs(cos) * 1e9 + 0.5)
                 )
-            # degenerate vectors rank last; zero-norm centroids clamp
+            # NaN cosines (zero-norm centroid OR degenerate vector)
+            # rank FIRST: DuckDB sorts NaN greater than every value,
+            # so the oracle's ORDER BY ... DESC puts NaN cells ahead;
+            # clamping to +2e9 replays that (an all-NaN row then ties
+            # everywhere and falls back to the cell-DESC tiebreak,
+            # which both engines share)
             np.nan_to_num(
-                s9, copy=False, nan=-2e9, posinf=2e9, neginf=-2e9
+                s9, copy=False, nan=2e9, posinf=2e9, neginf=-2e9
             )
             key = s9.astype(np.int64) * kk + np.arange(k, dtype=np.int64)
             if n_probe < k:
@@ -2260,6 +2288,30 @@ def _cell_dense_pairs(
     )
 
 
+def _default_centroids(
+    df: DataFrame,
+    k_cells: int | None,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> list:
+    """The IVF tier's deterministic centroid seed: the first
+    ``k_cells`` (default: balanced ``auto_cells``) vectors by id —
+    the rule every IVF oracle replays (``_ivf_cand_ctes``), factored
+    so the twins cannot silently diverge. The k-row collect is
+    bounded by construction (k ≈ probe·√n rows of dim doubles)."""
+    k = k_cells if k_cells is not None else auto_cells(
+        df.count(), n_probe
+    )
+    return [
+        r["__v"]
+        for r in df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .collect()
+    ]
+
+
 def ivf_candidates(
     df: DataFrame,
     centroids=None,
@@ -2281,16 +2333,9 @@ def ivf_candidates(
     cells and ``auto_cells`` for the balanced k = probe·√n rule.
     """
     if centroids is None:
-        k = k_cells if k_cells is not None else auto_cells(
-            df.count(), n_probe
+        centroids = _default_centroids(
+            df, k_cells, n_probe, id_col, vec_col
         )
-        centroids = [
-            r["__v"]
-            for r in df.orderBy(id_col)
-            .limit(k)
-            .select(F.col(vec_col).cast("array<double>").alias("__v"))
-            .collect()
-        ]
     cells = _ivf_cell_rows(
         df, centroids, n_probe, id_col, vec_col, fold=fold
     ).localCheckpoint()
@@ -2461,16 +2506,9 @@ def embedding_neardup_pairs_ivf(
     output, kept for cross-tier comparability.
     """
     if centroids is None:
-        k = k_cells if k_cells is not None else auto_cells(
-            df.count(), n_probe
+        centroids = _default_centroids(
+            df, k_cells, n_probe, id_col, vec_col
         )
-        centroids = [
-            r["__v"]
-            for r in df.orderBy(id_col)
-            .limit(k)
-            .select(F.col(vec_col).cast("array<double>").alias("__v"))
-            .collect()
-        ]
     if verify == "cells":
         assigned = _ivf_cell_vec_rows(
             df, centroids, n_probe, id_col, vec_col, fold
@@ -2479,8 +2517,16 @@ def embedding_neardup_pairs_ivf(
             assigned, threshold, id_col, vec_col, round_to
         )
         # a pair sharing >1 probed cell is emitted once per shared
-        # cell with an identical cosine — dedup is output-sized
-        return pairs.distinct()
+        # cell; dedup is output-sized. max-agg rather than distinct:
+        # the two emissions compute the dot in different GEMM shapes
+        # (different cell matrices / chunk offsets), and BLAS
+        # accumulation order is not guaranteed identical across
+        # shapes — a dot landing exactly on a 4dp rounding boundary
+        # could round differently per cell, and distinct() would
+        # then keep BOTH rows for one pair
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.max("cosine").alias("cosine")
+        )
     cand = ivf_candidates(
         df, centroids, None, n_probe, id_col, vec_col,
         ordered=True, fold=fold,

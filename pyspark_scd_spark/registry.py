@@ -6030,12 +6030,14 @@ _STREAM_SRC_CACHE: dict[tuple, str] = {}
 
 
 def _stream_source(spark: SparkSession, sf_dir: str, name: str,
-                   prepare=None) -> DataFrame:
+                   prepare=None, options: dict | None = None) -> DataFrame:
     """Streaming DataFrame over a plain-parquet replay of a testdata
     table (written once per process: the raw testdata carries
     TIMESTAMP(NANOS) the file stream source cannot ingest directly).
     ``prepare`` optionally transforms the batch table before staging —
-    e.g. the orders-as-snapshots projection."""
+    e.g. the orders-as-snapshots projection. ``options`` are reader
+    (SOURCE) options — e.g. maxFilesPerTrigger, which throttles
+    micro-batch size and is silently ignored if set on the writer."""
     import hashlib
     import tempfile
 
@@ -6071,9 +6073,10 @@ def _stream_source(spark: SparkSession, sf_dir: str, name: str,
         df.write.parquet(out)
         _STREAM_SRC_CACHE[key] = out
     path = _STREAM_SRC_CACHE[key]
-    return spark.readStream.schema(
-        spark.read.parquet(path).schema
-    ).parquet(path)
+    reader = spark.readStream.schema(spark.read.parquet(path).schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
 
 
 def _run_stream_to_batch(out_df: DataFrame) -> DataFrame:
@@ -8368,6 +8371,11 @@ def q_stream_embedding_neardup(spark, sf_dir):
         spark, sf_dir, "embeddings",
         prepare=lambda df: df.filter(F.col("vec_id") % 10 == 7)
         .repartition(4),
+        # SOURCE option (a writer-side maxFilesPerTrigger is silently
+        # ignored): 4 staged files / 2 per trigger ⇒ availableNow
+        # replays in 2 micro-batches, which is the point — the
+        # per-batch store probe must be batch-partition-invariant
+        options={"maxFilesPerTrigger": "2"},
     )
     outdir = tempfile.mkdtemp(prefix="stream_neardup_out_") + "/data"
     ck = tempfile.mkdtemp(prefix="stream_neardup_ck_")
@@ -8382,7 +8390,6 @@ def q_stream_embedding_neardup(spark, sf_dir):
     q = (
         batch_stream.writeStream.foreachBatch(_probe)
         .option("checkpointLocation", ck)
-        .option("maxFilesPerTrigger", 2)
         .trigger(availableNow=True)
         .start()
     )

@@ -111,12 +111,14 @@ class ManifestJsonWriter(DataSourceWriter):
     def _commit_locked(self, entries):
         mpath = os.path.join(self.path, "_MANIFEST.json")
         prior: list = []
+        prior_compacted: list = []
         if os.path.exists(mpath):
             with open(mpath) as f:
                 prior_manifest = json.load(f)
             if self.overwrite:
                 # overwrite: the old table's committed files are
-                # superseded — remove them so they can't leak
+                # superseded — remove them so they can't leak (and
+                # their batch provenance dies with them)
                 for e in prior_manifest["files"]:
                     try:
                         os.remove(os.path.join(self.path, e["file"]))
@@ -124,13 +126,20 @@ class ManifestJsonWriter(DataSourceWriter):
                         pass
             else:
                 # append: the new manifest carries forward every
-                # previously committed file
+                # previously committed file AND the batch ids whose
+                # files compaction has since merged (losing those
+                # would reopen the exactly-once replay window)
                 prior = prior_manifest["files"]
+                prior_compacted = prior_manifest.get(
+                    "compacted_batch_ids", []
+                )
         entries = sorted(prior + entries, key=lambda e: e["file"])
         manifest = {
             "files": entries,
             "total_rows": sum(e["n_rows"] for e in entries),
         }
+        if prior_compacted:
+            manifest["compacted_batch_ids"] = sorted(prior_compacted)
         # atomic publish: a crash mid-write must never destroy the
         # previously valid manifest
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -171,7 +180,9 @@ def read_manifest_table(spark, path: str):
 
 def committed_batch_ids(path: str) -> set[int]:
     """Micro-batch ids already recorded in the manifest (empty when no
-    manifest exists yet)."""
+    manifest exists yet) — per-file provenance plus the ids whose
+    files compaction merged (``compacted_batch_ids``): a replayed
+    batch must be skipped even after its part files were rewritten."""
     mpath = os.path.join(path, "_MANIFEST.json")
     if not os.path.exists(mpath):
         return set()
@@ -179,7 +190,7 @@ def committed_batch_ids(path: str) -> set[int]:
         manifest = json.load(f)
     return {
         e["batch_id"] for e in manifest["files"] if "batch_id" in e
-    }
+    } | set(manifest.get("compacted_batch_ids", []))
 
 
 def idempotent_batch_writer(path: str):
@@ -259,6 +270,16 @@ def compact_manifest_table(
         }
     total = sum(e["n_rows"] for e in small)
     n_out = max(1, math.ceil(total / target_rows_per_file))
+    if n_out >= len(small):
+        # rewrite cannot reduce the file count — without this guard a
+        # maintenance loop would churn the same still-small files
+        # (full rewrite + swap + delete) on every run, forever
+        return {
+            "before_files": before,
+            "after_files": before,
+            "rows_compacted": 0,
+            "skipped": True,
+        }
 
     staging = tempfile.mkdtemp(prefix="manifest_compact_")
     src_paths = [os.path.join(path, e["file"]) for e in small]
@@ -308,10 +329,21 @@ def compact_manifest_table(
             e for e in current["files"] if e["file"] not in compacted_names
         ]
         entries = sorted(kept + new_entries, key=lambda e: e["file"])
+        # Batch provenance of the merged files must survive the
+        # rewrite: idempotent_batch_writer's skip-if-committed check
+        # would otherwise re-append a replayed batch whose part files
+        # compaction retired — a silent exactly-once break.
+        merged_bids = {
+            e["batch_id"]
+            for e in current["files"]
+            if e["file"] in compacted_names and "batch_id" in e
+        } | set(current.get("compacted_batch_ids", []))
         new_manifest = {
             "files": entries,
             "total_rows": sum(e["n_rows"] for e in entries),
         }
+        if merged_bids:
+            new_manifest["compacted_batch_ids"] = sorted(merged_bids)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(new_manifest, f, indent=2, sort_keys=True)

@@ -267,6 +267,33 @@ def test_ivf_hard_negatives_contract(spark, sf_dir):
     assert ivf1 == grid
 
 
+def test_lsh_bucket_nan_and_null_edge_semantics(spark):
+    """Edge-input parity with the SQL twins: a NaN dot compares
+    GREATER than 0 in Spark SQL and DuckDB (NaN-greatest), so a
+    NaN-containing vector takes the ALL-ONES bucket; a NULL (or
+    wrong-length) vector yields a NULL dot — falsy ⇒ bucket 0.
+    numpy's naive `acc >= 0` would give bucket 0 for BOTH and
+    silently diverge the candidate set from the oracle replay."""
+    rows = [
+        (1, [1.0] * 8),          # normal
+        (2, [float("nan")] * 8),  # NaN components -> NaN dots
+        (3, None),                # NULL vector
+        (4, [1.0, 2.0]),          # wrong length == NULL semantics
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        (r["vec_id"], r["t"]): r["b"]
+        for r in similarity._lsh_bucket_rows(
+            df, 8, 4, 2, "vec_id", "embedding"
+        ).collect()
+    }
+    for t in range(2):
+        assert out[(2, t)] == 15, out  # all 4 plane bits set
+        assert out[(3, t)] == 0, out
+        assert out[(4, t)] == 0, out
+        assert 0 <= out[(1, t)] <= 15
+
+
 def test_auto_cells_balances_assignment_and_verify():
     """auto_cells follows the balanced IVF rule k = probe·√n, the
     point where O(n·k·d) assignment and O(n·(n/k)·probe²·d) verify

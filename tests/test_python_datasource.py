@@ -211,3 +211,52 @@ def test_manifest_compaction_read_equivalence(spark, tmp_path):
     final_df, m_final = manifest_sink.read_manifest_table(spark, out)
     assert m_final["total_rows"] == 110
     assert sorted(r["id"] for r in final_df.collect()) == list(range(110))
+
+
+def test_compaction_preserves_batch_id_provenance(spark, tmp_path):
+    """Exactly-once survives OPTIMIZE: a micro-batch whose part files
+    compaction merged must STAY in committed_batch_ids — otherwise a
+    post-compaction replay of that batch re-appends its rows (the
+    silent duplicate-data break compacted_batch_ids exists to stop).
+    The provenance must also survive subsequent append commits, which
+    rewrite the manifest."""
+    from pyspark_scd_spark.sources import manifest_sink
+
+    manifest_sink.register(spark)
+    out = str(tmp_path / "btab")
+    writer = manifest_sink.idempotent_batch_writer(out)
+    for bid in range(3):
+        writer(
+            spark.range(bid * 10, bid * 10 + 10, 1, 2).selectExpr(
+                "id", "CAST(id AS STRING) AS s"
+            ),
+            bid,
+        )
+    assert manifest_sink.committed_batch_ids(out) == {0, 1, 2}
+
+    stats = manifest_sink.compact_manifest_table(
+        spark, out, target_rows_per_file=1000
+    )
+    assert not stats["skipped"]
+    assert manifest_sink.committed_batch_ids(out) == {0, 1, 2}
+
+    # a replayed (already-committed) batch is skipped post-compaction
+    writer(
+        spark.range(0, 10, 1, 2).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ),
+        1,
+    )
+    df, m = manifest_sink.read_manifest_table(spark, out)
+    assert m["total_rows"] == 30  # no duplicate append
+    # a NEW batch still lands, and the compacted provenance survives
+    # the append's manifest rewrite
+    writer(
+        spark.range(30, 40, 1, 2).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ),
+        3,
+    )
+    assert manifest_sink.committed_batch_ids(out) == {0, 1, 2, 3}
+    df2, m2 = manifest_sink.read_manifest_table(spark, out)
+    assert m2["total_rows"] == 40
