@@ -2060,6 +2060,76 @@ def embedding_neardup_incremental(
     )
 
 
+def embedding_neardup_incremental_ivf(
+    store: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    centroids=None,
+    k_cells: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    store_cells: DataFrame | None = None,
+    fold: str = "serial",
+) -> DataFrame:
+    """Daily-ingest semantic near-dup on the IVF tier: exact-verified
+    pairs between a NEW batch and the existing STORE via shared
+    centroid cells — the IVF twin of ``embedding_neardup_incremental``
+    (whose candidate generator is the LSH bucket store).
+
+    The store's cell-assignment table (id, cell) is the persistable
+    artifact: pass ``store_cells`` (written by an earlier run via
+    ``_ivf_cell_rows``) and each day's work is one Arrow assignment
+    pass over the BATCH, an equi-join against the store's cells, and
+    an exact-cosine verify that packs only the candidate store
+    vectors — O(batch·cell_size·probe²) per day, never a store
+    re-scan. Centroids default to the first ``k_cells`` STORE vectors
+    (deterministic, oracle-replayable); at scale pass ``kmeans_train``
+    output and the balanced ``auto_cells`` k — and retrain/re-assign
+    only when drift warrants (the classic IVF maintenance cycle).
+
+    Returns (store_id, batch_id, cosine ≥ threshold at ``round_to``).
+    """
+    if centroids is None:
+        centroids = _default_centroids(
+            store, k_cells, n_probe, id_col, vec_col
+        )
+    cs = (
+        store_cells
+        if store_cells is not None
+        else _ivf_cell_rows(
+            store, centroids, n_probe, id_col, vec_col, fold=fold
+        )
+    )
+    cb = _ivf_cell_rows(
+        batch, centroids, n_probe, id_col, vec_col, fold=fold
+    )
+    cand = (
+        cs.select(F.col(id_col).alias("id_a"), "cell")
+        .join(cb.select(F.col(id_col).alias("id_b"), "cell"), "cell")
+        .select("id_a", "id_b")
+        .distinct()
+        # cand feeds two jobs (the eager pack via the semi-join, then
+        # the cogroup) — checkpoint or the store assignment re-runs
+        .localCheckpoint()
+    )
+    needed_store = store.select(id_col, vec_col).join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    corpus = needed_store.unionByName(batch.select(id_col, vec_col))
+    scored = candidate_pair_cosine(
+        corpus, cand, id_col, vec_col, decimals=round_to
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("id_a").alias("store_id"),
+        F.col("id_b").alias("batch_id"),
+        "cosine",
+    )
+
+
 def auto_cells(n_rows: int, n_probe: int = 2, lo: int = 8,
                hi: int = 65536) -> int:
     """Balanced IVF cell count k = n_probe·√n — the point where

@@ -8733,3 +8733,58 @@ def q_embedding_neardup_pairs_ivf_trained(spark, sf_dir):
     return similarity.embedding_neardup_pairs_ivf(
         e, threshold=0.3, centroids=cents, n_probe=2
     )
+
+
+@register(
+    "embedding_neardup_incremental_ivf",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    st AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    ba AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM st ORDER BY vec_id LIMIT 8),
+    acs AS (SELECT vec_id, c FROM (
+              SELECT st.vec_id, cent.c,
+                     ROW_NUMBER() OVER (PARTITION BY st.vec_id
+                         ORDER BY ROUND(
+                             list_cosine_similarity(st.v, cent.cv), 9)
+                             DESC, cent.c DESC) AS rn
+              FROM st CROSS JOIN cent) WHERE rn <= 2),
+    acb AS (SELECT vec_id, c FROM (
+              SELECT ba.vec_id, cent.c,
+                     ROW_NUMBER() OVER (PARTITION BY ba.vec_id
+                         ORDER BY ROUND(
+                             list_cosine_similarity(ba.v, cent.cv), 9)
+                             DESC, cent.c DESC) AS rn
+              FROM ba CROSS JOIN cent) WHERE rn <= 2),
+    cand AS (SELECT DISTINCT s.vec_id AS store_id, b.vec_id AS batch_id
+             FROM acs s JOIN acb b ON s.c = b.c),
+    j AS (SELECT store_id, batch_id,
+                 ROUND(list_cosine_similarity(es.v, eb.v), 4) AS cosine
+          FROM cand JOIN e es ON es.vec_id = cand.store_id
+                    JOIN e eb ON eb.vec_id = cand.batch_id)
+    SELECT store_id, batch_id, cosine FROM j WHERE cosine >= 0.3
+    """,
+    doc="Daily-ingest semantic near-dup, IVF tier (operators/"
+    "similarity.py embedding_neardup_incremental_ivf): the new batch "
+    "(vec_id%10=7) is cell-assigned with the STORE's centroids and "
+    "joined against the store's persisted cell table — one Arrow "
+    "assignment pass over the batch, O(batch*cell*probe^2) per day, "
+    "never a store re-scan. The IVF twin of "
+    "embedding_neardup_incremental (LSH bucket store), completing "
+    "the incremental lifecycle on the tier the round-4 study "
+    "promotes for clustered corpora; at scale the centroids come "
+    "from kmeans_train and the store cells are the persisted "
+    "artifact, retrained only on drift.",
+)
+def q_embedding_neardup_incremental_ivf(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    return similarity.embedding_neardup_incremental_ivf(
+        store, batch, threshold=0.3, k_cells=8, n_probe=2
+    )
