@@ -100,6 +100,10 @@ X10_HEAVY = [
     "knn_label_vote_ann",
     "dedup_semantic_clusters",
     "embedding_neardup_pairs_ivf",
+    # the IVF/LSH tier contrast on identical duplicate-heavy data:
+    # the pinned-planes LSH kNN entry is the x10 tier's heaviest row
+    # while the IVF twin handles the same fixture in seconds
+    "knn_label_vote_ivf",
 ]
 
 
