@@ -245,7 +245,7 @@ def embedding_neardup_pairs(
         joined.withColumn(
             "cosine", F.round(V.cosine(F.col("__va"), F.col("__vb")), 6)
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(_neardup_threshold(threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -1489,8 +1489,13 @@ def _lsh_bucket_rows(
     form that matches BOTH SQL engines on edge inputs: a NULL vector
     yields a NULL dot (falsy ⇒ bit 0) and a NaN dot compares GREATER
     than 0 in Spark SQL and DuckDB (NaN-greatest semantics, unlike
-    IEEE), so NaN ⇒ bit 1; numpy's ``acc >= 0`` would give bit 0 for
-    NaN and silently diverge the candidate set from the oracle.
+    IEEE; DuckDB's list_dot_product does propagate NaN), so NaN ⇒
+    bit 1; numpy's ``acc >= 0`` would give bit 0 for NaN and silently
+    diverge the candidate set from the oracle. A WRONG-LENGTH vector
+    gets bucket 0 like NULL — that matches Spark's zip_with (NULL
+    fill) but is an engine-side convention only: DuckDB's
+    list_dot_product ERRORS on mismatched lengths, so such rows must
+    be filtered before any oracle-replayed corpus.
     """
     import numpy as np
     import pandas as pd
@@ -1813,7 +1818,7 @@ def embedding_neardup_pairs_ann(
     scored = candidate_pair_cosine(
         df, cand, id_col, vec_col, decimals=round_to
     )
-    return scored.filter(F.col("cosine") >= threshold).select(
+    return scored.filter(_neardup_threshold(threshold)).select(
         "id_a", "id_b", "cosine"
     )
 
@@ -1969,6 +1974,45 @@ def ann_pair_recall_report(
     )
 
 
+def _neardup_threshold(threshold: float):
+    """The family's threshold predicate: NaN cosines are EXCLUDED.
+    Spark compares NaN greater than every value, so a bare
+    ``cosine >= t`` would keep a degenerate (zero-norm) pair that the
+    DuckDB oracle rejects (its list_cosine_similarity clamps
+    degenerate results to -1.0, never NaN) and that the numpy
+    cells-verify drops (IEEE ``>=``) — three engines, one rule."""
+    return (~F.isnan("cosine")) & (F.col("cosine") >= threshold)
+
+
+def _incremental_verify_pairs(
+    store: DataFrame,
+    batch: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Shared verify tail of the two incremental near-dup twins (LSH
+    and IVF candidate generators): pack only the store vectors that
+    candidates touch (left-semi), union the batch, exact cosine on
+    candidates, NaN-safe threshold, (store_id, batch_id, cosine)."""
+    needed_store = store.select(id_col, vec_col).join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    corpus = needed_store.unionByName(batch.select(id_col, vec_col))
+    scored = candidate_pair_cosine(
+        corpus, cand, id_col, vec_col, decimals=round_to
+    )
+    return scored.filter(_neardup_threshold(threshold)).select(
+        F.col("id_a").alias("store_id"),
+        F.col("id_b").alias("batch_id"),
+        "cosine",
+    )
+
+
 def embedding_neardup_incremental(
     store: DataFrame,
     batch: DataFrame,
@@ -2044,19 +2088,8 @@ def embedding_neardup_incremental(
     # Verify packs only the store vectors candidates actually touch
     # (left-semi on the candidate store ids) plus the batch — the
     # per-day verify cost tracks the candidate set, not the store.
-    needed_store = store.select(id_col, vec_col).join(
-        cand.select(F.col("id_a").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    corpus = needed_store.unionByName(batch.select(id_col, vec_col))
-    scored = candidate_pair_cosine(
-        corpus, cand, id_col, vec_col, decimals=round_to
-    )
-    return scored.filter(F.col("cosine") >= threshold).select(
-        F.col("id_a").alias("store_id"),
-        F.col("id_b").alias("batch_id"),
-        "cosine",
+    return _incremental_verify_pairs(
+        store, batch, cand, threshold, id_col, vec_col, round_to
     )
 
 
@@ -2091,6 +2124,17 @@ def embedding_neardup_incremental_ivf(
 
     Returns (store_id, batch_id, cosine ≥ threshold at ``round_to``).
     """
+    if store_cells is not None and centroids is None:
+        # A persisted cell table is only meaningful WITH the centroids
+        # that produced it: re-deriving defaults here would assign the
+        # batch against different centroids (and, as the store grows,
+        # a different k), silently matching unrelated cells — and the
+        # derivation itself is a full store scan this operator
+        # promises to avoid.
+        raise ValueError(
+            "embedding_neardup_incremental_ivf: store_cells requires "
+            "the centroids that built it"
+        )
     if centroids is None:
         centroids = _default_centroids(
             store, k_cells, n_probe, id_col, vec_col
@@ -2114,19 +2158,8 @@ def embedding_neardup_incremental_ivf(
         # the cogroup) — checkpoint or the store assignment re-runs
         .localCheckpoint()
     )
-    needed_store = store.select(id_col, vec_col).join(
-        cand.select(F.col("id_a").alias(id_col)).distinct(),
-        id_col,
-        "left_semi",
-    )
-    corpus = needed_store.unionByName(batch.select(id_col, vec_col))
-    scored = candidate_pair_cosine(
-        corpus, cand, id_col, vec_col, decimals=round_to
-    )
-    return scored.filter(F.col("cosine") >= threshold).select(
-        F.col("id_a").alias("store_id"),
-        F.col("id_b").alias("batch_id"),
-        "cosine",
+    return _incremental_verify_pairs(
+        store, batch, cand, threshold, id_col, vec_col, round_to
     )
 
 
@@ -2232,14 +2265,17 @@ def _ivf_cell_rows(
                 s9 = (
                     np.sign(cos) * np.floor(np.abs(cos) * 1e9 + 0.5)
                 )
-            # NaN cosines (zero-norm centroid OR degenerate vector)
-            # rank FIRST: DuckDB sorts NaN greater than every value,
-            # so the oracle's ORDER BY ... DESC puts NaN cells ahead;
-            # clamping to +2e9 replays that (an all-NaN row then ties
-            # everywhere and falls back to the cell-DESC tiebreak,
-            # which both engines share)
+            # Degenerate cosines (zero-norm centroid or vector) are
+            # NaN here but -1.0 in the oracle: DuckDB's
+            # list_cosine_similarity CLAMPS — it never returns NaN
+            # (verified on DuckDB 1.0: a zero-norm side yields -1.0).
+            # Replay that exactly: NaN maps to the -1.0 score, TYING
+            # with genuine antipodal cosines and falling to the
+            # shared cell-DESC tiebreak — not above them (+2e9) or
+            # below them (-2e9), either of which diverges when real
+            # -1.0 scores coexist with degenerate cells.
             np.nan_to_num(
-                s9, copy=False, nan=2e9, posinf=2e9, neginf=-2e9
+                s9, copy=False, nan=-1e9, posinf=1e9, neginf=-1e9
             )
             key = s9.astype(np.int64) * kk + np.arange(k, dtype=np.int64)
             if n_probe < k:
@@ -2604,6 +2640,6 @@ def embedding_neardup_pairs_ivf(
     scored = candidate_pair_cosine(
         df, cand, id_col, vec_col, decimals=round_to
     )
-    return scored.filter(F.col("cosine") >= threshold).select(
+    return scored.filter(_neardup_threshold(threshold)).select(
         "id_a", "id_b", "cosine"
     )

@@ -1309,6 +1309,31 @@ def _lsh_cand_ctes(n_planes: int = 8, n_tables: int = 8,
              WHERE a.vec_id {op} c.vec_id)"""
 
 
+def _ivf_assign_sql(src: str, cent: str, cent_cell: str,
+                    out: str, n_probe: int) -> str:
+    """ONE oracle CTE replaying _ivf_cell_rows' top-``n_probe`` cell
+    assignment for the ``src(vec_id, v)`` table against the
+    ``cent({cent_cell}, cv)`` centroid table: 9dp-rounded cosine
+    DESC, ties toward the larger cell — the single implementation of
+    the assignment rule every IVF oracle shares (cand generation,
+    trained lifecycle, incremental twin), so a tiebreak or rounding
+    fix cannot drift between them."""
+    return f"""{out} AS (SELECT vec_id, c FROM (
+      SELECT s.vec_id, t.{cent_cell} AS c,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(s.v, t.cv), 9)
+                          DESC, t.{cent_cell} DESC) AS rn
+      FROM {src} s CROSS JOIN {cent} t) WHERE rn <= {n_probe})"""
+
+
+def _first_k_cent_sql(src: str, k_cells: int) -> str:
+    """The deterministic centroid seed CTE (first ``k_cells`` vectors
+    of ``src`` by id) — the rule _default_centroids implements."""
+    return f"""cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM {src} ORDER BY vec_id LIMIT {k_cells})"""
+
+
 def _ivf_cand_ctes(k_cells: int = 8, n_probe: int = 2,
                    ordered: bool = True) -> str:
     """Shared oracle CTEs replaying ivf_candidates: first-k centroids
@@ -1316,16 +1341,8 @@ def _ivf_cand_ctes(k_cells: int = 8, n_probe: int = 2,
     toward the larger cell — _ivf_cell_rows' exact rule), DISTINCT
     same-cell id pairs. Expects an ``e(vec_id, v)`` CTE upstream."""
     op = "<" if ordered else "<>"
-    return f"""cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS c, v AS cv
-             FROM e ORDER BY vec_id LIMIT {k_cells}),
-    cells AS (
-      SELECT vec_id, c,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY ROUND(list_cosine_similarity(v, cv), 9) DESC,
-                          c DESC) AS rn
-      FROM e CROSS JOIN cent),
-    assign AS (SELECT vec_id, c FROM cells WHERE rn <= {n_probe}),
+    return f"""{_first_k_cent_sql("e", k_cells)},
+    {_ivf_assign_sql("e", "cent", "c", "assign", n_probe)},
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM assign a JOIN assign b
              ON a.c = b.c AND a.vec_id {op} b.vec_id)"""
@@ -8687,14 +8704,8 @@ def q_hard_negative_mining_ivf(spark, sf_dir):
     )
 
 
-_IVF_TRAINED_NEARDUP_TAIL = """
-cells AS (
-  SELECT e.vec_id, c.cell AS c,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 9) DESC,
-                      c.cell DESC) AS rn
-  FROM e CROSS JOIN c3 c),
-assign AS (SELECT vec_id, c FROM cells WHERE rn <= 2),
+_IVF_TRAINED_NEARDUP_TAIL = f"""
+{_ivf_assign_sql("e", "c3", "cell", "assign", 2)},
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM assign a JOIN assign b
          ON a.c = b.c AND a.vec_id < b.vec_id),
@@ -8737,28 +8748,14 @@ def q_embedding_neardup_pairs_ivf_trained(spark, sf_dir):
 
 @register(
     "embedding_neardup_incremental_ivf",
-    """
+    f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     st AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
     ba AS (SELECT * FROM e WHERE vec_id % 10 = 7),
-    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS c, v AS cv
-             FROM st ORDER BY vec_id LIMIT 8),
-    acs AS (SELECT vec_id, c FROM (
-              SELECT st.vec_id, cent.c,
-                     ROW_NUMBER() OVER (PARTITION BY st.vec_id
-                         ORDER BY ROUND(
-                             list_cosine_similarity(st.v, cent.cv), 9)
-                             DESC, cent.c DESC) AS rn
-              FROM st CROSS JOIN cent) WHERE rn <= 2),
-    acb AS (SELECT vec_id, c FROM (
-              SELECT ba.vec_id, cent.c,
-                     ROW_NUMBER() OVER (PARTITION BY ba.vec_id
-                         ORDER BY ROUND(
-                             list_cosine_similarity(ba.v, cent.cv), 9)
-                             DESC, cent.c DESC) AS rn
-              FROM ba CROSS JOIN cent) WHERE rn <= 2),
+    {_first_k_cent_sql("st", 8)},
+    {_ivf_assign_sql("st", "cent", "c", "acs", 2)},
+    {_ivf_assign_sql("ba", "cent", "c", "acb", 2)},
     cand AS (SELECT DISTINCT s.vec_id AS store_id, b.vec_id AS batch_id
              FROM acs s JOIN acb b ON s.c = b.c),
     j AS (SELECT store_id, batch_id,

@@ -246,7 +246,10 @@ def compact_manifest_table(
        runs — same visibility caveat as VACUUM).
 
     Returns {"before_files", "after_files", "rows_compacted",
-    "skipped"} (skipped=True when fewer than two small files exist).
+    "skipped"} — skipped=True when compaction cannot help: fewer than
+    two small files exist, the rewrite could not reduce the file
+    count (e.g. two 90k-row files under a 100k target), or a
+    concurrent overwrite retired the source files mid-run.
     """
     import fcntl
     import glob

@@ -269,16 +269,19 @@ def test_ivf_hard_negatives_contract(spark, sf_dir):
 
 def test_lsh_bucket_nan_and_null_edge_semantics(spark):
     """Edge-input parity with the SQL twins: a NaN dot compares
-    GREATER than 0 in Spark SQL and DuckDB (NaN-greatest), so a
-    NaN-containing vector takes the ALL-ONES bucket; a NULL (or
-    wrong-length) vector yields a NULL dot — falsy ⇒ bucket 0.
-    numpy's naive `acc >= 0` would give bucket 0 for BOTH and
+    GREATER than 0 in Spark SQL and DuckDB (NaN-greatest; DuckDB's
+    list_dot_product propagates NaN), so a NaN-containing vector
+    takes the ALL-ONES bucket; a NULL vector yields a NULL dot —
+    falsy ⇒ bucket 0. A wrong-length vector also gets bucket 0
+    (matches Spark's zip_with NULL-fill; DuckDB instead ERRORS on
+    mismatched lengths, so oracle-replayed corpora must pre-filter
+    those). numpy's naive `acc >= 0` would give bucket 0 for NaN and
     silently diverge the candidate set from the oracle replay."""
     rows = [
         (1, [1.0] * 8),          # normal
         (2, [float("nan")] * 8),  # NaN components -> NaN dots
         (3, None),                # NULL vector
-        (4, [1.0, 2.0]),          # wrong length == NULL semantics
+        (4, [1.0, 2.0]),          # wrong length: engine-side bucket 0
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     out = {
