@@ -1783,6 +1783,424 @@ def _round_away_col(c, decimals: int):
     return F.signum(c) * F.floor(F.abs(c) * F.lit(p) + F.lit(0.5)) / F.lit(p)
 
 
+def _l2_rows(col, dim_hint: int | None = None):
+    """Vector column → L2-normalized float64 matrix, mirroring
+    ``_pack_vec_blocks`` exactly (NO zero-norm guard: a zero vector
+    normalizes to NaN rows, so its cosines are NaN — which Spark's
+    window ordering ranks GREATEST and ``_neardup_threshold``
+    excludes, the same fates the pair-gather path gives them)."""
+    import numpy as np
+
+    mat = np.array(list(col), dtype=np.float64)
+    if mat.ndim != 2:  # ragged / empty edge: coerce via object path
+        n = len(col)
+        d = dim_hint or (len(col.iloc[0]) if n else 0)
+        out = np.full((n, d), np.nan, dtype=np.float64)
+        for i, v in enumerate(col):
+            if v is not None and len(v) == d:
+                out[i] = v
+        mat = out
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat
+
+
+def _np_topk_emit(
+    qids, qlab, qmat, nids, nlab, nmat, k, p10, cross_label_only,
+    chunk_rows,
+):
+    """Chunked directed top-k of one group: rounded GEMM sims, self
+    masked, (optionally) same-label masked, per-query top-k under the
+    (cosine DESC, id ASC) total order — the grid kernel's vectorized
+    lexsort, reused per bucket/cell. NaN sims rank GREATEST (Spark /
+    DuckDB NaN-greatest ordering — numpy would sort them last, which
+    would silently diverge from the pair-gather twin on degenerate
+    vectors). Returns column arrays for the caller to frame."""
+    import numpy as np
+
+    M = len(nids)
+    kk = min(k, M)
+    chunk = max(16, min(chunk_rows, 16_000_000 // max(M, 1)))
+    cols = {"qid": [], "qlabel": [], "nid": [], "nlabel": [], "c": []}
+    for lo in range(0, len(qids), chunk):
+        hi = min(lo + chunk, len(qids))
+        sims = qmat[lo:hi] @ nmat.T
+        with np.errstate(invalid="ignore"):
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p10 + 0.5) / p10
+        keyk = np.where(np.isnan(sims), np.inf, sims)
+        keyk[qids[lo:hi, None] == nids[None, :]] = -np.inf
+        if cross_label_only:
+            keyk[qlab[lo:hi, None] == nlab[None, :]] = -np.inf
+        order = np.lexsort(
+            (np.broadcast_to(nids, keyk.shape), -keyk), axis=-1
+        )[:, :kk]
+        topkey = np.take_along_axis(keyk, order, axis=1)
+        valid = (topkey != -np.inf).ravel()
+        cols["qid"].append(np.repeat(qids[lo:hi], kk)[valid])
+        cols["qlabel"].append(
+            np.repeat(qlab[lo:hi], kk)[valid].astype(np.int32)
+        )
+        cols["nid"].append(nids[order.ravel()][valid])
+        cols["nlabel"].append(
+            nlab[order.ravel()][valid].astype(np.int32)
+        )
+        cols["c"].append(
+            np.take_along_axis(sims, order, axis=1).ravel()[valid]
+        )
+    return cols
+
+
+_SCORED_FIELDS = [
+    ("qid", "long"),
+    ("qlabel", "int"),
+    ("nid", "long"),
+    ("nlabel", "int"),
+    ("c", "double"),
+]
+
+
+def _scored_schema():
+    from pyspark.sql import types as T
+
+    m = {"long": T.LongType(), "int": T.IntegerType(),
+         "double": T.DoubleType()}
+    return T.StructType(
+        [T.StructField(n, m[t]) for n, t in _SCORED_FIELDS]
+    )
+
+
+def _empty_scored_pdf():
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "qid": np.array([], dtype=np.int64),
+            "qlabel": np.array([], dtype=np.int32),
+            "nid": np.array([], dtype=np.int64),
+            "nlabel": np.array([], dtype=np.int32),
+            "c": np.array([], dtype=np.float64),
+        }
+    )
+
+
+def _dedup_scored(scored: DataFrame) -> DataFrame:
+    """Collapse cross-group re-emissions of the same directed
+    candidate (a pair sharing >1 probed bucket/cell is scored once
+    per shared group). max-agg rather than distinct, for the same
+    reason as the IVF pairs path: two emissions compute the dot in
+    different GEMM shapes, and a value landing exactly on a rounding
+    boundary could round differently per group — distinct would then
+    keep both rows."""
+    return scored.groupBy("qid", "qlabel", "nid", "nlabel").agg(
+        F.max("c").alias("c")
+    )
+
+
+def _grouped_topk_scored(
+    queries: DataFrame,
+    members: DataFrame,
+    group_cols: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    decimals: int = 6,
+    cross_label_only: bool = False,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Per-group directed top-k via dense GEMM — the bucket-native
+    verify for candidate generators whose candidates share a group
+    key (LSH (table, bucket); IVF cell). Vectors shuffle once to
+    their groups as O(dim) rows and each group runs one normalized
+    matmul + vectorized top-k; candidate PAIRS are never
+    materialized. Correct because top-k under a total order
+    distributes over any cover of the candidate set: a global top-k
+    neighbor of q is, in every group it shares with q, ranked at
+    least as high — so per-group top-k ⊇ global top-k (the grid
+    kernel's argument, applied per bucket). Replaces the generic
+    pair-gather (``candidate_pair_cosine``) whose ~0.6M pairs/s
+    gather rate was the x10 wall for dup-heavy corpora where
+    candidate density is near-quadratic per bucket.
+
+    Returns deduped (qid, qlabel, nid, nlabel, c) rows — the exact
+    shape the vote / hard-negative tails rank globally.
+    """
+    import pandas as pd
+
+    p10 = 10.0 ** decimals
+    schema = _scored_schema()
+
+    def _cell(key, qpdf, mpdf):
+        import numpy as np
+
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return _empty_scored_pdf()
+        qids = qpdf[id_col].to_numpy(dtype=np.int64)
+        qlab = qpdf[label_col].to_numpy(dtype=np.int64)
+        qmat = _l2_rows(qpdf[vec_col])
+        nids = mpdf[id_col].to_numpy(dtype=np.int64)
+        nlab = mpdf[label_col].to_numpy(dtype=np.int64)
+        nmat = _l2_rows(mpdf[vec_col])
+        cols = _np_topk_emit(
+            qids, qlab, qmat, nids, nlab, nmat, k, p10,
+            cross_label_only, chunk_rows,
+        )
+        if not cols["qid"]:
+            return _empty_scored_pdf()
+        return pd.DataFrame(
+            {name: np.concatenate(arrs) for name, arrs in cols.items()}
+        )
+
+    scored = (
+        queries.groupBy(*group_cols)
+        .cogroup(members.groupBy(*group_cols))
+        .applyInPandas(_cell, schema=schema)
+    )
+    return _dedup_scored(scored)
+
+
+def _cell_topk_scored(
+    assigned: DataFrame,
+    group_cols: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    decimals: int = 6,
+    cross_label_only: bool = False,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """``_grouped_topk_scored`` for the self case (queries ≡ members,
+    e.g. IVF cells where every row is both anchor and neighbor): one
+    grouped pass, each group GEMMs against itself — no cogroup, no
+    second shuffle of the same rows."""
+    import pandas as pd
+
+    p10 = 10.0 ** decimals
+    schema = _scored_schema()
+
+    def _cell(key, pdf):
+        import numpy as np
+
+        if len(pdf) < 2:
+            return _empty_scored_pdf()
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        lab = pdf[label_col].to_numpy(dtype=np.int64)
+        mat = _l2_rows(pdf[vec_col])
+        cols = _np_topk_emit(
+            ids, lab, mat, ids, lab, mat, k, p10,
+            cross_label_only, chunk_rows,
+        )
+        if not cols["qid"]:
+            return _empty_scored_pdf()
+        return pd.DataFrame(
+            {name: np.concatenate(arrs) for name, arrs in cols.items()}
+        )
+
+    scored = assigned.groupBy(*group_cols).applyInPandas(
+        _cell, schema=schema
+    )
+    return _dedup_scored(scored)
+
+
+def _grouped_threshold_pairs(
+    queries: DataFrame,
+    members: DataFrame,
+    group_cols: list,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int = 4,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Per-group above-threshold pairs via dense GEMM — the
+    bucket-native verify for the unordered-pair consumers (near-dup).
+    Emits each surviving pair as (id_a < id_b, cosine); a pair found
+    in several shared groups collapses by max-agg (the IVF cells
+    path's rounding-boundary rationale). Every unordered candidate
+    pair (a, b) with a < b is found at least once: a's probe rows
+    visit b's exact bucket by the candidate definition, so the
+    (a-as-query, b-as-member) meeting always happens. NaN cosines
+    are excluded by the IEEE ``>=`` — the ``_neardup_threshold``
+    contract."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    p10 = 10.0 ** round_to
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _empty():
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+
+    def _cell(key, qpdf, mpdf):
+        import numpy as np
+
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return _empty()
+        qids = qpdf[id_col].to_numpy(dtype=np.int64)
+        qmat = _l2_rows(qpdf[vec_col])
+        nids = mpdf[id_col].to_numpy(dtype=np.int64)
+        nmat = _l2_rows(mpdf[vec_col])
+        M = len(nids)
+        chunk = max(16, min(chunk_rows, 16_000_000 // max(M, 1)))
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(qids), chunk):
+            hi = min(lo + chunk, len(qids))
+            sims = qmat[lo:hi] @ nmat.T
+            with np.errstate(invalid="ignore"):
+                sims = (
+                    np.sign(sims)
+                    * np.floor(np.abs(sims) * p10 + 0.5) / p10
+                )
+            with np.errstate(invalid="ignore"):
+                mask = (sims >= threshold) & (
+                    qids[lo:hi, None] < nids[None, :]
+                )
+            ii, jj = np.nonzero(mask)
+            out_a.append(qids[ii + lo])
+            out_b.append(nids[jj])
+            out_c.append(sims[ii, jj])
+        if not out_a:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    pairs = (
+        queries.groupBy(*group_cols)
+        .cogroup(members.groupBy(*group_cols))
+        .applyInPandas(_cell, schema=schema)
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("cosine").alias("cosine")
+    )
+
+
+def _lsh_assigned_vec_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    multiprobe: bool,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None,
+    seed: int = 42,
+):
+    """(queries, members) legs for the bucket-GEMM verify: members
+    are each vector's EXACT (table, bucket) rows with the vector
+    (and label) carried along; queries are the multi-probe expansion
+    of the same rows (bucket XOR each single bit, plus the exact
+    probe) — the one-side-explodes Hamming≤1 scheme of
+    ``lsh_candidates``, here materialized as O(dim) vector rows so
+    each bucket group can run one dense GEMM instead of gathering
+    candidate pairs. The joined base is localCheckpointed: both legs
+    consume it, so the corpus and the bucket pass run once."""
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    cb = _lsh_bucket_rows(
+        df, dim, n_planes, n_tables, id_col, vec_col, seed
+    )
+    base = cb.join(df.select(*cols), id_col).localCheckpoint()
+    members = base.select(*cols, "t", "b")
+    # The query leg re-ALIASES every column: both legs descend from
+    # the same checkpointed base, and a cogroup whose two children
+    # share attribute ids miscompiles under column pruning (observed:
+    # a downstream count() pruned the member child down to the group
+    # key, and the kernel's member pdf arrived without the id/vector
+    # columns). Fresh exprIds keep the children independent.
+    if multiprobe:
+        probes = [F.col("b")] + [
+            F.col("b").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+        queries = base.select(
+            *[F.col(c).alias(c) for c in cols],
+            F.col("t").alias("t"),
+            F.explode(F.array(*probes)).alias("b"),
+        )
+    else:
+        queries = base.select(
+            *[F.col(c).alias(c) for c in cols],
+            F.col("t").alias("t"),
+            F.col("b").alias("b"),
+        )
+    return queries, members
+
+
+def _vote_tail(
+    scored: DataFrame, k: int, id_col: str, label_col: str
+) -> DataFrame:
+    """Global top-k merge + majority vote + smaller-label tie-break
+    over (qid, qlabel, nid, nlabel, c) candidate rows — the shared
+    tail of every kNN label-audit tier (grid / LSH / IVF, pair-gather
+    or bucket-GEMM verify)."""
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= k
+    )
+    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("nlabel").asc()
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nlabel").alias("predicted_label"),
+            F.col("votes").cast("int").alias("n_agree"),
+            (F.col("nlabel") != F.col("qlabel")).alias("mislabeled"),
+        )
+    )
+
+
+def _hardneg_tail(
+    scored: DataFrame, k: int, id_col: str, label_col: str
+) -> DataFrame:
+    """Global top-k merge of cross-label candidates → hard-negative
+    rows (rank at 6 dp, emitted cosine re-rounded to 4 dp half-away)
+    — the shared tail of every hard-negative tier."""
+    w = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("qlabel").alias(label_col),
+            F.col("nid").alias("neg_id"),
+            F.col("nlabel").alias("neg_label"),
+            _round_away_col(F.col("c"), 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs_ann(
     df: DataFrame,
     threshold: float,
@@ -1793,6 +2211,7 @@ def embedding_neardup_pairs_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    verify: str = "buckets",
 ) -> DataFrame:
     """Semantic near-dup pairs, ANN tier: LSH candidate pairs → exact
     cosine verify ≥ threshold (threshold applies to the rounded value,
@@ -1805,7 +2224,30 @@ def embedding_neardup_pairs_ann(
     the hyperplanes are deterministic constants, the whole composition
     (candidates AND verify) replays in oracle SQL — the output is
     exact-checkable, only its candidate set is approximate.
+
+    ``verify='buckets'`` (default) is the bucket-GEMM verify:
+    candidate pairs are never materialized — vectors shuffle once to
+    their (table, bucket) groups (queries probe-expanded, the
+    Hamming≤1 one-side scheme) and each group runs one dense
+    normalized matmul, emitting only above-threshold pairs. On
+    duplicate-heavy corpora, where per-bucket candidate density is
+    near-quadratic, this replaces the generic pair-gather whose
+    ~0.6M pairs/s rate was the x10 wall (round-4 study).
+    ``verify='pairs'`` routes the distinct candidate pair set through
+    ``candidate_pair_cosine`` — identical output, kept for candidate
+    sets consumers want to inspect and for cross-tier comparability.
     """
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
+    if verify == "buckets":
+        queries, members = _lsh_assigned_vec_rows(
+            df, dim, n_planes, n_tables, multiprobe,
+            id_col, vec_col, None,
+        )
+        return _grouped_threshold_pairs(
+            queries, members, ["t", "b"], threshold,
+            id_col, vec_col, round_to,
+        )
     # distinct BEFORE verify: the candidate multiset carries a
     # tables x probes duplication factor (measured 167M rows at 60k
     # vectors), and every duplicate row pays the Arrow round-trip in
@@ -1833,13 +2275,34 @@ def knn_label_vote_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    verify: str = "buckets",
 ) -> DataFrame:
     """kNN label-consistency audit, ANN tier: neighbors restricted to
     LSH candidates (Hamming≤1 in any table), exact cosine re-rank to
     top-k, then the same majority vote / tie-break contract as the
     exact twin ``knn_label_vote_grid``. Rows whose buckets hold no
     other vector emit no vote (both engines replay identically).
+
+    ``verify='buckets'`` (default): per-(table, bucket) dense GEMM +
+    vectorized local top-k, globally merged — top-k distributes over
+    the bucket cover, so per-bucket top-k ⊇ global top-k (the grid
+    kernel's argument). Candidate pairs are never materialized; on
+    dup-heavy corpora this replaces the pair-gather whose candidate
+    volume was near-quadratic per bucket (the 201 s x10 row).
+    ``verify='pairs'`` is the pair-gather twin — identical output.
     """
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
+    if verify == "buckets":
+        queries, members = _lsh_assigned_vec_rows(
+            df, dim, n_planes, n_tables, multiprobe,
+            id_col, vec_col, label_col,
+        )
+        scored = _grouped_topk_scored(
+            queries, members, ["t", "b"], k,
+            id_col, vec_col, label_col, decimals=6,
+        )
+        return _vote_tail(scored, k, id_col, label_col)
     cand = lsh_candidates(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
@@ -1853,29 +2316,7 @@ def knn_label_vote_ann(
         F.col("label_b").alias("nlabel"),
         F.col("cosine").alias("c"),
     )
-    w_rank = Window.partitionBy("qid").orderBy(
-        F.col("c").desc(), F.col("nid").asc()
-    )
-    topk = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
-        F.col("rk") <= k
-    )
-    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    w_vote = Window.partitionBy("qid").orderBy(
-        F.col("votes").desc(), F.col("nlabel").asc()
-    )
-    return (
-        votes.withColumn("pr", F.row_number().over(w_vote))
-        .filter(F.col("pr") == 1)
-        .select(
-            F.col("qid").alias(id_col),
-            F.col("qlabel").alias(label_col),
-            F.col("nlabel").alias("predicted_label"),
-            F.col("votes").cast("int").alias("n_agree"),
-            (F.col("nlabel") != F.col("qlabel")).alias("mislabeled"),
-        )
-    )
+    return _vote_tail(scored, k, id_col, label_col)
 
 
 def hard_negative_mining_ann(
@@ -1888,13 +2329,33 @@ def hard_negative_mining_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    verify: str = "buckets",
 ) -> DataFrame:
     """Contrastive hard negatives, ANN tier: LSH candidates with the
     same-label pairs masked, exact cosine re-rank to the top-k
     different-label neighbors per anchor. Ranking at 6 dp (cosine
     DESC, id ASC); emitted cosine re-rounds to 4 dp half-away — the
     exact twin ``hard_negative_mining_grid``'s contract.
+
+    ``verify='buckets'`` (default): per-(table, bucket) dense GEMM
+    with the same-label mask applied inside the kernel (the global
+    ranking is over cross-label candidates, so the per-group top-k ⊇
+    global top-k argument holds on the masked order).
+    ``verify='pairs'`` is the pair-gather twin — identical output.
     """
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
+    if verify == "buckets":
+        queries, members = _lsh_assigned_vec_rows(
+            df, dim, n_planes, n_tables, multiprobe,
+            id_col, vec_col, label_col,
+        )
+        scored = _grouped_topk_scored(
+            queries, members, ["t", "b"], k,
+            id_col, vec_col, label_col, decimals=6,
+            cross_label_only=True,
+        )
+        return _hardneg_tail(scored, k, id_col, label_col)
     cand = lsh_candidates(
         df, dim, n_planes, n_tables, multiprobe, id_col, vec_col,
         ordered=False,
@@ -1912,21 +2373,7 @@ def hard_negative_mining_ann(
             F.col("cosine").alias("c"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("c").desc(), F.col("nid").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(id_col),
-            F.col("qlabel").alias(label_col),
-            F.col("nid").alias("neg_id"),
-            F.col("nlabel").alias("neg_label"),
-            _round_away_col(F.col("c"), 4).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _hardneg_tail(scored, k, id_col, label_col)
 
 
 def ann_pair_recall_report(
@@ -2307,13 +2754,16 @@ def _ivf_cell_vec_rows(
     id_col: str,
     vec_col: str,
     fold: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """(cell, id, vec) rows — ``_ivf_cell_rows`` assignment with the
-    vector carried along, so the within-cell verify needs NO join back
-    onto the corpus: one mapInPandas pass emits n·probe rows of
-    O(dim) bytes, the only shuffle the cells-verify path pays."""
+    """(cell, id, vec[, extras]) rows — ``_ivf_cell_rows`` assignment
+    with the vector (and any ``extra_cols``, e.g. the label for the
+    directed kNN consumers) carried along, so the within-cell verify
+    needs NO join back onto the corpus: one mapInPandas pass emits
+    n·probe rows of O(dim) bytes, the only shuffle the cells-verify
+    path pays."""
     cells = _ivf_cell_rows(df, centroids, n_probe, id_col, vec_col, fold)
-    return cells.join(df.select(id_col, vec_col), id_col)
+    return cells.join(df.select(id_col, vec_col, *extra_cols), id_col)
 
 
 def _cell_dense_pairs(
@@ -2468,6 +2918,7 @@ def knn_label_vote_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    verify: str = "cells",
 ) -> DataFrame:
     """kNN label-consistency audit, IVF tier: neighbors restricted to
     same-cell candidates (directed — every vector is an anchor), exact
@@ -2478,7 +2929,29 @@ def knn_label_vote_ivf(
     the LSH twin ``knn_label_vote_ann`` remains for corpora without
     centroid structure. Anchors alone in their cells emit no vote —
     both engines replay identically.
+
+    ``verify='cells'`` (default) is the directed analogue of the
+    pairs path's cells verify: vectors shuffle once to their probed
+    cells (with the label carried — no join back), each cell GEMMs
+    against itself and emits its local top-k per anchor; the global
+    merge is the shared vote tail. Per-cell top-k ⊇ global top-k
+    (top-k distributes over the cell cover). ``verify='pairs'``
+    routes same-cell candidate pairs through the generic pair-gather
+    — identical output, kept for cross-tier comparability.
     """
+    if verify == "cells":
+        centroids = _default_centroids(
+            df, k_cells, n_probe, id_col, vec_col
+        )
+        assigned = _ivf_cell_vec_rows(
+            df, centroids, n_probe, id_col, vec_col, "serial",
+            extra_cols=(label_col,),
+        )
+        scored = _cell_topk_scored(
+            assigned, ["cell"], k, id_col, vec_col, label_col,
+            decimals=6,
+        )
+        return _vote_tail(scored, k, id_col, label_col)
     cand = ivf_candidates(
         df, None, k_cells, n_probe, id_col, vec_col, ordered=False
     )
@@ -2491,29 +2964,7 @@ def knn_label_vote_ivf(
         F.col("label_b").alias("nlabel"),
         F.col("cosine").alias("c"),
     )
-    w_rank = Window.partitionBy("qid").orderBy(
-        F.col("c").desc(), F.col("nid").asc()
-    )
-    topk = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
-        F.col("rk") <= k
-    )
-    votes = topk.groupBy("qid", "qlabel", "nlabel").agg(
-        F.count(F.lit(1)).alias("votes")
-    )
-    w_vote = Window.partitionBy("qid").orderBy(
-        F.col("votes").desc(), F.col("nlabel").asc()
-    )
-    return (
-        votes.withColumn("pr", F.row_number().over(w_vote))
-        .filter(F.col("pr") == 1)
-        .select(
-            F.col("qid").alias(id_col),
-            F.col("qlabel").alias(label_col),
-            F.col("nlabel").alias("predicted_label"),
-            F.col("votes").cast("int").alias("n_agree"),
-            (F.col("nlabel") != F.col("qlabel")).alias("mislabeled"),
-        )
-    )
+    return _vote_tail(scored, k, id_col, label_col)
 
 
 def hard_negative_mining_ivf(
@@ -2524,6 +2975,7 @@ def hard_negative_mining_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    verify: str = "cells",
 ) -> DataFrame:
     """Contrastive hard negatives, IVF tier: directed same-cell
     candidates with same-label pairs masked, exact cosine re-rank to
@@ -2532,7 +2984,25 @@ def hard_negative_mining_ivf(
     — the exact twin ``hard_negative_mining_grid``'s contract. The
     hard-negative use case needs the MOST similar cross-label rows;
     on clustered corpora those share cells by construction.
+
+    ``verify='cells'`` (default): within-cell dense GEMM with the
+    same-label mask applied inside the kernel, local top-k per
+    anchor, global merge in the shared tail. ``verify='pairs'`` is
+    the pair-gather twin — identical output.
     """
+    if verify == "cells":
+        centroids = _default_centroids(
+            df, k_cells, n_probe, id_col, vec_col
+        )
+        assigned = _ivf_cell_vec_rows(
+            df, centroids, n_probe, id_col, vec_col, "serial",
+            extra_cols=(label_col,),
+        )
+        scored = _cell_topk_scored(
+            assigned, ["cell"], k, id_col, vec_col, label_col,
+            decimals=6, cross_label_only=True,
+        )
+        return _hardneg_tail(scored, k, id_col, label_col)
     cand = ivf_candidates(
         df, None, k_cells, n_probe, id_col, vec_col, ordered=False
     )
@@ -2549,21 +3019,7 @@ def hard_negative_mining_ivf(
             F.col("cosine").alias("c"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("c").desc(), F.col("nid").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(id_col),
-            F.col("qlabel").alias(label_col),
-            F.col("nid").alias("neg_id"),
-            F.col("nlabel").alias("neg_label"),
-            _round_away_col(F.col("c"), 4).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _hardneg_tail(scored, k, id_col, label_col)
 
 
 def embedding_neardup_pairs_ivf(

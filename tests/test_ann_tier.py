@@ -326,3 +326,93 @@ def test_auto_blocks_caps_chunk_rows(spark):
     )
     b = similarity._auto_blocks(big, "embedding", max_chunk_rows=4000)
     assert b >= math.ceil(90_000 / 4000), b
+
+
+def test_lsh_bucket_verify_paths_identical(spark, sf_dir):
+    """verify='buckets' (per-(table,bucket) dense GEMM, candidates
+    never materialized) and verify='pairs' (distinct LSH candidates
+    through the generic pair-gather) are two physical plans for ONE
+    logical operator — identical pair sets and cosines for the
+    near-dup form, identical rows for both directed consumers."""
+    e = _emb(spark, sf_dir)
+    b = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_ann(
+            e, 0.3, 64, 8, 8, verify="buckets"
+        ).collect()
+    }
+    p = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs_ann(
+            e, 0.3, 64, 8, 8, verify="pairs"
+        ).collect()
+    }
+    assert b == p
+    assert len(b) > 0
+
+    kb = sorted(
+        map(tuple, similarity.knn_label_vote_ann(
+            e, 5, 64, 8, 8, verify="buckets"
+        ).collect())
+    )
+    kp = sorted(
+        map(tuple, similarity.knn_label_vote_ann(
+            e, 5, 64, 8, 8, verify="pairs"
+        ).collect())
+    )
+    assert kb == kp
+
+    hb = sorted(
+        map(tuple, similarity.hard_negative_mining_ann(
+            e, 3, 64, 8, 8, verify="buckets"
+        ).collect())
+    )
+    hp = sorted(
+        map(tuple, similarity.hard_negative_mining_ann(
+            e, 3, 64, 8, 8, verify="pairs"
+        ).collect())
+    )
+    assert hb == hp
+
+
+def test_ivf_directed_verify_paths_identical(spark, sf_dir):
+    """The directed IVF consumers' cells verify (within-cell GEMM +
+    local top-k, the round-5 analogue of the pairs path's
+    verify='cells') matches the pair-gather twin row-for-row."""
+    e = _emb(spark, sf_dir)
+    kb = sorted(
+        map(tuple, similarity.knn_label_vote_ivf(
+            e, k=5, k_cells=8, n_probe=2, verify="cells"
+        ).collect())
+    )
+    kp = sorted(
+        map(tuple, similarity.knn_label_vote_ivf(
+            e, k=5, k_cells=8, n_probe=2, verify="pairs"
+        ).collect())
+    )
+    assert kb == kp
+    hb = sorted(
+        map(tuple, similarity.hard_negative_mining_ivf(
+            e, k=3, k_cells=8, n_probe=2, verify="cells"
+        ).collect())
+    )
+    hp = sorted(
+        map(tuple, similarity.hard_negative_mining_ivf(
+            e, k=3, k_cells=8, n_probe=2, verify="pairs"
+        ).collect())
+    )
+    assert hb == hp
+
+
+def test_bucket_verify_survives_column_pruning(spark, sf_dir):
+    """Regression: the two cogroup legs descend from one checkpointed
+    base; without fresh exprIds on the query leg, a downstream
+    count() pruned the member child to the group key and the kernel
+    raised KeyError on the id column. count() and a pruned select
+    must both execute."""
+    e = _emb(spark, sf_dir)
+    out = similarity.embedding_neardup_pairs_ann(
+        e, 0.3, 64, 8, 8, verify="buckets"
+    )
+    assert out.count() > 0
+    assert out.select("id_a", "id_b").count() == out.count()
