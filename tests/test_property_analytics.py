@@ -3,6 +3,7 @@ on arbitrary small inputs (hypothesis)."""
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from itertools import combinations
 
 from hypothesis import HealthCheck, given, settings
@@ -11,6 +12,19 @@ from hypothesis import strategies as st
 from pyspark_scd_spark.operators.graph import triangle_count
 from pyspark_scd_spark.operators.quality import category_drift_chisq
 from pyspark_scd_spark.operators.relational import basket_lift_pairs
+
+
+def _round_half_up(x: float, ndigits: int) -> float:
+    """Mirror Spark's F.round for non-negative doubles.
+
+    Spark rounds BigDecimal.valueOf(double) — i.e. the shortest decimal
+    repr of the double — HALF_UP (away from zero). Python's built-in
+    round() is half-even (banker's) and diverges on exact .xxx5
+    boundaries (round(0.15625, 4) == 0.1562, Spark/DuckDB give 0.1563),
+    so brute-force expected values must use this, not round().
+    """
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 _SETTINGS = dict(
     max_examples=8,
@@ -67,9 +81,9 @@ def test_basket_lift_matches_bruteforce(spark, baskets):
     expected = {
         p: (
             n,
-            round(n / n_baskets, 6),
-            round(n / item_n[p[0]], 6),
-            round((n / item_n[p[0]]) * (n_baskets / item_n[p[1]]), 6),
+            _round_half_up(n / n_baskets, 6),
+            _round_half_up(n / item_n[p[0]], 6),
+            _round_half_up((n / item_n[p[0]]) * (n_baskets / item_n[p[1]]), 6),
         )
         for p, n in pair_n.items()
         if n >= 2
@@ -110,7 +124,7 @@ def test_chisq_matches_bruteforce(spark, rows):
             e = ng * (margin[c] / total)
             o = cont.get((g, c), 0)
             chi += (o - e) ** 2 / e
-        expected[g] = (ng, round(chi, 4), len(cats) - 1)
+        expected[g] = (ng, _round_half_up(chi, 4), len(cats) - 1)
     df = spark.createDataFrame(list(rows), ["grp", "cat"])
     got = {
         r["grp"]: (r["n_rows"], r["chi_square"], r["dof"])
