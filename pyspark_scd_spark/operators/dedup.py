@@ -19,8 +19,11 @@ the document-frequency cap ``max_df``.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pyspark_scd_spark.functions import text as TXT
 
@@ -151,9 +154,45 @@ def ngram_jaccard_pairs(
     else:
         sh = _shingles(df, id_col, text_col, n, max_df).cache()
     if method == "count":
-        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-        a = sh.select(F.col("__id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("__id").alias("doc_b"), "shingle")
+        # Collapse identical shingle SETS before the quadratic
+        # co-occurrence join. A corpus with verbatim duplicates (the
+        # normal state of web-scale data, and exactly what the x10
+        # duplicate-heavy fixture models) multiplies every shingle's
+        # document frequency by the copy count c, so the inverted-index
+        # join grows ~c² — measured 31.7s at 50k docs (10 copies each)
+        # where the 5k-distinct corpus takes ~2s. Jaccard depends only
+        # on the shingle SET, so docs with byte-identical sets are
+        # interchangeable: run the join over one representative per
+        # set, then expand (cross-group pairs inherit the rep pair's
+        # jaccard; same-group pairs are jaccard 1.0 by definition).
+        # Output is bit-identical to the uncollapsed join — same
+        # integer (__i, __na, __nb) triples, same double division.
+        # Set-signature collisions (two different sets, one xxhash64)
+        # are the same ~n²/2⁶⁵ class as the shingle-hash collision
+        # documented above.
+        sig = sh.groupBy("__id").agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.col("shingle").cast("string"))
+                    ),
+                )
+            ).alias("__sig")
+        ).localCheckpoint()
+        groups = (
+            sig.groupBy("__sig")
+            .agg(F.min("__id").alias("__rep"))
+            .localCheckpoint()
+        )
+        members = sig.join(groups, "__sig").localCheckpoint()
+
+        rep_sh = sh.join(
+            groups.select(F.col("__rep").alias("__id")), "__id"
+        )
+        sizes = rep_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        a = rep_sh.select(F.col("__id").alias("doc_a"), "shingle")
+        b = rep_sh.select(F.col("__id").alias("doc_b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
@@ -166,7 +205,7 @@ def ngram_jaccard_pairs(
         nb = sizes.select(
             F.col("__id").alias("doc_b"), F.col("__n").alias("__nb")
         )
-        return (
+        rep_pairs = (
             inter.join(na, "doc_a")
             .join(nb, "doc_b")
             .withColumn(
@@ -178,6 +217,32 @@ def ngram_jaccard_pairs(
                 "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
             )
         )
+        # Expansion joins move output-sized data only (pairs, members).
+        ma = members.select(
+            F.col("__rep").alias("doc_a"), F.col("__id").alias("__xa")
+        )
+        mb = members.select(
+            F.col("__rep").alias("doc_b"), F.col("__id").alias("__xb")
+        )
+        cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
+            F.least("__xa", "__xb").alias("doc_a"),
+            F.greatest("__xa", "__xb").alias("doc_b"),
+            "jaccard",
+        )
+        if threshold > 1.0:
+            return cross
+        wa = members.select("__sig", F.col("__id").alias("__xa"))
+        wb = members.select("__sig", F.col("__id").alias("__xb"))
+        within = (
+            wa.join(wb, "__sig")
+            .filter(F.col("__xa") < F.col("__xb"))
+            .select(
+                F.col("__xa").alias("doc_a"),
+                F.col("__xb").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.union(within)
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ordered = sh.join(freq, "shingle").withColumn(
@@ -770,40 +835,44 @@ def connected_components(
 
     ``strategy``: the edge set of a deduplicated corpus is typically
     tiny relative to the corpus (pairs, not documents). 'auto' counts
-    edges once and, below ``local_edge_limit``, solves with a driver
-    union-find instead of 3-5 distributed rounds — the same
-    small-side-goes-local call Spark itself makes when it broadcasts
-    a join side. 'distributed' / 'local' force a path ('local' raises
-    if the edge count exceeds the limit rather than silently OOMing
-    the driver).
+    raw pairs once and, below ``local_edge_limit``, solves on the
+    driver with a vectorized numpy min-label kernel instead of 3-5
+    distributed rounds — the same small-side-goes-local call Spark
+    itself makes when it broadcasts a join side. The local path skips
+    the mirror+distinct shuffle entirely (its kernel relaxes both
+    edge directions itself), so its cost is one Arrow transfer plus
+    sub-second numpy work. 'distributed' / 'local' force a path
+    ('local' raises if the pair count exceeds the limit rather than
+    silently OOMing the driver).
 
     Returns one row per node appearing in ``pairs``:
     (``src_col``, ``component``), component = min node id reachable.
     """
-    # Materialize the pair generator ONCE before mirroring: the union
-    # references its input twice, and without this checkpoint the
-    # upstream similarity self-join runs twice (measured ~2x the whole
-    # query's cost at sf0.1). The mirrored+distinct edge set is then
-    # checkpointed too, since every propagation round re-reads it.
+    # Materialize the pair generator ONCE up front: both the local
+    # Arrow transfer and the distributed mirror reference it, and
+    # without this checkpoint the upstream similarity self-join runs
+    # twice (measured ~2x the whole query's cost at sf0.1).
     p = pairs.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).localCheckpoint()
-    edges = (
-        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
     if strategy not in ("auto", "distributed", "local"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     if strategy != "distributed":
-        n_edges = edges.count()  # free: localCheckpoint already ran
+        n_edges = p.count()  # free: localCheckpoint already ran
         if n_edges <= local_edge_limit:
-            return _cc_union_find_local(edges, src_col)
+            return _cc_union_find_local(p, src_col)
         if strategy == "local":
             raise ValueError(
                 f"{n_edges} edges exceeds local_edge_limit="
                 f"{local_edge_limit}; use strategy='distributed'"
             )
+    # The mirrored+distinct edge set is checkpointed too, since every
+    # propagation round re-reads it.
+    edges = (
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -861,30 +930,53 @@ def survivors(
 
 
 def _cc_union_find_local(edges: DataFrame, src_col: str) -> DataFrame:
-    """Driver union-find for small edge sets (path compression +
-    union by min root, so labels match the distributed path exactly:
-    every component is labeled by its minimum node id)."""
-    parent: dict = {}
+    """Driver closure for small edge sets, vectorized in numpy.
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    ``edges`` is the RAW pair set (unmirrored, possibly with
+    duplicates or self-loops) — the kernel relaxes both directions of
+    every pair itself, so the caller never pays a mirror+distinct
+    shuffle for the local path.
 
-    rows = edges.collect()
-    for r in rows:
-        ra, rb = find(r["a"]), find(r["b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    nodes = {r["a"] for r in rows}
-    out = [(n, find(n)) for n in sorted(nodes)]
-    return edges.sparkSession.createDataFrame(
-        out, schema=edges.select(F.col("a"), F.col("a")).schema
-    ).toDF(src_col, "component")
+    Labels match the distributed path exactly: every component is
+    labeled by its minimum node id. The old implementation collected
+    py4j Row objects into a Python-dict union-find and cost ~50 s at
+    2M edges (Row materialization + per-edge dict churn); this one
+    moves the edge list over Arrow and runs min-label propagation
+    with pointer jumping on integer-code arrays — the same algorithm
+    as the distributed path, but each round is two ``np.minimum.at``
+    scatters plus gather-squaring, so 2M edges close in well under a
+    second. ``np.unique`` returns SORTED uniques, making the integer
+    codes order-isomorphic to the original ids: the min over codes is
+    the min over ids for any orderable id type (ints, strings)."""
+    import numpy as np
+
+    pdf = edges.toPandas()
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(nodes, a)
+    cb = np.searchsorted(nodes, b)
+    lab = np.arange(len(nodes))
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ca, lab[cb])
+        np.minimum.at(new, cb, lab[ca])
+        while True:  # pointer jumping: collapse label chains
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    out = pd.DataFrame({"a": nodes, "component": nodes[lab]})
+    schema = T.StructType(
+        [
+            T.StructField(src_col, edges.schema["a"].dataType),
+            T.StructField("component", edges.schema["a"].dataType),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema=schema)
 
 
 def span_overlap_pairs(
