@@ -76,6 +76,8 @@ HEADLINE = [
     "ann_pair_recall_report",
     "embedding_neardup_pairs_ivf",
     "knn_label_vote_ivf",
+    "embedding_neardup_pairs_ivf_auto",
+    "knn_label_vote_ivf_auto",
 ]
 
 
@@ -104,6 +106,12 @@ X10_HEAVY = [
     # the pinned-planes LSH kNN entry is the x10 tier's heaviest row
     # while the IVF twin handles the same fixture in seconds
     "knn_label_vote_ivf",
+    # balanced auto_cells (k = probe*sqrt(n)) twins: the IVF tier's
+    # SCALE form — the pinned-k=8 entries above stay as the parity
+    # forms, quadratic within cells by construction; these measure
+    # the O(n^1.5*d) path the round-4 study validated
+    "embedding_neardup_pairs_ivf_auto",
+    "knn_label_vote_ivf_auto",
 ]
 
 

@@ -1348,6 +1348,30 @@ def _ivf_cand_ctes(k_cells: int = 8, n_probe: int = 2,
              ON a.c = b.c AND a.vec_id {op} b.vec_id)"""
 
 
+def _ivf_cand_ctes_auto(n_probe: int = 2, ordered: bool = True) -> str:
+    """``_ivf_cand_ctes`` with the balanced ``auto_cells`` rule
+    (k = probe·√n, clamped to [8, 65536] — similarity.auto_cells)
+    computed IN SQL from the corpus count, so one static oracle
+    string stays correct at every scale factor. DuckDB accepts a
+    scalar subquery as LIMIT; ROUND here and Python round() agree at
+    every integer n that can tie-break differently only if 2·√n hits
+    an exact .5 double (verified not to at the testdata SFs —
+    2·√n is irrational unless n is a perfect square, where it's an
+    even integer)."""
+    op = "<" if ordered else "<>"
+    k_sql = (
+        f"(SELECT GREATEST(8, LEAST(65536, "
+        f"CAST(ROUND({n_probe} * SQRT(COUNT(*))) AS BIGINT))) FROM e)"
+    )
+    return f"""cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM e ORDER BY vec_id LIMIT {k_sql}),
+    {_ivf_assign_sql("e", "cent", "c", "assign", n_probe)},
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM assign a JOIN assign b
+             ON a.c = b.c AND a.vec_id {op} b.vec_id)"""
+
+
 def _sim_search_lsh_oracle() -> str:
     """DuckDB twin of lsh_bucketed_topk(dim=64, k=5, n_planes=6,
     n_tables=3): the hyperplane constants inline as literals, so the
@@ -8667,6 +8691,74 @@ def q_knn_label_vote_ivf(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return similarity.knn_label_vote_ivf(e, k=5, k_cells=8, n_probe=2)
+
+
+@register(
+    "embedding_neardup_pairs_ivf_auto",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_ivf_cand_ctes_auto(ordered=True)},
+    j AS (SELECT id_a, id_b,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.3
+    """,
+    doc="embedding_neardup_pairs_ivf under the balanced auto_cells "
+    "rule (k = probe*sqrt(n), operators/similarity.py auto_cells) — "
+    "the SCALE form of the IVF tier, where assignment O(n*k*d) and "
+    "within-cell verify O(n*(n/k)*probe^2*d) equalize at O(n^1.5*d). "
+    "The pinned-k=8 sibling stays registered as the parity form "
+    "(static small-k oracle); this entry computes k from the corpus "
+    "count in BOTH engines (scalar-subquery LIMIT on the oracle "
+    "side), so the benched x10 tier finally measures the sub-linear "
+    "path the round-4 study validated, not the quadratic-in-cell "
+    "parity pin.",
+)
+def q_embedding_neardup_pairs_ivf_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs_ivf(
+        e, threshold=0.3, k_cells=None, n_probe=2
+    )
+
+
+@register(
+    "knn_label_vote_ivf_auto",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_ivf_cand_ctes_auto(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS nid, eb.label AS nlabel,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, nid ASC) AS rk FROM s),
+    v AS (SELECT vec_id, label, nlabel, COUNT(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label, nlabel AS predicted_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY votes DESC, nlabel ASC) AS pr FROM v)
+    SELECT vec_id, label, predicted_label,
+           CAST(votes AS INTEGER) AS n_agree,
+           predicted_label <> label AS mislabeled
+    FROM p WHERE pr = 1
+    """,
+    doc="knn_label_vote_ivf under the balanced auto_cells rule — the "
+    "scale form of the directed IVF audit (per-anchor candidate work "
+    "~probe^2*sqrt(n) instead of the pinned-k=8 parity form's n/8 "
+    "cell population). Same vote/tie-break contract; k computed from "
+    "the corpus count in both engines.",
+)
+def q_knn_label_vote_ivf_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote_ivf(e, k=5, k_cells=None, n_probe=2)
 
 
 @register(
