@@ -1794,7 +1794,12 @@ def _l2_rows(col, dim_hint: int | None = None):
     mat = np.array(list(col), dtype=np.float64)
     if mat.ndim != 2:  # ragged / empty edge: coerce via object path
         n = len(col)
-        d = dim_hint or (len(col.iloc[0]) if n else 0)
+        # derive the dim from the first NON-NULL vector: NULL rows do
+        # reach this kernel (bucket 0 routes them), and a NULL-first
+        # group must degrade to NaN rows, not crash on len(None)
+        d = dim_hint or next(
+            (len(v) for v in col if v is not None), 1
+        )
         out = np.full((n, d), np.nan, dtype=np.float64)
         for i, v in enumerate(col):
             if v is not None and len(v) == d:
@@ -1820,7 +1825,10 @@ def _np_topk_emit(
 
     M = len(nids)
     kk = min(k, M)
-    chunk = max(16, min(chunk_rows, 16_000_000 // max(M, 1)))
+    # floor of 1, not 16: a 16-row floor lets the per-chunk sims
+    # matrix reach 16*M elements on mega-groups (M=10M members ->
+    # ~1.3 GB), 16x past the intended ~128 MB element budget
+    chunk = max(1, min(chunk_rows, 16_000_000 // max(M, 1)))
     cols = {"qid": [], "qlabel": [], "nid": [], "nlabel": [], "c": []}
     for lo in range(0, len(qids), chunk):
         hi = min(lo + chunk, len(qids))
@@ -2057,7 +2065,7 @@ def _grouped_threshold_pairs(
         nids = mpdf[id_col].to_numpy(dtype=np.int64)
         nmat = _l2_rows(mpdf[vec_col])
         M = len(nids)
-        chunk = max(16, min(chunk_rows, 16_000_000 // max(M, 1)))
+        chunk = max(1, min(chunk_rows, 16_000_000 // max(M, 1)))  # floor 1: see _np_topk_emit
         out_a, out_b, out_c = [], [], []
         for lo in range(0, len(qids), chunk):
             hi = min(lo + chunk, len(qids))
@@ -2234,11 +2242,21 @@ def embedding_neardup_pairs_ann(
     near-quadratic, this replaces the generic pair-gather whose
     ~0.6M pairs/s rate was the x10 wall (round-4 study).
     ``verify='pairs'`` routes the distinct candidate pair set through
-    ``candidate_pair_cosine`` — identical output, kept for candidate
+    ``candidate_pair_cosine`` — identical output (identical up to one caveat: the
+    bucket/cell GEMM and the pair path's per-row (a*b).sum
+    associate float adds differently, so a dot landing EXACTLY on
+    a rounding boundary could round apart — never observed on the
+    fixtures, where parity tests pin exact equality),
+    kept for candidate
     sets consumers want to inspect and for cross-tier comparability.
     """
     if n_planes is None:
         n_planes = auto_planes(df.count())
+    if verify not in ("buckets", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -2289,10 +2307,20 @@ def knn_label_vote_ann(
     kernel's argument). Candidate pairs are never materialized; on
     dup-heavy corpora this replaces the pair-gather whose candidate
     volume was near-quadratic per bucket (the 201 s x10 row).
-    ``verify='pairs'`` is the pair-gather twin — identical output.
+    ``verify='pairs'`` is the pair-gather twin — identical
+    output (identical up to one caveat: the
+    bucket/cell GEMM and the pair path's per-row (a*b).sum
+    associate float adds differently, so a dot landing EXACTLY on
+    a rounding boundary could round apart — never observed on the
+    fixtures, where parity tests pin exact equality).
     """
     if n_planes is None:
         n_planes = auto_planes(df.count())
+    if verify not in ("buckets", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -2341,10 +2369,20 @@ def hard_negative_mining_ann(
     with the same-label mask applied inside the kernel (the global
     ranking is over cross-label candidates, so the per-group top-k ⊇
     global top-k argument holds on the masked order).
-    ``verify='pairs'`` is the pair-gather twin — identical output.
+    ``verify='pairs'`` is the pair-gather twin — identical
+    output (identical up to one caveat: the
+    bucket/cell GEMM and the pair path's per-row (a*b).sum
+    associate float adds differently, so a dot landing EXACTLY on
+    a rounding boundary could round apart — never observed on the
+    fixtures, where parity tests pin exact equality).
     """
     if n_planes is None:
         n_planes = auto_planes(df.count())
+    if verify not in ("buckets", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -2819,7 +2857,7 @@ def _cell_dense_pairs(
         mat = mat / norms
         # bound the sims chunk to ~128 MB even for pathologically
         # skewed cells (chunk_rows x n float64)
-        chunk = max(64, min(chunk_rows, 16_000_000 // n))
+        chunk = max(1, min(chunk_rows, 16_000_000 // n))  # floor 1: see _np_topk_emit
         out_a, out_b, out_c = [], [], []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -2937,8 +2975,18 @@ def knn_label_vote_ivf(
     merge is the shared vote tail. Per-cell top-k ⊇ global top-k
     (top-k distributes over the cell cover). ``verify='pairs'``
     routes same-cell candidate pairs through the generic pair-gather
-    — identical output, kept for cross-tier comparability.
+    — identical output (identical up to one caveat: the
+    bucket/cell GEMM and the pair path's per-row (a*b).sum
+    associate float adds differently, so a dot landing EXACTLY on
+    a rounding boundary could round apart — never observed on the
+    fixtures, where parity tests pin exact equality), kept
+    for cross-tier comparability.
     """
+    if verify not in ("cells", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "cells":
         centroids = _default_centroids(
             df, k_cells, n_probe, id_col, vec_col
@@ -2988,8 +3036,14 @@ def hard_negative_mining_ivf(
     ``verify='cells'`` (default): within-cell dense GEMM with the
     same-label mask applied inside the kernel, local top-k per
     anchor, global merge in the shared tail. ``verify='pairs'`` is
-    the pair-gather twin — identical output.
+    the pair-gather twin — identical output (up to the cross-path
+    rounding-boundary caveat documented on knn_label_vote_ivf).
     """
+    if verify not in ("cells", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "cells":
         centroids = _default_centroids(
             df, k_cells, n_probe, id_col, vec_col
@@ -3071,6 +3125,11 @@ def embedding_neardup_pairs_ivf(
         centroids = _default_centroids(
             df, k_cells, n_probe, id_col, vec_col
         )
+    if verify not in ("cells", "pairs"):
+        # fail loudly: a typo would otherwise silently fall
+        # through to the pair-gather branch, changing the
+        # physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "cells":
         assigned = _ivf_cell_vec_rows(
             df, centroids, n_probe, id_col, vec_col, fold
