@@ -156,21 +156,31 @@ def main() -> None:
             queries[name](spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
 
+    # Median of 3 runs per query: single-shot timings at sf0.1 carry
+    # run-to-run environmental spread (page cache, GC, scheduler) on
+    # the same order as real plan changes for the ~1s mid-pack, so
+    # round-over-round deltas were weather. The x10 tier below stays
+    # single-shot (its queries are seconds-long, spread is relatively
+    # small, and 3x its wall would dominate the round budget).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
-        # Some operators cache intermediates (shingle sets, edge sets)
-        # and cannot unpersist before their consumer executes; drop
-        # those blocks here so a query's leftover cache never distorts
-        # the next query's timing (measured: a leaked 260k-row cache
-        # pushed an unrelated BLAS query from 0.8s to 6s via GC).
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+            assert n >= 0
+            # Some operators cache intermediates (shingle sets, edge
+            # sets) and cannot unpersist before their consumer
+            # executes; drop those blocks here so a query's leftover
+            # cache never distorts the next timing (measured: a leaked
+            # 260k-row cache pushed an unrelated BLAS query from 0.8s
+            # to 6s via GC).
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
 

@@ -246,3 +246,153 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         _sample, schema=FRAME_SAMPLE_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# Audio modality: real WAV payloads through the same Arrow plumbing
+# ----------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("sum_squares", T.LongType()),
+    ]
+)
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+# The deterministic synthetic signal: doc i gets 64 + (i % 193) mono
+# PCM16 frames at 8 kHz, frame j = ((i*7919 + j*104729) % 65536) -
+# 32768. Pure int64 arithmetic, so a SQL oracle replays the EXACT
+# sample values and every decoded feature is hash-checkable — the
+# same make-the-randomness-deterministic move as the LSH hyperplanes.
+AUDIO_RATE = 8000
+
+
+def _synth_samples(doc_id: int):
+    n = 64 + doc_id % 193
+    return [
+        ((doc_id * 7919 + j * 104729) % 65536) - 32768 for j in range(n)
+    ]
+
+
+def with_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a REAL WAV binary column (vendored RIFF/PCM encoder)
+    from the deterministic signal above. Stands in for reading real
+    audio blobs; every byte downstream is a genuine WAV container."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import audiocodec
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    out_col: [
+                        audiocodec.encode_wav(
+                            _synth_samples(int(i)), AUDIO_RATE
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField(out_col, T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio decode → header meta + full-signal features. REAL parse:
+    the vendored RIFF/WAVE codec walks the chunk list and unpacks the
+    PCM frames (functions/audiocodec.py); soundfile/librosa would be
+    preferred on a cluster image that ships them, and compressed
+    codecs raise NotImplementedError inside the codec. ``peak_abs``
+    and ``sum_squares`` prove the sample data was actually decoded,
+    not just the header."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import audiocodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta, samples = audiocodec.decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(meta["sample_rate"])
+                out["n_channels"].append(meta["n_channels"])
+                out["bits_per_sample"].append(meta["bits_per_sample"])
+                out["n_frames"].append(meta["n_frames"])
+                out["duration_us"].append(
+                    meta["n_frames"] * 1_000_000 // meta["sample_rate"]
+                )
+                out["peak_abs"].append(
+                    max((abs(s) for s in samples), default=0)
+                )
+                out["sum_squares"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def audio_window_energy(
+    df: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Windowed signal energy: decode the PCM frames and emit one row
+    per ``window``-frame window with its integer sum of squares — the
+    1-row-in/n-rows-out audio-chunking shape (VAD / silence trimming /
+    loudness segmentation all reduce to this scan). Integer math end
+    to end, so the oracle replays it exactly."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import audiocodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_ENERGY_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = audiocodec.decode_wav(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                for w in range(0, len(s), window):
+                    seg = s[w : w + window]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(w // window)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _energy, schema=AUDIO_ENERGY_SCHEMA
+    )

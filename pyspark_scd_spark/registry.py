@@ -1309,6 +1309,40 @@ def _lsh_cand_ctes(n_planes: int = 8, n_tables: int = 8,
              WHERE a.vec_id {op} c.vec_id)"""
 
 
+def _lsh_cand_ctes_auto(n_tables: int = 8, ordered: bool = True) -> str:
+    """``_lsh_cand_ctes`` under the ``auto_planes`` rule (planes =
+    clamp(ceil(log2(n/32)), 4, 20) — similarity.auto_planes), with
+    the plane count computed IN SQL from the corpus count so one
+    static oracle stays correct at every scale factor. Works because
+    ``hyperplanes`` draws planes from ONE serial PRNG stream — the
+    first p planes of a 20-plane generation ARE the p-plane
+    generation — so the 20-plane bucket masks down to any p:
+    bucket_p = bucket_20 % 2^p. Multiprobe XOR probes generate for
+    i < p via a LATERAL range."""
+    from pyspark_scd_spark.operators.similarity import duckdb_bucket_sql
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_bucket_sql('v', 64, 20, seed=42 + t)} AS b20 FROM e"
+        for t in range(n_tables)
+    )
+    op = "<" if ordered else "<>"
+    return f"""np AS (SELECT GREATEST(4, LEAST(20,
+                  CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INTEGER))) AS p
+            FROM e),
+    cb20 AS ({per_table}),
+    cb AS (SELECT vec_id, t, b20 % (CAST(1 AS BIGINT) << p) AS b
+           FROM cb20, np),
+    pb AS (SELECT vec_id, t,
+                  CASE WHEN i.i = -1 THEN b
+                       ELSE xor(b, (CAST(1 AS BIGINT) << i.i)) END AS pb
+           FROM cb, np,
+           LATERAL (SELECT unnest(range(-1, p)) AS i) i),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+             FROM pb a JOIN cb c ON a.t = c.t AND a.pb = c.b
+             WHERE a.vec_id {op} c.vec_id)"""
+
+
 def _ivf_assign_sql(src: str, cent: str, cent_cell: str,
                     out: str, n_probe: int) -> str:
     """ONE oracle CTE replaying _ivf_cell_rows' top-``n_probe`` cell
@@ -2648,6 +2682,79 @@ def q_multimodal_resize(spark, sf_dir):
         F.lower(F.hex("resized")).alias("resized_hex"),
         "n_bytes_in",
         "n_bytes_out",
+    )
+
+
+# The deterministic audio signal both engines replay: doc i carries
+# 64 + (i % 193) mono PCM16 frames at 8 kHz, frame j =
+# ((i*7919 + j*104729) % 65536) - 32768 (multimodal.AUDIO
+# constants). The Spark side round-trips these through REAL WAV
+# bytes (vendored RIFF encoder -> chunk-walking decoder,
+# functions/audiocodec.py); the oracle recomputes the integer signal
+# directly — a hash match proves the container parse and PCM unpack
+# are exact, the imagecodec playbook applied to audio.
+_AUDIO_SIG_CTE = """
+    s AS (SELECT doc_id, i.i AS j,
+                 ((doc_id * 7919 + i.i * 104729) % 65536) - 32768 AS samp
+          FROM documents,
+          LATERAL (SELECT unnest(range(0, 64 + doc_id % 193)) AS i) i)
+"""
+
+
+@register(
+    "multimodal_audio_meta",
+    f"""
+    WITH {_AUDIO_SIG_CTE}
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) * 1000000 // 8000 AS BIGINT) AS duration_us,
+           CAST(MAX(ABS(samp)) AS INTEGER) AS peak_abs,
+           CAST(SUM(samp * samp) AS BIGINT) AS sum_squares
+    FROM s GROUP BY doc_id
+    """,
+    doc="Audio modality, header+signal features: synthesize real WAV "
+    "payloads (vendored RIFF/PCM encoder), decode them back with the "
+    "chunk-walking parser, emit header meta plus peak/sum-of-squares "
+    "over the PCM frames (operators/multimodal.py "
+    "decode_audio_features). peak_abs and sum_squares depend on "
+    "every decoded sample, so the hash check proves the byte-level "
+    "WAV parse, not just the plumbing.",
+)
+def q_multimodal_audio_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.decode_audio_features(
+        multimodal.with_audio_payload(d)
+    )
+
+
+@register(
+    "multimodal_audio_energy",
+    f"""
+    WITH {_AUDIO_SIG_CTE}
+    SELECT doc_id,
+           CAST(j // 16 AS INTEGER) AS win_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(samp * samp) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id, j // 16
+    """,
+    doc="Windowed audio energy: decode the WAV PCM frames and emit "
+    "one row per 16-frame window with its integer sum of squares — "
+    "the 1-row-in/n-rows-out audio chunking shape (VAD / silence "
+    "trim / loudness segmentation). Integer math end to end; the "
+    "oracle replays the signal and windowing exactly "
+    "(operators/multimodal.py audio_window_energy).",
+)
+def q_multimodal_audio_energy(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.audio_window_energy(
+        multimodal.with_audio_payload(d), window=16
     )
 
 
@@ -7995,6 +8102,37 @@ def q_embedding_neardup_pairs_ann(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs_ann(
         e, threshold=0.3, dim=64, n_planes=8, n_tables=8
+    )
+
+
+@register(
+    "embedding_neardup_pairs_ann_auto",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_lsh_cand_ctes_auto(ordered=True)},
+    j AS (SELECT id_a, id_b,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT id_a, id_b, cosine FROM j WHERE cosine >= 0.3
+    """,
+    doc="embedding_neardup_pairs_ann under the auto_planes rule "
+    "(planes = clamp(ceil(log2(n/32)), 4, 20)) — the LSH tier's "
+    "SCALE form: growing planes with log2(n) keeps bucket population "
+    "(and per-row candidate work) constant, making the tier "
+    "O(n*tables) where the pinned-planes parity form's candidate "
+    "FRACTION is constant (quadratic pair work). One static oracle "
+    "covers every scale factor because the hyperplane PRNG stream is "
+    "prefix-stable: the 20-plane bucket masks to any p via "
+    "b20 % 2^p, with p computed from the corpus count in SQL.",
+)
+def q_embedding_neardup_pairs_ann_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs_ann(
+        e, threshold=0.3, dim=64, n_planes=None, n_tables=8
     )
 
 
