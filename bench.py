@@ -78,6 +78,8 @@ HEADLINE = [
     "knn_label_vote_ivf",
     "embedding_neardup_pairs_ivf_auto",
     "knn_label_vote_ivf_auto",
+    "embedding_neardup_pairs_ann_auto",
+    "multimodal_audio_energy",
 ]
 
 
@@ -112,6 +114,10 @@ X10_HEAVY = [
     # the O(n^1.5*d) path the round-4 study validated
     "embedding_neardup_pairs_ivf_auto",
     "knn_label_vote_ivf_auto",
+    # the LSH scale twin: auto_planes keeps bucket population (and
+    # per-row candidate work) constant as n grows — measured 1.9x at
+    # x10 where the pinned-planes parity form is the tier's wall
+    "embedding_neardup_pairs_ann_auto",
 ]
 
 

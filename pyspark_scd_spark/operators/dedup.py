@@ -106,6 +106,88 @@ def shingle_pairs(
     return _shingles(df, id_col, text_col, n, max_df)
 
 
+def _identical_set_groups(sh: DataFrame):
+    """Collapse identical shingle SETS: (members, rep_shingles).
+
+    A corpus with verbatim duplicates (the normal state of web-scale
+    data) multiplies every shingle's document frequency by the copy
+    count c, so any shingle-keyed candidate join — the Jaccard
+    inverted index, MinHash band buckets — grows ~c². Jaccard and
+    every MinHash/band signature depend only on the shingle SET, so
+    docs with byte-identical sets are interchangeable: run the
+    quadratic stage over one representative per set (``rep_shingles``)
+    and expand pairs afterwards (``_expand_rep_pairs``). This is the
+    exact-dedup-before-near-dup staging a production corpus pipeline
+    performs anyway, done transparently inside the operator.
+
+    ``members``: (__sig, __id, __rep) — every doc with its set
+    signature and the group representative (min id). Set-signature
+    collisions (two different sets, one xxhash64) are the same
+    ~n²/2⁶⁵ class as the shingle-hash collision documented in
+    ``_shingles``.
+    """
+    sig = sh.groupBy("__id").agg(
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.col("shingle").cast("string"))
+                ),
+            )
+        ).alias("__sig")
+    ).localCheckpoint()
+    groups = (
+        sig.groupBy("__sig")
+        .agg(F.min("__id").alias("__rep"))
+        .localCheckpoint()
+    )
+    members = sig.join(groups, "__sig").localCheckpoint()
+    rep_sh = sh.join(groups.select(F.col("__rep").alias("__id")), "__id")
+    return members, rep_sh
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    include_within: bool = True,
+    value_col: str = "jaccard",
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to all docs.
+
+    Cross-group doc pairs inherit the rep pair's value verbatim (their
+    sets are identical to the reps'); same-group pairs have jaccard
+    exactly 1.0 (identical sets) and are emitted whenever 1.0 passes
+    the caller's threshold (``include_within``). Output is
+    bit-identical to running the uncollapsed pipeline — same integer
+    count triples, same double division — and the expansion joins move
+    output-sized data only (pairs, members)."""
+    ma = members.select(
+        F.col("__rep").alias("doc_a"), F.col("__id").alias("__xa")
+    )
+    mb = members.select(
+        F.col("__rep").alias("doc_b"), F.col("__id").alias("__xb")
+    )
+    cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
+        F.least("__xa", "__xb").alias("doc_a"),
+        F.greatest("__xa", "__xb").alias("doc_b"),
+        value_col,
+    )
+    if not include_within:
+        return cross
+    wa = members.select("__sig", F.col("__id").alias("__xa"))
+    wb = members.select("__sig", F.col("__id").alias("__xb"))
+    within = (
+        wa.join(wb, "__sig")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .select(
+            F.col("__xa").alias("doc_a"),
+            F.col("__xb").alias("doc_b"),
+            F.lit(1.0).alias(value_col),
+        )
+    )
+    return cross.union(within)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,41 +237,9 @@ def ngram_jaccard_pairs(
         sh = _shingles(df, id_col, text_col, n, max_df).cache()
     if method == "count":
         # Collapse identical shingle SETS before the quadratic
-        # co-occurrence join. A corpus with verbatim duplicates (the
-        # normal state of web-scale data, and exactly what the x10
-        # duplicate-heavy fixture models) multiplies every shingle's
-        # document frequency by the copy count c, so the inverted-index
-        # join grows ~c² — measured 31.7s at 50k docs (10 copies each)
-        # where the 5k-distinct corpus takes ~2s. Jaccard depends only
-        # on the shingle SET, so docs with byte-identical sets are
-        # interchangeable: run the join over one representative per
-        # set, then expand (cross-group pairs inherit the rep pair's
-        # jaccard; same-group pairs are jaccard 1.0 by definition).
-        # Output is bit-identical to the uncollapsed join — same
-        # integer (__i, __na, __nb) triples, same double division.
-        # Set-signature collisions (two different sets, one xxhash64)
-        # are the same ~n²/2⁶⁵ class as the shingle-hash collision
-        # documented above.
-        sig = sh.groupBy("__id").agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(
-                        F.collect_list(F.col("shingle").cast("string"))
-                    ),
-                )
-            ).alias("__sig")
-        ).localCheckpoint()
-        groups = (
-            sig.groupBy("__sig")
-            .agg(F.min("__id").alias("__rep"))
-            .localCheckpoint()
-        )
-        members = sig.join(groups, "__sig").localCheckpoint()
-
-        rep_sh = sh.join(
-            groups.select(F.col("__rep").alias("__id")), "__id"
-        )
+        # co-occurrence join (see _identical_set_groups): measured
+        # 31.7s -> ~2s at 50k docs / 10 verbatim copies each.
+        members, rep_sh = _identical_set_groups(sh)
         sizes = rep_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
         a = rep_sh.select(F.col("__id").alias("doc_a"), "shingle")
         b = rep_sh.select(F.col("__id").alias("doc_b"), "shingle")
@@ -217,32 +267,9 @@ def ngram_jaccard_pairs(
                 "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
             )
         )
-        # Expansion joins move output-sized data only (pairs, members).
-        ma = members.select(
-            F.col("__rep").alias("doc_a"), F.col("__id").alias("__xa")
+        return _expand_rep_pairs(
+            rep_pairs, members, include_within=threshold <= 1.0
         )
-        mb = members.select(
-            F.col("__rep").alias("doc_b"), F.col("__id").alias("__xb")
-        )
-        cross = rep_pairs.join(ma, "doc_a").join(mb, "doc_b").select(
-            F.least("__xa", "__xb").alias("doc_a"),
-            F.greatest("__xa", "__xb").alias("doc_b"),
-            "jaccard",
-        )
-        if threshold > 1.0:
-            return cross
-        wa = members.select("__sig", F.col("__id").alias("__xa"))
-        wb = members.select("__sig", F.col("__id").alias("__xb"))
-        within = (
-            wa.join(wb, "__sig")
-            .filter(F.col("__xa") < F.col("__xb"))
-            .select(
-                F.col("__xa").alias("doc_a"),
-                F.col("__xb").alias("doc_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.union(within)
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ordered = sh.join(freq, "shingle").withColumn(
@@ -492,6 +519,12 @@ def minhash_lsh_pairs(
         sh = shingles
     else:
         sh = _shingles(df, id_col, text_col, n, None).cache()
+    # Identical-set collapse (see _identical_set_groups): MinHash
+    # signatures, band buckets, and exact Jaccard all depend only on
+    # the shingle SET, so verbatim duplicates — which make band
+    # buckets and the candidate verify ~c² in the copy count — run
+    # once via their representative and expand at the end.
+    members, sh = _identical_set_groups(sh)
     sig = _signatures_from_shingles(sh, num_hashes).withColumnRenamed(
         "__id", id_col
     )
@@ -538,7 +571,7 @@ def minhash_lsh_pairs(
     # threshold on the UNROUNDED ratio (the oracle and the incremental
     # tier both do) — rounding first would admit pairs up to half an
     # ulp-at-4dp below the threshold and diverge from both
-    return (
+    rep_pairs = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
@@ -549,6 +582,13 @@ def minhash_lsh_pairs(
         .select(
             "doc_a", "doc_b", F.round("__j", 4).alias("jaccard")
         )
+    )
+    # Within-group pairs: identical sets -> identical signatures ->
+    # band collision guaranteed -> exact jaccard 1.0, emitted iff the
+    # threshold admits 1.0 — exactly what the uncollapsed pipeline
+    # would produce for them.
+    return _expand_rep_pairs(
+        rep_pairs, members, include_within=verify_threshold <= 1.0
     )
 
 
