@@ -79,6 +79,8 @@ HEADLINE = [
     "embedding_neardup_pairs_ivf_auto",
     "knn_label_vote_ivf_auto",
     "embedding_neardup_pairs_ann_auto",
+    "knn_label_vote_ann_auto",
+    "hard_negative_mining_ivf_auto",
     "multimodal_audio_energy",
 ]
 
@@ -118,6 +120,11 @@ X10_HEAVY = [
     # per-row candidate work) constant as n grows — measured 1.9x at
     # x10 where the pinned-planes parity form is the tier's wall
     "embedding_neardup_pairs_ann_auto",
+    # scale twins for the two heaviest x10 rows (the deliberate
+    # exact-grid twins knn_label_vote / hard_negative_mining): the
+    # directed audits under auto_planes / auto_cells
+    "knn_label_vote_ann_auto",
+    "hard_negative_mining_ivf_auto",
 ]
 
 

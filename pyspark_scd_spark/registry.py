@@ -8934,6 +8934,79 @@ def q_hard_negative_mining_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "hard_negative_mining_ivf_auto",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_ivf_cand_ctes_auto(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS neg_id, eb.label AS neg_label,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b
+          WHERE ea.label <> eb.label),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, neg_id ASC) AS rank FROM s)
+    SELECT vec_id, label, neg_id, neg_label,
+           ROUND(c, 4) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    doc="hard_negative_mining_ivf under the balanced auto_cells rule "
+    "(k = probe*sqrt(n)) — completes the auto family: every "
+    "ANN/IVF consumer now has a benched scale form whose index "
+    "parameter is computed from the corpus count in both engines. "
+    "Same masking/ranking contract as the pinned parity form.",
+)
+def q_hard_negative_mining_ivf_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining_ivf(
+        e, k=3, k_cells=None, n_probe=2
+    )
+
+
+@register(
+    "knn_label_vote_ann_auto",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_lsh_cand_ctes_auto(ordered=False)},
+    s AS (SELECT cand.id_a AS vec_id, ea.label AS label,
+                 cand.id_b AS nid, eb.label AS nlabel,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS c
+          FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                    JOIN e eb ON eb.vec_id = cand.id_b),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY c DESC, nid ASC) AS rk FROM s),
+    v AS (SELECT vec_id, label, nlabel, COUNT(*) AS votes
+          FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, label, nlabel AS predicted_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY votes DESC, nlabel ASC) AS pr FROM v)
+    SELECT vec_id, label, predicted_label,
+           CAST(votes AS INTEGER) AS n_agree,
+           predicted_label <> label AS mislabeled
+    FROM p WHERE pr = 1
+    """,
+    doc="knn_label_vote_ann under auto_planes (planes = "
+    "clamp(ceil(log2(n/32)), 4, 20), prefix-stable hyperplane "
+    "stream: bucket_p = bucket_20 %% 2^p with p from COUNT(*) in "
+    "SQL) — the LSH tier's scale form for the directed kNN audit: "
+    "bucket population stays ~constant as n grows, so per-anchor "
+    "candidate work is O(bucket*tables) at any scale. Same vote and "
+    "tie-break contract as the pinned parity form.",
+)
+def q_knn_label_vote_ann_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote_ann(
+        e, k=5, dim=64, n_planes=None, n_tables=8
+    )
+
+
 _IVF_TRAINED_NEARDUP_TAIL = f"""
 {_ivf_assign_sql("e", "c3", "cell", "assign", 2)},
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
