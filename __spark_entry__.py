@@ -17,7 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Executor Python workers resolve imports from PYTHONPATH (they do not
+# inherit driver-side sys.path mutations), so a harness launching from
+# another cwd would break every mapInPandas closure that imports the
+# package. Exporting here covers any SparkSession created after this
+# import; harnesses launching from the repo root work regardless.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 from pyspark_scd_spark.registry import REGISTRY  # noqa: E402
 
