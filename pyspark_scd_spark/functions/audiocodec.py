@@ -49,6 +49,12 @@ def encode_wav(
     if bits_per_sample == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     else:
+        # validate like the 16-bit path (struct.pack raises there):
+        # silently wrapping an out-of-range sample would corrupt the
+        # round-trip instead of failing loudly
+        bad = next((s for s in samples if not -128 <= s <= 127), None)
+        if bad is not None:
+            raise ValueError(f"8-bit sample out of range: {bad}")
         data = bytes((s + 128) & 0xFF for s in samples)
     block_align = n_channels * bits_per_sample // 8
     byte_rate = sample_rate * block_align
@@ -82,7 +88,17 @@ def decode_wav(payload: bytes):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            # a truncated file must FAIL, not silently decode fewer
+            # frames — this codec's purpose is proving byte-exact
+            # decode, so wrong-but-plausible output is the worst mode
+            raise ValueError(
+                f"truncated {cid!r} chunk: header says {clen} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"fmt chunk too short: {clen} bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

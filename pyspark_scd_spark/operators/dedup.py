@@ -126,12 +126,22 @@ def _identical_set_groups(sh: DataFrame):
     ~n²/2⁶⁵ class as the shingle-hash collision documented in
     ``_shingles``.
     """
+    # hash each element BEFORE the join: the serialized form must be
+    # injective for arbitrary caller-provided shingle values (raw
+    # strings may contain the separator — {'x,y'} and {'x','y'} would
+    # concat identically), so the signature is built over fixed-width
+    # per-element xxhash64 digits, which cannot straddle a comma
     sig = sh.groupBy("__id").agg(
         F.xxhash64(
             F.concat_ws(
                 ",",
-                F.sort_array(
-                    F.collect_list(F.col("shingle").cast("string"))
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.xxhash64(F.col("shingle").cast("string"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
                 ),
             )
         ).alias("__sig")
@@ -142,7 +152,12 @@ def _identical_set_groups(sh: DataFrame):
         .localCheckpoint()
     )
     members = sig.join(groups, "__sig").localCheckpoint()
-    rep_sh = sh.join(groups.select(F.col("__rep").alias("__id")), "__id")
+    # checkpointed: every caller consumes the rep shingles 3-4x
+    # (sizes, both join legs, signature build) and the comments in
+    # those callers stress the shingle pass must be paid once
+    rep_sh = sh.join(
+        groups.select(F.col("__rep").alias("__id")), "__id"
+    ).localCheckpoint()
     return members, rep_sh
 
 

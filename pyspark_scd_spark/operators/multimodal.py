@@ -303,7 +303,7 @@ def with_audio_payload(
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
+                    id_col: ids,
                     out_col: [
                         audiocodec.encode_wav(
                             _synth_samples(int(i)), AUDIO_RATE
@@ -317,7 +317,7 @@ def with_audio_payload(
         _synth,
         schema=T.StructType(
             [
-                T.StructField("doc_id", T.LongType()),
+                T.StructField(id_col, T.LongType()),
                 T.StructField(out_col, T.BinaryType()),
             ]
         ),

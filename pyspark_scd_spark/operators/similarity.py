@@ -1791,8 +1791,15 @@ def _l2_rows(col, dim_hint: int | None = None):
     excludes, the same fates the pair-gather path gives them)."""
     import numpy as np
 
-    mat = np.array(list(col), dtype=np.float64)
-    if mat.ndim != 2:  # ragged / empty edge: coerce via object path
+    try:
+        # numpy >= 1.24 RAISES ValueError on inhomogeneous input (a
+        # group mixing real vectors with NULL/wrong-length ones) —
+        # it no longer returns an object array — so the ragged path
+        # must be reached via the exception, not an ndim check alone
+        mat = np.array(list(col), dtype=np.float64)
+    except ValueError:
+        mat = None
+    if mat is None or mat.ndim != 2:  # ragged / empty edge
         n = len(col)
         # derive the dim from the first NON-NULL vector: NULL rows do
         # reach this kernel (bucket 0 routes them), and a NULL-first
@@ -2250,13 +2257,13 @@ def embedding_neardup_pairs_ann(
     kept for candidate
     sets consumers want to inspect and for cross-tier comparability.
     """
+    if verify not in ("buckets", "pairs"):
+        # fail loudly BEFORE any Spark job (the count below): a typo
+        # would otherwise silently fall through to the pair-gather
+        # branch, changing the physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    if verify not in ("buckets", "pairs"):
-        # fail loudly: a typo would otherwise silently fall
-        # through to the pair-gather branch, changing the
-        # physical plan the caller asked for
-        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -2314,13 +2321,13 @@ def knn_label_vote_ann(
     a rounding boundary could round apart — never observed on the
     fixtures, where parity tests pin exact equality).
     """
+    if verify not in ("buckets", "pairs"):
+        # fail loudly BEFORE any Spark job (the count below): a typo
+        # would otherwise silently fall through to the pair-gather
+        # branch, changing the physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    if verify not in ("buckets", "pairs"):
-        # fail loudly: a typo would otherwise silently fall
-        # through to the pair-gather branch, changing the
-        # physical plan the caller asked for
-        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -2376,13 +2383,13 @@ def hard_negative_mining_ann(
     a rounding boundary could round apart — never observed on the
     fixtures, where parity tests pin exact equality).
     """
+    if verify not in ("buckets", "pairs"):
+        # fail loudly BEFORE any Spark job (the count below): a typo
+        # would otherwise silently fall through to the pair-gather
+        # branch, changing the physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    if verify not in ("buckets", "pairs"):
-        # fail loudly: a typo would otherwise silently fall
-        # through to the pair-gather branch, changing the
-        # physical plan the caller asked for
-        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "buckets":
         queries, members = _lsh_assigned_vec_rows(
             df, dim, n_planes, n_tables, multiprobe,
@@ -3121,15 +3128,15 @@ def embedding_neardup_pairs_ivf(
     ``candidate_pair_cosine`` (the LSH tier's verify) — identical
     output, kept for cross-tier comparability.
     """
+    if verify not in ("cells", "pairs"):
+        # fail loudly BEFORE the centroid count+collect jobs: a typo
+        # would otherwise silently fall through to the pair-gather
+        # branch, changing the physical plan the caller asked for
+        raise ValueError(f"unknown verify: {verify!r}")
     if centroids is None:
         centroids = _default_centroids(
             df, k_cells, n_probe, id_col, vec_col
         )
-    if verify not in ("cells", "pairs"):
-        # fail loudly: a typo would otherwise silently fall
-        # through to the pair-gather branch, changing the
-        # physical plan the caller asked for
-        raise ValueError(f"unknown verify: {verify!r}")
     if verify == "cells":
         assigned = _ivf_cell_vec_rows(
             df, centroids, n_probe, id_col, vec_col, fold

@@ -1328,7 +1328,8 @@ def _lsh_cand_ctes_auto(n_tables: int = 8, ordered: bool = True) -> str:
     )
     op = "<" if ordered else "<>"
     return f"""np AS (SELECT GREATEST(4, LEAST(20,
-                  CAST(CEIL(LOG2(COUNT(*) / 32.0)) AS INTEGER))) AS p
+                  CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 32.0))
+                       AS INTEGER))) AS p
             FROM e),
     cb20 AS ({per_table}),
     cb AS (SELECT vec_id, t, b20 % (CAST(1 AS BIGINT) << p) AS b

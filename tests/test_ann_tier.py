@@ -416,3 +416,46 @@ def test_bucket_verify_survives_column_pruning(spark, sf_dir):
     )
     assert out.count() > 0
     assert out.select("id_a", "id_b").count() == out.count()
+
+
+def test_l2_rows_mixed_null_group():
+    """A bucket/cell group mixing real vectors with NULL or
+    wrong-length ones must degrade the bad rows to NaN (pair-path
+    parity), not crash — numpy >= 1.24 raises ValueError on the
+    inhomogeneous fast path, so the ragged fallback must engage."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_scd_spark.operators.similarity import _l2_rows
+
+    col = pd.Series([[3.0, 4.0], None, [1.0, 2.0, 3.0]])
+    mat = _l2_rows(col)
+    assert mat.shape == (3, 2)
+    np.testing.assert_allclose(mat[0], [0.6, 0.8])
+    assert np.isnan(mat[1]).all()
+    assert np.isnan(mat[2]).all()  # wrong-length degrades too
+
+
+def test_verify_validation_before_spark_jobs():
+    """An invalid verify= must raise without touching the DataFrame
+    (no count/collect jobs on the error path)."""
+    import pytest
+
+    from pyspark_scd_spark.operators import similarity
+
+    class _Boom:
+        def count(self):
+            raise AssertionError("Spark job ran on the error path")
+
+        def __getattr__(self, name):
+            raise AssertionError("DataFrame touched on the error path")
+
+    boom = _Boom()
+    with pytest.raises(ValueError, match="unknown verify"):
+        similarity.embedding_neardup_pairs_ann(
+            boom, threshold=0.3, dim=64, n_planes=None, verify="bucket"
+        )
+    with pytest.raises(ValueError, match="unknown verify"):
+        similarity.embedding_neardup_pairs_ivf(
+            boom, threshold=0.3, verify="cell"
+        )

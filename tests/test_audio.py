@@ -109,3 +109,34 @@ def test_audio_ops_match_python_reference(spark):
             seg = samples[w : w + 16]
             want[w // 16] = (len(seg), sum(s * s for s in seg))
         assert energy[i] == want
+
+
+def test_encode_8bit_out_of_range_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        audiocodec.encode_wav([200], 8000, 1, 8)
+
+
+def test_truncated_data_chunk_raises():
+    import pytest
+    import struct
+
+    good = audiocodec.encode_wav([1, 2, 3, 4], 8000)
+    truncated = good[:-4]  # cut PCM bytes; header still claims them
+    with pytest.raises(ValueError, match="truncated"):
+        audiocodec.decode_wav(truncated)
+
+
+def test_short_fmt_chunk_raises():
+    import pytest
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 16)[:12]
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        audiocodec.decode_wav(payload)
