@@ -866,7 +866,7 @@ def connected_components(
     dst_col: str = "doc_b",
     max_iter: int = 25,
     strategy: str = "auto",
-    local_edge_limit: int = 2_000_000,
+    local_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set.
 
