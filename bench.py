@@ -204,11 +204,19 @@ def main() -> None:
         for name in X10_HEAVY:
             if name not in queries:
                 continue
-            t0 = time.time()
-            n = queries[name](spark, X10_DIR).count()
-            x10[name] = round(time.time() - t0, 3)
-            assert n >= 0
-            spark.catalog.clearCache()
+            # SCALING.md's steady-state protocol: report the SECOND
+            # run. Single-shot x10 readings carry the previous heavy
+            # query's GC/memory-pressure wake (measured: 15.3s for a
+            # query whose steady state is 4.5s, right after the two
+            # exact-grid monsters) — the first run absorbs it.
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                n = queries[name](spark, X10_DIR).count()
+                runs.append(time.time() - t0)
+                assert n >= 0
+                spark.catalog.clearCache()
+            x10[name] = round(runs[-1], 3)
 
     out = {
         "metric": "headline_queries_total_wall",
