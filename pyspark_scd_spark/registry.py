@@ -2764,6 +2764,51 @@ def q_multimodal_audio_energy(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_video_frame_stats",
+    """
+    WITH d AS (SELECT doc_id,
+                      8 + (doc_id % 5) * 2 AS w,
+                      6 + (doc_id % 3) * 2 AS h,
+                      2 + doc_id % 4 AS n
+               FROM documents),
+    px AS (SELECT doc_id, w, h, f.f AS f, yy.y AS y, xx.x AS x
+           FROM d,
+           LATERAL (SELECT unnest(range(0, n)) AS f) f,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx)
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM((doc_id*31 + f*97 + y*13 + x*7) % 256) AS BIGINT)
+             AS sum_y,
+           CAST(SUM((doc_id*17 + f*53 + y*11 + x*3) % 256) AS BIGINT)
+             AS sum_u,
+           CAST(SUM((doc_id*29 + f*71 + y*5 + x*19) % 256) AS BIGINT)
+             AS sum_v,
+           CAST(MAX((doc_id*31 + f*97 + y*13 + x*7) % 256) AS INTEGER)
+             AS max_y
+    FROM px GROUP BY doc_id, f
+    """,
+    doc="Video modality: synthesize real YUV4MPEG2 streams (vendored "
+    "C444 encoder — the ffmpeg pipe format), decode them back with "
+    "the chunk parser, emit per-frame plane sums and the luma peak "
+    "(operators/multimodal.py video_frame_stats / functions/"
+    "videocodec.py). The 1-in/n-frames-out video shape; the sums "
+    "depend on every decoded pixel, so the hash check proves the "
+    "byte-level container parse and plane split. Completes the "
+    "image/audio/video triad of REAL in-sandbox decoders; "
+    "compressed codecs stay NotImplementedError-gated.",
+)
+def q_multimodal_video_frame_stats(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.video_frame_stats(
+        multimodal.with_video_payload(d)
+    )
+
+
 _SCD_COMPOSITE_SQL = """
 WITH snaps AS (
   SELECT l_partkey, l_suppkey, snap_date, l_quantity, l_returnflag FROM (
