@@ -7311,6 +7311,88 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus.corpus_datacard(d)
 
 
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of pii_scrub over the PII-enriched corpus: the SAME
+    regex strings compile identically under Java regex and RE2 (shared
+    dialect — see corpus.PII_PATTERNS), standard-SQL string literals
+    pass backslashes through verbatim, and regexp_replace applies the
+    same fixed order with the 'g' flag. Counts run against the
+    ORIGINAL text, as the operator does."""
+    from pyspark_scd_spark.operators.corpus import PII_PATTERNS
+
+    em, emr = PII_PATTERNS["email"]
+    ph, phr = PII_PATTERNS["phone"]
+    ip, ipr = PII_PATTERNS["ipv4"]
+    return f"""
+    WITH enr AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-'
+          || CAST(doc_id % 7 AS VARCHAR) || '.example.org or 555-'
+          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+          || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{em}', '{emr}', 'g'),
+               '{ph}', '{phr}', 'g'),
+               '{ip}', '{ipr}', 'g')) AS scrubbed_md5,
+           CAST(length(regexp_extract_all(t, '{em}')) AS INTEGER)
+             AS n_emails,
+           CAST(length(regexp_extract_all(t, '{ph}')) AS INTEGER)
+             AS n_phones,
+           CAST(length(regexp_extract_all(t, '{ip}')) AS INTEGER)
+             AS n_ips
+    FROM enr
+    """
+
+
+@register(
+    "pii_scrub_redact",
+    _pii_scrub_oracle(),
+    doc="PII redaction (operators/corpus.py pii_scrub) — the C4/Dolma "
+    "corpus-prep stage: emails, dashed phone numbers, and IPv4 "
+    "addresses replaced with typed mask tokens, per-doc counts "
+    "emitted for the datacard. Pure JVM-side regexp projection (no "
+    "UDF, no shuffle — rides the scan at any scale). The corpus is "
+    "deterministically PII-enriched in BOTH engines so the scrub is "
+    "genuinely exercised; the regex dialect (classes, bounded "
+    "repetition, \\\\b, non-capturing groups) compiles identically "
+    "under Java regex and RE2, and the md5 of the scrubbed text "
+    "hash-checks every replacement byte.",
+)
+def q_pii_scrub_redact(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = corpus.pii_scrub(enriched)
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    )
+
+
 @register(
     "bpe_encode_checksum",
     _bpe_chain(3)

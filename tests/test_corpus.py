@@ -339,3 +339,26 @@ def test_bpe_batched_reaches_50_merges_in_bounded_jobs(spark, sf_dir):
             r["tok"].startswith(m + "\x1f") or r["tok"].endswith("\x1f" + m)
             for m in merged
         ) or "\x1f" in r["tok"]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from pyspark_scd_spark.operators import corpus
+
+    rows = [
+        (1, "mail a.b-c@x.co and b@y.org, call 555-123-4567 "
+            "or 555.987.6543, host 10.0.0.1 end"),
+        (2, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in corpus.pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["n_phones"] == 2
+    assert got[1]["n_ips"] == 1
+    assert got[1]["scrubbed"] == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE> "
+        "or <PHONE>, host <IP> end"
+    )
+    assert got[2] == {
+        "doc_id": 2, "scrubbed": "no pii here",
+        "n_emails": 0, "n_phones": 0, "n_ips": 0,
+    }
