@@ -1099,3 +1099,63 @@ def pii_scrub(
         counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ips"),
     )
+
+
+def char_trigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Character-trigram LM perplexity per document — the CCNet/KenLM
+    quality-filter shape (Wenzek et al. 2020): train a smoothed
+    trigram model on the corpus itself, score each document by the
+    perplexity of its own characters, and the tail of the ranking is
+    the gibberish/boilerplate to drop. Real pipelines score against a
+    Wikipedia-trained KenLM; the self-trained corpus LM here has the
+    identical dataflow and makes the whole lifecycle one hash-checked
+    query.
+
+    p(c₃|c₁c₂) = (count(c₁c₂c₃)+k) / (count(c₁c₂·)+k·V), V = distinct
+    third characters corpus-wide; per-doc perplexity =
+    exp(mean −ln p) over its trigrams, 4dp. Docs shorter than 3 chars
+    emit nothing (no trigram evidence).
+
+    Scale shape: one lowercase+explode pass builds the gram table;
+    the trigram and context LMs are two gram-keyed aggregates
+    (map-side combined); V is one bounded scalar (≤ alphabet size —
+    the kmeans/centroid bounded-driver-state contract); scoring joins
+    are gram-keyed (LM tables broadcast while they fit) and the
+    final reduce is doc-keyed. No corpus-wide sort, no UDF.
+    """
+    t = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    ).filter(F.length("__t") >= 3)
+    # sequence(1, n) with n >= 1 only (length >= 3 guaranteed above —
+    # sequence(1, 0) is DESCENDING in Spark and would emit junk)
+    grams = t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__t) - 2), "
+                "i -> substring(__t, i, 3))"
+            )
+        ).alias("__g"),
+    )
+    tri = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c3"))
+    ctx = grams.groupBy(
+        F.substring("__g", 1, 2).alias("__cx")
+    ).agg(F.count(F.lit(1)).alias("__cn"))
+    v = grams.select(F.substring("__g", 3, 1)).distinct().count()
+    nll = -F.log(
+        (F.col("__c3") + F.lit(k)) / (F.col("__cn") + F.lit(k * v))
+    )
+    return (
+        grams.join(tri, "__g")
+        .join(ctx, F.substring("__g", 1, 2) == F.col("__cx"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+        )
+    )

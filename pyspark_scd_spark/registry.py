@@ -7394,6 +7394,44 @@ def q_pii_scrub_redact(spark, sf_dir):
 
 
 @register(
+    "lm_perplexity_score",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents
+               WHERE length(lower(text)) >= 3),
+    gr AS (SELECT doc_id, substring(tx, CAST(i.i AS INTEGER), 3) AS g
+           FROM t,
+           LATERAL (SELECT unnest(range(1, length(tx) - 1)) AS i) i),
+    tri AS (SELECT g, COUNT(*) AS c3 FROM gr GROUP BY g),
+    cx AS (SELECT substring(g, 1, 2) AS cxk, COUNT(*) AS cn
+           FROM gr GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT substring(g, 3, 1)) AS vv FROM gr),
+    s AS (SELECT doc_id, -LN((c3 + 1.0) / (cn + 1.0 * vv)) AS nll
+          FROM gr JOIN tri USING (g)
+          JOIN cx ON substring(gr.g, 1, 2) = cxk
+          CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(EXP(AVG(nll)), 4) AS perplexity
+    FROM s GROUP BY doc_id
+    """,
+    doc="Character-trigram LM perplexity per document (operators/"
+    "corpus.py char_trigram_perplexity) — the CCNet/KenLM quality-"
+    "filter shape: train a smoothed trigram model on the corpus, "
+    "score each doc by the perplexity of its own characters; the "
+    "ranking tail is the gibberish/boilerplate to drop. Train and "
+    "score are one hash-checked query: two gram-keyed aggregates "
+    "build the LM, scoring joins are gram-keyed (LM broadcasts "
+    "while it fits), the final reduce is doc-keyed. The V scalar is "
+    "bounded by the alphabet (the kmeans bounded-driver-state "
+    "contract).",
+)
+def q_lm_perplexity_score(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.char_trigram_perplexity(d)
+
+
+@register(
     "bpe_encode_checksum",
     _bpe_chain(3)
     + """,

@@ -362,3 +362,35 @@ def test_pii_scrub_masks_and_counts(spark):
         "doc_id": 2, "scrubbed": "no pii here",
         "n_emails": 0, "n_phones": 0, "n_ips": 0,
     }
+
+
+def test_char_trigram_perplexity_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from pyspark_scd_spark.operators import corpus
+
+    rows = [(1, "ababab"), (2, "abcdef"), (3, "xy")]  # doc 3: no grams
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["perplexity"])
+        for r in corpus.char_trigram_perplexity(df).collect()
+    }
+    grams = {}
+    for i, t in rows:
+        t = t.lower()
+        grams[i] = [t[j : j + 3] for j in range(len(t) - 2)]
+    all_g = [g for gs in grams.values() for g in gs]
+    tri = Counter(all_g)
+    cx = Counter(g[:2] for g in all_g)
+    v = len({g[2] for g in all_g})
+    want = {}
+    for i, gs in grams.items():
+        if not gs:
+            continue
+        nll = [-math.log((tri[g] + 1.0) / (cx[g[:2]] + v)) for g in gs]
+        want[i] = (len(gs), round(math.exp(sum(nll) / len(nll)), 4))
+    assert set(got) == set(want) == {1, 2}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
