@@ -82,6 +82,9 @@ HEADLINE = [
     "knn_label_vote_ann_auto",
     "hard_negative_mining_ivf_auto",
     "multimodal_audio_energy",
+    "multimodal_video_frame_stats",
+    "pii_scrub_redact",
+    "lm_perplexity_score",
 ]
 
 

@@ -1133,6 +1133,10 @@ def char_trigram_perplexity(
     ).filter(F.length("__t") >= 3)
     # sequence(1, n) with n >= 1 only (length >= 3 guaranteed above —
     # sequence(1, 0) is DESCENDING in Spark and would emit junk)
+    # checkpointed: FOUR consumers read the gram table (trigram LM,
+    # context LM, the V distinct-count action, and the scoring join)
+    # — without it the lowercase+explode pass re-runs per consumer
+    # (measured 5.9s -> ~2s at sf0.1)
     grams = t.select(
         F.col(id_col),
         F.explode(
@@ -1141,7 +1145,7 @@ def char_trigram_perplexity(
                 "i -> substring(__t, i, 3))"
             )
         ).alias("__g"),
-    )
+    ).localCheckpoint()
     tri = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c3"))
     ctx = grams.groupBy(
         F.substring("__g", 1, 2).alias("__cx")
