@@ -85,6 +85,10 @@ HEADLINE = [
     "multimodal_video_frame_stats",
     "pii_scrub_redact",
     "lm_perplexity_score",
+    "dedup_paragraph_exact",
+    "bloom_decontaminate",
+    "tokenizer_fertility",
+    "train_holdout_split",
 ]
 
 

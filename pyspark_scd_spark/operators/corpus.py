@@ -24,7 +24,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark_scd_spark.functions import text as TXT
 
@@ -1162,4 +1162,249 @@ def char_trigram_perplexity(
             F.count(F.lit(1)).alias("n_grams"),
             F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_words: int = 16,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the Dolma/C4 intra-corpus stage:
+    duplicate paragraphs keep only their FIRST occurrence (min
+    (doc_id, position)); later copies are dropped from their documents
+    and the surviving text is reassembled. Catches the boilerplate
+    (headers, license blocks, navigation) that document-level dedup
+    misses because the surrounding text differs.
+
+    This corpus has no newline structure, so "paragraph" = consecutive
+    non-overlapping ``para_words``-token spans (the last span may be
+    short) — the span rule is the pluggable part; the dedup dataflow
+    is the operator.
+
+    Returns (id, n_paras, n_kept, kept_text_md5) — the md5 pins every
+    byte of the reassembled text.
+
+    Scale shape: two exchanges total. Spans stay in array land until
+    one posexplode; first-occurrence election is a single window over
+    the paragraph's md5 (fixed 32-char wire key — the full 128-bit
+    digest, so no collision can merge distinct paragraphs); the
+    doc-side reassembly is one doc-keyed aggregate. At 100 TB the
+    hash-partitioned window IS the canonical shape (same as
+    dedup_exact); the one-pass streaming alternative is a Bloom
+    filter over paragraph hashes (see bloom_decontaminate for that
+    device).
+    """
+    k = int(para_words)
+    toks_df = df.select(
+        F.col(id_col), TXT.tokens(text_col).alias("__toks")
+    )
+    # bind the token array BEFORE the span lambda (the CollapseProject
+    # re-inlining hazard — see decontaminate_report)
+    paras = toks_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__toks) / {k}.0) "
+                f"as int) - 1), i -> concat_ws(' ', slice(__toks, "
+                f"i * {k} + 1, {k})))"
+            )
+        ).alias("idx", "__para"),
+    )
+    w = Window.partitionBy(F.md5("__para")).orderBy(id_col, "idx")
+    ranked = paras.withColumn("__rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rk") == 1, F.struct(F.col("idx"), F.col("__para"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum((F.col("__rk") == 1).cast("long")).alias("n_kept"),
+            # collect_list skips the NULL structs of dropped spans;
+            # array_sort on (idx, para) structs restores text order
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["__para"],
+                    ),
+                )
+            ).alias("kept_text_md5"),
+        )
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the shape that replaces
+    decontaminate_report's broadcast gram SET when the eval suite is
+    large: the eval grams compress into an ``m_bits``-bit Bloom filter
+    (here 8 KB) that is CONSTANT-SIZE no matter how many benchmarks
+    are held out, and the training corpus probes it as a pure
+    scan-side projection — zero joins, zero shuffles on the corpus
+    until the final doc-keyed count. This is how decontamination runs
+    at 100 TB (Dolma's dedup/decontamination uses exactly this
+    device).
+
+    Bit positions are the 60-bit md5 of ``j:gram`` mod m for
+    j in 0..k−1 — engine-independent (DuckDB replays them bit-exactly)
+    and deterministic, so the false-positive set itself is part of the
+    checked contract, not noise. A gram is flagged iff all k bits are
+    set; with m=65536, k=3 and ~10k eval grams the FP rate is
+    (1−e^{−kn/m})^k ≈ 0.1%.
+
+    Returns one row per TRAINING doc:
+    (id, n_grams, n_flagged, is_flagged).
+
+    Driver state is the bitmap only (m/64 longs — bounded by the
+    constant m, the kmeans-centroid contract), shipped back into the
+    plan as an 8 KB array literal.
+    """
+    words = m_bits // 64
+
+    def _positions(gram_sql: str) -> list[str]:
+        return [
+            f"cast(conv(substr(md5(concat('{j}', ':', {gram_sql})), "
+            f"1, 15), 16, 10) as bigint) % {m_bits}"
+            for j in range(k_hashes)
+        ]
+
+    grams = df.select(
+        F.col(id_col),
+        eval_pred.alias("__is_eval"),
+        TXT.tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        "__is_eval",
+        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__gs"),
+    )
+    # eval side: tiny by design (benchmarks don't grow with the
+    # corpus); distinct bit positions collapse to <= m rows
+    pos_rows = (
+        grams.filter("__is_eval")
+        .select(
+            F.explode(
+                F.array(*[F.expr(p) for p in _positions("__gs")])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in pos_rows:
+        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # two's-complement fold into signed longs for the array literal
+    bitmap = [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
+    bm = F.array(*[F.lit(b) for b in bitmap])
+
+    def _bit_set(pos_sql: str) -> str:
+        return (
+            f"((element_at(__bm, cast(({pos_sql}) / 64 as int) + 1) "
+            f">> (({pos_sql}) % 64)) & 1) = 1"
+        )
+
+    flagged_pred = " AND ".join(_bit_set(p) for p in _positions("__gs"))
+    return (
+        grams.filter(~F.col("__is_eval"))
+        .withColumn("__bm", bm)
+        .withColumn("__hit", F.expr(flagged_pred))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("__hit").cast("long")).alias("n_flagged"),
+        )
+        .withColumn("is_flagged", F.col("n_flagged") > 0)
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per corpus slice: subword tokens per
+    whitespace word and bytes per subword — the standard check that a
+    tokenizer isn't pathologically fragmenting some language or source
+    (fertility >> 1.3 for a language means its text costs that many
+    times more sequence length per word). Uses the repo's
+    deterministic BPE-ish subword estimate (functions/text.py
+    subword_estimate).
+
+    One scan, one small-cardinality aggregate with map-side combine —
+    the fact side never shuffles more than the partial rows.
+    """
+    per_doc = df.select(
+        *group_cols,
+        TXT.token_count(text_col).cast("long").alias("__w"),
+        TXT.subword_estimate(text_col).alias("__s"),
+        F.length(text_col).cast("long").alias("__b"),
+    )
+    return (
+        per_doc.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__s").alias("n_subwords"),
+            F.round(F.sum("__s") / F.sum("__w"), 4).alias("fertility"),
+            F.round(F.sum("__b") / F.sum("__s"), 4).alias(
+                "bytes_per_subword"
+            ),
+        )
+    )
+
+
+def train_holdout_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    bounds: tuple[float, float] = (0.8, 0.9),
+) -> DataFrame:
+    """Deterministic train/val/test split + composition report — the
+    reproducible-split requirement: membership is the md5 32-bit
+    fraction of the document id (the temperature_sample device), so
+    the split is stable across engines, cluster sizes, runs, and
+    corpus growth (a doc never migrates when new docs arrive).
+
+    Returns one row per (split, source): n_docs, n_tokens,
+    share_of_split — the composition check that the holdouts aren't
+    accidentally skewed toward one source.
+
+    Scale: split assignment is a pure projection riding the scan; the
+    aggregate is (3 × n_sources) rows; the window over it is
+    driver-trivial.
+    """
+    lo, hi = bounds
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    tagged = df.select(
+        F.when(frac < lo, "train")
+        .when(frac < hi, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.col(source_col).alias("source"),
+        TXT.token_count(text_col).cast("long").alias("__t"),
+    )
+    agg = tagged.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+    )
+    w = Window.partitionBy("split")
+    return agg.withColumn(
+        "share_of_split",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4),
     )

@@ -9259,3 +9259,154 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
     return similarity.embedding_neardup_incremental_ivf(
         store, batch, threshold=0.3, k_cells=8, n_probe=2
     )
+
+
+@register(
+    "dedup_paragraph_exact",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, CAST(i.i AS INTEGER) AS idx,
+            array_to_string(
+              toks[(i.i * 16 + 1):(i.i * 16 + 16)], ' ') AS para
+          FROM t, LATERAL (SELECT unnest(range(0,
+            CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i) i),
+    r AS (SELECT doc_id, idx, para,
+            ROW_NUMBER() OVER (PARTITION BY md5(para)
+                               ORDER BY doc_id, idx) AS rk
+          FROM p)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+                                   ' ' ORDER BY idx), ''))
+             AS kept_text_md5
+    FROM r GROUP BY doc_id
+    """,
+    doc="Paragraph-level exact dedup (operators/corpus.py "
+    "paragraph_dedup) — the Dolma/C4 intra-corpus stage: duplicate "
+    "16-word spans keep only their first (doc_id, position) "
+    "occurrence; documents are reassembled from surviving spans and "
+    "the md5 pins every byte. First-occurrence election is ONE "
+    "window over the span's full md5 (fixed-width wire key, no "
+    "collision ambiguity); reassembly is one doc-keyed aggregate — "
+    "two exchanges total, document-level dedup's shape at paragraph "
+    "granularity.",
+)
+def q_dedup_paragraph_exact(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.paragraph_dedup(d, para_words=16)
+
+
+@register(
+    "bloom_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+                      {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, is_eval,
+            toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+              || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
+          FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    pos AS (SELECT doc_id, is_eval, gram, j.j AS j,
+              CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || gram),
+                    1, 15)) AS BIGINT) % 65536 AS p
+            FROM g, LATERAL (SELECT unnest(range(0, 3)) AS j) j),
+    bset AS (SELECT DISTINCT p FROM pos WHERE is_eval),
+    tr AS (SELECT pos.doc_id, pos.gram,
+                  CAST(COUNT(bset.p) AS INTEGER) AS hits
+           FROM pos LEFT JOIN bset USING (p)
+           WHERE NOT pos.is_eval GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) > 0 AS is_flagged
+    FROM tr GROUP BY doc_id
+    """,
+    doc="Bloom-filter 5-gram decontamination (operators/corpus.py "
+    "bloom_decontaminate): the eval set (doc_id%10=0) compresses to "
+    "a CONSTANT 8 KB bitmap (m=65536, k=3; positions are 60-bit md5 "
+    "of 'j:gram' mod m — engine-independent, so the deterministic "
+    "false-positive set is part of the checked contract) and the "
+    "training corpus probes it as a pure scan-side projection: zero "
+    "corpus joins, one doc-keyed count. The 100 TB replacement for "
+    "decontaminate_ngram's broadcast gram set when the held-out "
+    "suite is large.",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bloom_decontaminate(
+        d, eval_pred=(F.col("doc_id") % 10 == 0), n=5
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    WITH t AS (SELECT source, lang, length(text) AS b,
+                      {_TOKS_SQL} AS toks FROM documents),
+    d AS (SELECT source, lang, b,
+            CAST(len(toks) AS BIGINT) AS w,
+            CAST(list_sum(list_transform(toks,
+                 x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS s
+          FROM t)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(s) AS BIGINT) AS n_subwords,
+           ROUND(SUM(s) * 1.0 / SUM(w), 4) AS fertility,
+           ROUND(SUM(b) * 1.0 / SUM(s), 4) AS bytes_per_subword
+    FROM d GROUP BY source, lang
+    """,
+    doc="Tokenizer fertility per (source, lang) (operators/corpus.py "
+    "tokenizer_fertility): subwords per word and bytes per subword "
+    "under the deterministic BPE-ish estimate — the standard check "
+    "that no language/source pays a pathological sequence-length "
+    "premium. One scan + one small-cardinality aggregate with "
+    "map-side combine.",
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.tokenizer_fertility(d)
+
+
+@register(
+    "train_holdout_split",
+    f"""
+    WITH t AS (SELECT
+        CASE WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.8
+             THEN 'train'
+             WHEN CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.9
+             THEN 'val' ELSE 'test' END AS split,
+        source,
+        CAST(len({_TOKS_SQL}) AS BIGINT) AS w
+      FROM documents),
+    a AS (SELECT split, source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(w) AS BIGINT) AS n_tokens
+          FROM t GROUP BY split, source)
+    SELECT split, source, n_docs, n_tokens,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY split), 4)
+             AS share_of_split
+    FROM a
+    """,
+    doc="Deterministic train/val/test split + composition report "
+    "(operators/corpus.py train_holdout_split): membership by the "
+    "md5 32-bit fraction of doc_id (the temperature_sample device) "
+    "at 80/10/10 — stable across engines, runs, and corpus growth. "
+    "Split assignment rides the scan; the aggregate is (3 x "
+    "n_sources) rows.",
+)
+def q_train_holdout_split(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.train_holdout_split(d)

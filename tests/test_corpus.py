@@ -394,3 +394,89 @@ def test_char_trigram_perplexity_matches_python_reference(spark):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    # 4-word paragraphs. Doc 1's second span duplicates doc 0's first
+    # span, so doc 0 keeps both spans and doc 1 keeps only its first.
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x y z w a b c d"),
+        (2, "x y z w a b c d"),  # full duplicate of doc 1: keeps nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.paragraph_dedup(df, para_words=4).collect()
+    }
+    assert out[0]["n_paras"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 0
+    # reassembled survivor text is pinned byte-for-byte
+    import hashlib
+
+    assert out[0]["kept_text_md5"] == hashlib.md5(
+        b"a b c d e f g h"
+    ).hexdigest()
+    assert out[1]["kept_text_md5"] == hashlib.md5(b"x y z w").hexdigest()
+    assert out[2]["kept_text_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_bloom_decontaminate_flags_superset_of_exact(spark, sf_dir):
+    """Bloom membership can only ADD false positives: every doc the
+    exact broadcast-set report flags must be flagged by the filter,
+    and flagged gram counts dominate the exact overlap counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("doc_id") % 10 == 0
+    bloom = {
+        r["doc_id"]: r
+        for r in corpus.bloom_decontaminate(docs, pred, n=5).collect()
+    }
+    exact = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_report(docs, pred, n=5).collect()
+    }
+    # decontaminate_report counts gram INSTANCES over distinct-per-doc
+    # grams, same universe as bloom's n_flagged upper bound
+    assert set(exact) <= {d for d, r in bloom.items() if r["is_flagged"]}
+    for d, r in exact.items():
+        assert bloom[d]["n_flagged"] >= r["n_overlap_grams"]
+
+
+def test_tokenizer_fertility_values(spark):
+    rows = [
+        (0, "aaaa bb", "s1", "en"),   # words 2, subwords 1+1=2, bytes 7
+        (1, "aaaaa", "s1", "en"),     # words 1, subwords 2, bytes 5
+        (2, "cc dd", "s2", "fr"),     # words 2, subwords 2, bytes 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    out = {
+        (r["source"], r["lang"]): r
+        for r in corpus.tokenizer_fertility(df).collect()
+    }
+    s1 = out[("s1", "en")]
+    assert s1["n_docs"] == 2 and s1["n_words"] == 3 and s1["n_subwords"] == 4
+    assert s1["fertility"] == round(4 / 3, 4)
+    assert s1["bytes_per_subword"] == round(12 / 4, 4)
+    assert out[("s2", "fr")]["fertility"] == 1.0
+
+
+def test_train_holdout_split_partitions_and_shares(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.train_holdout_split(docs).collect()
+    splits = {r["split"] for r in out}
+    assert splits <= {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in out)
+    assert total == docs.count()
+    # ~80/10/10 by construction of the md5 fraction (loose bounds)
+    by_split = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert by_split["train"] / total > 0.7
+    # shares within each split sum to ~1
+    for s in splits:
+        share = sum(r["share_of_split"] for r in out if r["split"] == s)
+        assert abs(share - 1.0) < 0.01
+    # determinism: same assignment on re-run
+    again = corpus.train_holdout_split(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
