@@ -89,6 +89,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "tokenizer_fertility",
     "train_holdout_split",
+    "quality_classifier_scores",
 ]
 
 

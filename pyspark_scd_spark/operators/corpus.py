@@ -1408,3 +1408,80 @@ def train_holdout_split(
         "share_of_split",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4),
     )
+
+
+def quality_classifier_train(
+    df: DataFrame,
+    label_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_steps: int = 3,
+    lr: float = 0.5,
+) -> tuple[DataFrame, list[float]]:
+    """Train a linear quality classifier by full-batch logistic
+    gradient descent and score every document — the fastText-style
+    quality-classifier stage (GPT-3's WebText-vs-CommonCrawl filter,
+    CCNet's LM+classifier combo): features are the repo's
+    deterministic text signals (length score, lexical diversity,
+    digit ratio + bias), the label is ``label_pred``, and training is
+    ``n_steps`` of full-batch GD from w=0.
+
+    Returns (scored DataFrame (id, label, score, predicted), final
+    weights).
+
+    Distributed shape: each GD step is ONE scan-side projection + ONE
+    4-value aggregate (map-side combined) — at 100 TB a step is a
+    single pass with a scalar result, and the weights (d+1 floats,
+    the kmeans bounded-driver-state contract) broadcast back inside
+    the next step's expression. No instance-level shuffle ever.
+
+    Determinism across engines: the per-step GRADIENT is rounded
+    in-engine at 9 decimals (absorbing libm-exp ulp and
+    summation-order noise, both ~1e-13 relative, far under the 1e-9
+    quantum), and the weight update w - lr*g is single IEEE ops —
+    bit-exact in any engine — so the whole weight trajectory replays
+    identically in the unrolled-CTE SQL oracle.
+    """
+    n_tok = TXT.token_count(text_col).cast("double")
+    diversity = F.when(
+        n_tok > 0, TXT.distinct_token_count(text_col) / n_tok
+    ).otherwise(F.lit(0.0))
+    feats = df.select(
+        F.col(id_col),
+        label_pred.cast("int").alias("__y"),
+        F.lit(1.0).alias("__x0"),
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)).alias("__x1"),
+        diversity.alias("__x2"),
+        TXT.digit_ratio(text_col).alias("__x3"),
+    ).localCheckpoint()  # read n_steps+1 times; compute features once
+
+    dims = 4
+    w = [0.0] * dims
+
+    def _p() -> Column:
+        z = sum(
+            (F.lit(w[k]) * F.col(f"__x{k}") for k in range(dims)),
+            F.lit(0.0),
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    for _ in range(n_steps):
+        p = _p()
+        grad = feats.agg(
+            *[
+                F.round(
+                    F.avg((p - F.col("__y")) * F.col(f"__x{k}")), 9
+                ).alias(f"g{k}")
+                for k in range(dims)
+            ]
+        ).collect()[0]
+        w = [w[k] - lr * grad[f"g{k}"] for k in range(dims)]
+
+    score = F.round(_p(), 4)
+    scored = feats.select(
+        F.col(id_col),
+        F.col("__y").alias("label"),
+        score.alias("score"),
+        (score >= 0.5).alias("predicted"),
+    )
+    return scored, w

@@ -9410,3 +9410,92 @@ def q_train_holdout_split(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.train_holdout_split(d)
+
+
+def _logreg_oracle(n_steps: int = 3, lr: float = 0.5) -> str:
+    """Unrolled-CTE twin of quality_classifier_train: one (g_i, w_i)
+    CTE pair per GD step. The 9dp in-engine gradient rounding plus
+    IEEE-exact weight updates make the whole trajectory replayable."""
+    dims = 4
+    xs = [f"x{k}" for k in range(dims)]
+
+    def z(w_alias: str | None) -> str:
+        if w_alias is None:  # w = 0 at step 1
+            return " + ".join(f"0.0 * {x}" for x in xs)
+        return " + ".join(f"{w_alias}.w{k} * x{k}" for k in range(dims))
+
+    def grads(w_alias: str | None) -> str:
+        p = f"1.0 / (1.0 + EXP(-({z(w_alias)})))"
+        return ", ".join(
+            f"ROUND(AVG(({p} - y) * {x}), 9) AS g{k}"
+            for k, x in enumerate(xs)
+        )
+
+    ctes = [
+        f"""
+    f AS (SELECT doc_id,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+            1.0 AS x0,
+            LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS x1,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END AS x2,
+            CASE WHEN length(text) > 0
+                 THEN (length(text)
+                       - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      * 1.0 / length(text)
+                 ELSE 0.0 END AS x3
+          FROM t)"""
+    ]
+    prev = None
+    for s in range(1, n_steps + 1):
+        ctes.append(f"g{s} AS (SELECT {grads(prev)} FROM f"
+                    + (f" CROSS JOIN w{s-1} {prev}" if prev else "")
+                    + ")")
+        upd = ", ".join(
+            (f"{prev}.w{k} - {lr} * g{s}.g{k} AS w{k}" if prev
+             else f"0.0 - {lr} * g{s}.g{k} AS w{k}")
+            for k in range(dims)
+        )
+        ctes.append(f"w{s} AS (SELECT {upd} FROM g{s}"
+                    + (f" CROSS JOIN w{s-1} {prev}" if prev else "")
+                    + ")")
+        prev = "w"
+    p_final = f"1.0 / (1.0 + EXP(-({z('w')})))"
+    return (
+        f"WITH t AS (SELECT doc_id, text, lang, {_TOKS_SQL} AS toks "
+        "FROM documents),\n"
+        + ",\n".join(ctes)
+        + f"""
+    SELECT f.doc_id, f.y AS label,
+           ROUND({p_final}, 4) AS score,
+           ROUND({p_final}, 4) >= 0.5 AS predicted
+    FROM f CROSS JOIN w{n_steps} w
+    """
+    )
+
+
+@register(
+    "quality_classifier_scores",
+    _logreg_oracle(n_steps=3, lr=0.5),
+    doc="Linear quality classifier trained by full-batch logistic GD "
+    "and applied to the corpus (operators/corpus.py "
+    "quality_classifier_train) — the fastText/WebText-classifier "
+    "corpus-prep stage as one hash-checked lifecycle. Each GD step "
+    "is ONE scan + ONE 4-value aggregate (map-side combined); the "
+    "weights (d+1 floats, bounded driver state) ride back inside "
+    "the next step's expression — no instance-level shuffle at any "
+    "scale. Cross-engine determinism: gradients round in-engine at "
+    "9dp (libm-exp ulp and summation-order noise are ~1e-13), weight "
+    "updates are single IEEE ops, so the oracle's unrolled (g_i, "
+    "w_i) CTE chain replays the trajectory bit-exactly.",
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    scored, _w = corpus.quality_classifier_train(
+        d, label_pred=(F.col("lang") == "en"), n_steps=3, lr=0.5
+    )
+    return scored

@@ -480,3 +480,59 @@ def test_train_holdout_split_partitions_and_shares(spark, sf_dir):
     # determinism: same assignment on re-run
     again = corpus.train_holdout_split(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    import math
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "le chat 123 456 789 000 111 222", "fr"),
+        (2, "one two three four five six seven one one", "en"),
+        (3, "9999 8888 7777 6666", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    scored, w = corpus.quality_classifier_train(
+        df, label_pred=(F.col("lang") == "en"), n_steps=2, lr=0.5
+    )
+    out = {r["doc_id"]: r for r in scored.collect()}
+
+    # Python brute force with the same determinism contract:
+    # 9dp-rounded gradients (half-up like the engines' ROUND), exact
+    # IEEE weight updates.
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r9(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    feats = []
+    for _, text, lang in rows:
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if t]
+        n = float(len(toks))
+        x = [
+            1.0,
+            min(1.0, n / 100.0),
+            (len(set(toks)) / n) if n else 0.0,
+            sum(c.isdigit() for c in text) / len(text),
+        ]
+        feats.append((1 if lang == "en" else 0, x))
+    ww = [0.0] * 4
+    for _ in range(2):
+        gs = []
+        for k in range(4):
+            tot = 0.0
+            for y, x in feats:
+                z = sum(ww[j] * x[j] for j in range(4))
+                tot += (1.0 / (1.0 + math.exp(-z)) - y) * x[k]
+            gs.append(r9(tot / len(feats)))
+        ww = [ww[k] - 0.5 * gs[k] for k in range(4)]
+    assert w == pytest.approx(ww, abs=1e-12)
+    for (doc_id, _, lang), (y, x) in zip(rows, feats):
+        z = sum(ww[j] * x[j] for j in range(4))
+        p = round(1.0 / (1.0 + math.exp(-z)), 4)
+        assert out[doc_id]["score"] == pytest.approx(p, abs=2e-4)
+        assert out[doc_id]["label"] == y
