@@ -1129,3 +1129,156 @@ def incremental_cluster_assign(
             F.col("__cluster").isNull().alias("is_new_cluster"),
         )
     )
+
+
+MINHASH_P = 2147483647  # 2^31 − 1, prime
+
+
+def minhash_universal_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod MINHASH_P — LCG-derived so Spark
+    builders and SQL oracle generators interpolate identical
+    literals. a_i is kept nonzero."""
+    out = []
+    for i in range(1, k + 1):
+        a = (1103515245 * i + 12345) % MINHASH_P or 1
+        b = (2654435761 * i) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Measured-vs-theoretical recall of a banded MinHash LSH config
+    against the exact Jaccard tier — the tuning artifact you produce
+    BEFORE committing a (bands × rows) config to a 100 TB dedup run.
+
+    Unlike the production ``minhash_lsh_pairs`` (xxhash64 family,
+    whose oracle is the recall-1-by-construction equivalence
+    argument), the hash family here is the 60-bit md5 of ``'i:' ||
+    shingle`` — replayable bit-exactly by any engine with md5 — and
+    the config is deliberately WEAK (the registered form is 16
+    hashes as 2 bands × 8 rows: expected recall is ≈0.47 at j=0.85
+    and ≈0.89 at j=0.95), so the report exercises real misses, not a
+    vacuous all-1 column.
+
+    Per jaccard decile of the exact-pair set: (band_lo = ⌊10·j⌋,
+    n_pairs, n_caught, recall, expected_recall) where expected_recall
+    evaluates 1−(1−m^r)^b at the decile midpoint.
+
+    Scale shape: the k min-hashes are k map-side-combined MIN
+    aggregates over the (doc, shingle) rows — ONE exchange, no row
+    multiplication by k; band rows multiply only at doc granularity
+    (b per doc); candidates come from the band-key equi-join. The
+    exact tier reuses ngram_jaccard_pairs (inverted index +
+    identical-set collapse). The report joins pair-keyed relations —
+    both co-partition on (doc_a, doc_b).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    toks = df.select(
+        F.col(id_col).alias("__id"), TXT.tokens(text_col).alias("__toks")
+    )
+    # string shingles here (not _shingles' xxhash64): the md5 hash
+    # family must see byte-identical inputs in both engines
+    sh = (
+        toks.select(
+            "__id",
+            F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
+        )
+        .distinct()
+    )
+
+    # ONE md5 per shingle row, then k derivations from the universal
+    # family h_i = (a_i*h0 + b_i) mod p (p = 2^31−1; constants from
+    # minhash_universal_constants, the same formula the oracle
+    # generator interpolates). 16 independent md5+conv calls per row
+    # were the stage wall (4.5s -> ~1s at sf0.1); products stay under
+    # 2^62 so the modular arithmetic is overflow-free BIGINT in both
+    # engines.
+    hashed = sh.select(
+        "__id",
+        F.expr(
+            "cast(conv(substr(md5(__s), 1, 15), 16, 10) as bigint) "
+            f"% {MINHASH_P}"
+        ).alias("__h0"),
+    )
+    consts = minhash_universal_constants(num_hashes)
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("__h0") + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    band_rows = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(
+                                f"__m{b * rows_per_band + r}"
+                            ).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b", "__sig"),
+        # materialized: the candidate self-join reads it twice, and
+        # without the checkpoint each leg re-runs the whole
+        # shingle+signature pipeline (measured ~2x the stage cost)
+    ).localCheckpoint()
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["__b", "__sig"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("doc_a"), F.col("y.__id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    j = exact.join(
+        cand.withColumn("__c", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    band_lo = F.floor(F.col("jaccard") * 10).cast("int")
+    mid = F.least(F.col("band_lo") / 10.0 + 0.05, F.lit(1.0))
+    return (
+        j.groupBy(band_lo.alias("band_lo"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("long").alias(
+                "n_caught"
+            ),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_caught") / F.col("n_pairs"), 4)
+        )
+        .withColumn(
+            "expected_recall",
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(mid, F.lit(rows_per_band)),
+                    F.lit(bands),
+                ),
+                4,
+            ),
+        )
+    )

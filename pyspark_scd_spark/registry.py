@@ -9499,3 +9499,90 @@ def q_quality_classifier_scores(spark, sf_dir):
         d, label_pred=(F.col("lang") == "en"), n_steps=3, lr=0.5
     )
     return scored
+
+
+def _minhash_recall_oracle(
+    n_hashes: int = 16, bands: int = 2, rpb: int = 8
+) -> str:
+    from pyspark_scd_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_universal_constants,
+    )
+
+    consts = minhash_universal_constants(n_hashes)
+    mins = ", ".join(
+        f"MIN(({a} * h0 + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN "
+        + " || ':' || ".join(
+            f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS s
+           FROM docs,
+           LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    hx AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+               % {MINHASH_P} AS h0
+           FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    br AS (SELECT doc_id, CAST(b.b AS INTEGER) AS b,
+             CASE b.b {band_case} END AS bsig
+           FROM sig, LATERAL (SELECT unnest(range(0, {bands})) AS b) b),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM br x JOIN br y
+               ON x.b = y.b AND x.bsig = y.bsig
+                  AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    ex AS (SELECT doc_a, doc_b,
+             ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    flg AS (SELECT ex.jaccard,
+              CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+            FROM ex LEFT JOIN cand c USING (doc_a, doc_b)),
+    g AS (SELECT CAST(floor(jaccard * 10) AS INTEGER) AS band_lo,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(caught) AS BIGINT) AS n_caught
+          FROM flg GROUP BY 1)
+    SELECT band_lo, n_pairs, n_caught,
+           ROUND(n_caught * 1.0 / n_pairs, 4) AS recall,
+           ROUND(1.0 - POWER(1.0 - POWER(
+             LEAST(band_lo / 10.0 + 0.05, 1.0), {rpb}), {bands}), 4)
+             AS expected_recall
+    FROM g
+    """
+
+
+@register(
+    "minhash_recall_report",
+    _minhash_recall_oracle(),
+    doc="Measured-vs-theoretical MinHash LSH recall per jaccard "
+    "decile (operators/dedup.py minhash_recall_report) — the tuning "
+    "artifact before committing a (bands x rows) config at scale. "
+    "Hash family is the 60-bit md5 of 'i:shingle', replayed "
+    "bit-exactly by the oracle (upgrading MinHash banding itself "
+    "from the production entry's recall-1 equivalence argument to a "
+    "hash-checked replay), and the config is deliberately weak "
+    "(16 hashes, 2 bands x 8 rows) so real misses are exercised. The k min-hashes "
+    "are k map-side-combined MIN aggregates - one exchange, no "
+    "(doc, shingle) row multiplication by k.",
+)
+def q_minhash_recall_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_recall_report(
+        d, n=3, threshold=0.5, num_hashes=16, bands=2
+    )

@@ -536,3 +536,39 @@ def test_quality_classifier_matches_python_reference(spark):
         p = round(1.0 / (1.0 + math.exp(-z)), 4)
         assert out[doc_id]["score"] == pytest.approx(p, abs=2e-4)
         assert out[doc_id]["label"] == y
+
+
+def test_minhash_recall_report_invariants(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = dedup.minhash_recall_report(
+        docs, n=3, threshold=0.5, num_hashes=16, bands=2
+    ).collect()
+    assert rows, "corpus has near-dup pairs; report must be non-empty"
+    for r in rows:
+        assert 5 <= r["band_lo"] <= 10
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 <= r["expected_recall"] <= 1.0
+    # the totals must account for every exact pair
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+    assert sum(r["n_pairs"] for r in rows) == exact
+    # identical documents (j = 1.0) can never be missed: identical
+    # shingle sets give identical signatures in every band
+    top = [r for r in rows if r["band_lo"] == 10]
+    for r in top:
+        assert r["recall"] == 1.0
+
+
+def test_minhash_universal_constants_deterministic():
+    from pyspark_scd_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_universal_constants,
+    )
+
+    c1 = minhash_universal_constants(16)
+    c2 = minhash_universal_constants(16)
+    assert c1 == c2 and len(set(c1)) == 16
+    for a, b in c1:
+        assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
