@@ -133,6 +133,14 @@ X10_HEAVY = [
     # directed audits under auto_planes / auto_cells
     "knn_label_vote_ann_auto",
     "hard_negative_mining_ivf_auto",
+    # the round-6 corpus-prep family: all scan-shaped by design
+    # (gram-keyed aggregates, scan-side Bloom probe, one window +
+    # one aggregate, per-step 4-value aggregates) — benched at x10
+    # to pin the ~linear growth the docstrings claim
+    "lm_perplexity_score",
+    "dedup_paragraph_exact",
+    "bloom_decontaminate",
+    "quality_classifier_scores",
 ]
 
 
