@@ -256,3 +256,33 @@ def test_stratified_sample_window_group_limit(spark, sf_dir):
     )
     plan = explain.physical_plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_paragraph_dedup_two_exchanges(spark, sf_dir):
+    """dedup_paragraph_exact commits to exactly two data exchanges:
+    the span-md5 window and the doc-keyed reassembly aggregate."""
+    df = REGISTRY["dedup_paragraph_exact"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 2, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_decontaminate_corpus_never_joins(spark, sf_dir):
+    """The training-corpus probe is a pure scan-side projection: the
+    bitmap is a literal array, so the plan has NO join of any kind and
+    only the final doc-keyed aggregate exchanges."""
+    df = REGISTRY["bloom_decontaminate"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Join" not in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_quality_classifier_scoring_is_pure_map(spark, sf_dir):
+    """After training, scoring rides the checkpointed feature scan:
+    no exchange, no join in the returned plan."""
+    df = REGISTRY["quality_classifier_scores"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
