@@ -1237,6 +1237,124 @@ def paragraph_dedup(
     )
 
 
+def bloom_bitmap(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> list[int]:
+    """Build the eval-set Bloom bitmap: m_bits bits as m/64 signed
+    longs. Bit positions are the 60-bit md5 of ``j:gram`` mod m for
+    j in 0..k−1 — engine-independent (DuckDB replays them bit-exactly)
+    and deterministic, so the false-positive set is part of the
+    checked contract, not noise. Driver state is the bitmap only
+    (bounded by the constant m — the kmeans-centroid contract)."""
+    words = m_bits // 64
+    toks_df = eval_df.select(TXT.tokens(text_col).alias("__toks"))
+    grams = toks_df.select(
+        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__gs")
+    )
+    pos_rows = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col("__gs"), j, m_bits)
+                        for j in range(k_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in pos_rows:
+        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # two's-complement fold into signed longs for the array literal
+    return [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
+
+
+def _bloom_pos(gram: Column, j: int, m_bits: int) -> Column:
+    """Position of hash j for a gram: 60-bit md5 of 'j:gram' mod m —
+    identical in Spark and DuckDB."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % m_bits
+    )
+
+
+# 2^k for k in 0..63 as signed longs (2^63 wraps negative): bit tests
+# use (word & POW[k]) != 0, avoiding per-element variable shifts that
+# the Column API cannot express inside a lambda.
+_BLOOM_POWS = [
+    (1 << k) if k < 63 else -(1 << 63) for k in range(64)
+]
+
+
+def bloom_probe_projection(
+    df: DataFrame,
+    bitmap: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Scan-side Bloom probe: per document, how many of its distinct
+    word n-grams have all k bits set in ``bitmap``. A PURE PROJECTION
+    — no join, no aggregate, no shuffle — so it applies unchanged to
+    a batch scan or a streaming micro-batch. The bitmap and the
+    bit-mask table enter as foldable array literals (constant-folded
+    once, not built per row).
+
+    Returns (id, n_grams, n_flagged, is_flagged).
+    """
+    bm = F.array(*[F.lit(b) for b in bitmap])
+    pows = F.array(*[F.lit(v) for v in _BLOOM_POWS])
+
+    def _bit_set(gram: Column, j: int) -> Column:
+        pos = _bloom_pos(gram, j, m_bits)
+        word = F.element_at(
+            F.col("__bm"), (pos / 64).cast("int") + 1
+        )
+        mask = F.element_at(
+            F.col("__pows"), (pos % 64).cast("int") + 1
+        )
+        return word.bitwiseAND(mask) != 0
+
+    def _hit(gram: Column) -> Column:
+        cond = _bit_set(gram, 0)
+        for j in range(1, k_hashes):
+            cond = cond & _bit_set(gram, j)
+        return cond
+
+    return (
+        df.select(
+            F.col(id_col), TXT.tokens(text_col).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            TXT.word_shingles(F.col("__toks"), n).alias("__gs"),
+        )
+        .withColumn("__bm", bm)
+        .withColumn("__pows", pows)
+        .select(
+            F.col(id_col),
+            F.size("__gs").cast("long").alias("n_grams"),
+            F.size(F.filter(F.col("__gs"), _hit))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .withColumn("is_flagged", F.col("n_flagged") > 0)
+    )
+
+
 def bloom_decontaminate(
     df: DataFrame,
     eval_pred: Column,
@@ -1251,79 +1369,24 @@ def bloom_decontaminate(
     large: the eval grams compress into an ``m_bits``-bit Bloom filter
     (here 8 KB) that is CONSTANT-SIZE no matter how many benchmarks
     are held out, and the training corpus probes it as a pure
-    scan-side projection — zero joins, zero shuffles on the corpus
-    until the final doc-keyed count. This is how decontamination runs
-    at 100 TB (Dolma's dedup/decontamination uses exactly this
-    device).
+    scan-side projection (``bloom_probe_projection``) — zero joins,
+    zero shuffles, zero aggregates on the corpus. This is how
+    decontamination runs at 100 TB (Dolma's dedup/decontamination
+    uses exactly this device), and the projection applies unchanged
+    to a streaming micro-batch (``stream_bloom_decontaminate``).
 
-    Bit positions are the 60-bit md5 of ``j:gram`` mod m for
-    j in 0..k−1 — engine-independent (DuckDB replays them bit-exactly)
-    and deterministic, so the false-positive set itself is part of the
-    checked contract, not noise. A gram is flagged iff all k bits are
-    set; with m=65536, k=3 and ~10k eval grams the FP rate is
-    (1−e^{−kn/m})^k ≈ 0.1%.
+    A gram is flagged iff all k bits are set; with m=65536, k=3 and
+    ~10k eval grams the FP rate is (1−e^{−kn/m})^k ≈ 0.1%.
 
     Returns one row per TRAINING doc:
     (id, n_grams, n_flagged, is_flagged).
-
-    Driver state is the bitmap only (m/64 longs — bounded by the
-    constant m, the kmeans-centroid contract), shipped back into the
-    plan as an 8 KB array literal.
     """
-    words = m_bits // 64
-
-    def _positions(gram_sql: str) -> list[str]:
-        return [
-            f"cast(conv(substr(md5(concat('{j}', ':', {gram_sql})), "
-            f"1, 15), 16, 10) as bigint) % {m_bits}"
-            for j in range(k_hashes)
-        ]
-
-    grams = df.select(
-        F.col(id_col),
-        eval_pred.alias("__is_eval"),
-        TXT.tokens(text_col).alias("__toks"),
-    ).select(
-        F.col(id_col),
-        "__is_eval",
-        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__gs"),
+    bitmap = bloom_bitmap(
+        df.filter(eval_pred), text_col, n, m_bits, k_hashes
     )
-    # eval side: tiny by design (benchmarks don't grow with the
-    # corpus); distinct bit positions collapse to <= m rows
-    pos_rows = (
-        grams.filter("__is_eval")
-        .select(
-            F.explode(
-                F.array(*[F.expr(p) for p in _positions("__gs")])
-            ).alias("p")
-        )
-        .distinct()
-        .collect()
-    )
-    bitmap = [0] * words
-    for r in pos_rows:
-        bitmap[r["p"] // 64] |= 1 << (r["p"] % 64)
-    # two's-complement fold into signed longs for the array literal
-    bitmap = [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
-    bm = F.array(*[F.lit(b) for b in bitmap])
-
-    def _bit_set(pos_sql: str) -> str:
-        return (
-            f"((element_at(__bm, cast(({pos_sql}) / 64 as int) + 1) "
-            f">> (({pos_sql}) % 64)) & 1) = 1"
-        )
-
-    flagged_pred = " AND ".join(_bit_set(p) for p in _positions("__gs"))
-    return (
-        grams.filter(~F.col("__is_eval"))
-        .withColumn("__bm", bm)
-        .withColumn("__hit", F.expr(flagged_pred))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.col("__hit").cast("long")).alias("n_flagged"),
-        )
-        .withColumn("is_flagged", F.col("n_flagged") > 0)
+    return bloom_probe_projection(
+        df.filter(~eval_pred), bitmap, id_col, text_col, n, m_bits,
+        k_hashes,
     )
 
 

@@ -9300,9 +9300,7 @@ def q_dedup_paragraph_exact(spark, sf_dir):
     return corpus.paragraph_dedup(d, para_words=16)
 
 
-@register(
-    "bloom_decontaminate",
-    f"""
+_BLOOM_SQL = f"""
     WITH t AS (SELECT doc_id, doc_id % 10 = 0 AS is_eval,
                       {_TOKS_SQL} AS toks FROM documents),
     g AS (SELECT DISTINCT doc_id, is_eval,
@@ -9324,14 +9322,19 @@ def q_dedup_paragraph_exact(spark, sf_dir):
              AS n_flagged,
            SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) > 0 AS is_flagged
     FROM tr GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "bloom_decontaminate",
+    _BLOOM_SQL,
     doc="Bloom-filter 5-gram decontamination (operators/corpus.py "
     "bloom_decontaminate): the eval set (doc_id%10=0) compresses to "
     "a CONSTANT 8 KB bitmap (m=65536, k=3; positions are 60-bit md5 "
     "of 'j:gram' mod m — engine-independent, so the deterministic "
     "false-positive set is part of the checked contract) and the "
-    "training corpus probes it as a pure scan-side projection: zero "
-    "corpus joins, one doc-keyed count. The 100 TB replacement for "
+    "training corpus probes it as a PURE scan-side projection: zero "
+    "joins, zero aggregates, zero exchanges (plan-pinned). The 100 TB replacement for "
     "decontaminate_ngram's broadcast gram set when the held-out "
     "suite is large.",
 )
@@ -9586,3 +9589,33 @@ def q_minhash_recall_report(spark, sf_dir):
     return dedup.minhash_recall_report(
         d, n=3, threshold=0.5, num_hashes=16, bands=2
     )
+
+
+@register(
+    "stream_bloom_decontaminate",
+    _BLOOM_SQL,
+    doc="STREAMING Bloom decontamination (operators/corpus.py "
+    "bloom_probe_projection over a file stream): the deployment "
+    "shape — a static 8 KB eval bitmap built batch-side filters the "
+    "incoming corpus per micro-batch. Because the probe is a pure "
+    "stateless projection (no watermark, no state store, no "
+    "aggregation), append mode is exact and output is independent "
+    "of micro-batch boundaries; the oracle is the identical batch "
+    "SQL.",
+)
+def q_stream_bloom_decontaminate(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    bitmap = corpus.bloom_bitmap(
+        d.filter(F.col("doc_id") % 10 == 0), n=5
+    )
+
+    def train_docs(df):
+        return df.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id", "text"
+        )
+
+    src = _stream_source(spark, sf_dir, "documents", prepare=train_docs)
+    out = corpus.bloom_probe_projection(src, bitmap, n=5)
+    return _run_stream_to_batch(out)
