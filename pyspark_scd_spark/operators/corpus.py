@@ -1548,3 +1548,141 @@ def quality_classifier_train(
         (score >= 0.5).alias("predicted"),
     )
     return scored, w
+
+
+def preference_bt_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_steps: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Bradley–Terry preference aggregation — the RLHF/arena shape:
+    pairwise comparisons between items from competing sources are
+    aggregated into per-source strength parameters θ_s by full-batch
+    gradient ascent on the BT log-likelihood (one GD step:
+    θ_w += lr·(1−σ(θ_w−θ_l)), θ_l −= the same residual). The demo
+    pairing is deterministic (doc 2k vs 2k+1, winner = higher
+    quality_score, ties to the left), so the whole
+    comparisons→ranking lifecycle is one hash-checked query.
+
+    Returns one row per source: (source, theta, n_matches, n_wins).
+
+    Scale shape: unlike quality_classifier_train's scalar weights,
+    the parameters here are a TABLE (one row per source) that never
+    touches the driver — each step broadcasts the θ table onto the
+    match relation twice (winner/loser legs), explodes each match
+    into two signed residual rows, and aggregates per source
+    (map-side combined). Matches are localCheckpointed once; the θ
+    table is checkpointed per step (it is |sources| rows, so the
+    materialization is trivial while cutting the iterative-join
+    lineage).
+
+    Determinism: per-source residual means round in-engine at 9dp;
+    θ updates are single IEEE ops — the oracle's unrolled (g_i, w_i)
+    CTE chain with JOIN-based θ lookups replays the trajectory
+    bit-exactly (the quality_classifier_train contract, extended
+    from scalars to keyed parameters).
+    """
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+        TXT.quality_score(text_col).alias("__q"),
+    )
+    a = q.filter(F.col("__id") % 2 == 0).select(
+        F.col("__id").alias("__pair"),
+        F.col("__src").alias("__sa"),
+        F.col("__q").alias("__qa"),
+    )
+    b = q.filter(F.col("__id") % 2 == 1).select(
+        (F.col("__id") - 1).alias("__pair"),
+        F.col("__src").alias("__sb"),
+        F.col("__q").alias("__qb"),
+    )
+    win = F.col("__qa") >= F.col("__qb")
+    m = (
+        a.join(b, "__pair")
+        .select(
+            F.when(win, F.col("__sa")).otherwise(F.col("__sb")).alias(
+                "winner"
+            ),
+            F.when(win, F.col("__sb")).otherwise(F.col("__sa")).alias(
+                "loser"
+            ),
+        )
+        .localCheckpoint()
+    )
+    w = (
+        m.select(F.col("winner").alias("source"))
+        .union(m.select(F.col("loser").alias("source")))
+        .distinct()
+        .withColumn("theta", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for _ in range(n_steps):
+        j = (
+            m.join(
+                F.broadcast(
+                    w.select(
+                        F.col("source").alias("winner"),
+                        F.col("theta").alias("__tw"),
+                    )
+                ),
+                "winner",
+            )
+            .join(
+                F.broadcast(
+                    w.select(
+                        F.col("source").alias("loser"),
+                        F.col("theta").alias("__tl"),
+                    )
+                ),
+                "loser",
+            )
+        )
+        r = F.lit(1.0) - (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("__tw") - F.col("__tl"))))
+        )
+        rows = j.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("winner").alias("source"), r.alias("__r")
+                    ),
+                    F.struct(
+                        F.col("loser").alias("source"),
+                        (-r).alias("__r"),
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.source", "__e.__r")
+        g = rows.groupBy("source").agg(
+            F.round(F.avg("__r"), 9).alias("__g")
+        )
+        w = (
+            w.join(g, "source")
+            .select(
+                "source",
+                (F.col("theta") + F.lit(lr) * F.col("__g")).alias(
+                    "theta"
+                ),
+            )
+            .localCheckpoint()
+        )
+    stats = (
+        m.select(F.col("winner").alias("source"), F.lit(1).alias("__w"))
+        .union(m.select(F.col("loser").alias("source"), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.sum("__w").cast("long").alias("n_wins"),
+        )
+    )
+    return w.join(stats, "source").select(
+        "source",
+        F.round("theta", 4).alias("theta"),
+        "n_matches",
+        "n_wins",
+    )

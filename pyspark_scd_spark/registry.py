@@ -9619,3 +9619,81 @@ def q_stream_bloom_decontaminate(spark, sf_dir):
     src = _stream_source(spark, sf_dir, "documents", prepare=train_docs)
     out = corpus.bloom_probe_projection(src, bitmap, n=5)
     return _run_stream_to_batch(out)
+
+
+def _bt_oracle(n_steps: int = 3, lr: float = 0.5) -> str:
+    """Unrolled Bradley–Terry GD oracle: per step a residual CTE
+    (JOIN-based θ lookups), a 9dp-rounded per-source gradient CTE,
+    and a θ-update CTE — the quality_classifier_train replay
+    contract extended from scalar weights to keyed parameters."""
+    steps = []
+    for i in range(1, n_steps + 1):
+        prev = f"w{i-1}"
+        steps.append(f"""
+    r{i} AS (SELECT m.winner, m.loser,
+          1.0 - 1.0 / (1.0 + EXP(-(wa.theta - wl.theta))) AS r
+        FROM m JOIN {prev} wa ON wa.source = m.winner
+               JOIN {prev} wl ON wl.source = m.loser),
+    g{i} AS (SELECT source, ROUND(AVG(r), 9) AS g FROM (
+          SELECT winner AS source, r FROM r{i}
+          UNION ALL SELECT loser AS source, -r AS r FROM r{i}) u
+        GROUP BY source),
+    w{i} AS (SELECT {prev}.source, {prev}.theta + {lr} * g{i}.g AS theta
+        FROM {prev} JOIN g{i} USING (source))""")
+    return (
+        f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks
+               FROM documents),
+    qd AS (SELECT doc_id, source,
+             LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+             + CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END * 0.4
+             + (1.0 - (length(text)
+                       - length(regexp_replace(text, '[0-9]', '', 'g')))
+                      * 1.0 / length(text)) * 0.2 AS q
+           FROM t),
+    m AS (SELECT CASE WHEN a.q >= b.q THEN a.source ELSE b.source END
+                   AS winner,
+                 CASE WHEN a.q >= b.q THEN b.source ELSE a.source END
+                   AS loser
+          FROM qd a JOIN qd b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0),
+    w0 AS (SELECT DISTINCT source, 0.0 AS theta FROM
+             (SELECT winner AS source FROM m
+              UNION ALL SELECT loser FROM m) u),"""
+        + ",".join(steps)
+        + f""",
+    stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                CAST(SUM(wf) AS BIGINT) AS n_wins FROM
+                (SELECT winner AS source, 1 AS wf FROM m
+                 UNION ALL SELECT loser AS source, 0 AS wf FROM m) u
+              GROUP BY source)
+    SELECT w{n_steps}.source, ROUND(w{n_steps}.theta, 4) AS theta,
+           n_matches, n_wins
+    FROM w{n_steps} JOIN stats USING (source)
+    """
+    )
+
+
+@register(
+    "preference_bt_rank",
+    _bt_oracle(n_steps=3, lr=0.5),
+    doc="Bradley-Terry preference aggregation (operators/corpus.py "
+    "preference_bt_rank) - the RLHF/arena shape: pairwise winners "
+    "(deterministic demo pairing doc 2k vs 2k+1, winner = higher "
+    "quality_score) aggregate into per-source strengths by "
+    "full-batch GD on the BT log-likelihood. The parameters are a "
+    "TABLE (one row per source) that never touches the driver: each "
+    "step broadcasts the theta table onto the match relation, "
+    "explodes matches into signed residual rows, and aggregates per "
+    "source map-side. 9dp in-engine gradient rounding + IEEE "
+    "updates let the unrolled JOIN-lookup CTE oracle replay the "
+    "trajectory bit-exactly.",
+)
+def q_preference_bt_rank(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.preference_bt_rank(d, n_steps=3, lr=0.5)

@@ -572,3 +572,30 @@ def test_minhash_universal_constants_deterministic():
     assert c1 == c2 and len(set(c1)) == 16
     for a, b in c1:
         assert 1 <= a < MINHASH_P and 0 <= b < MINHASH_P
+
+
+def test_preference_bt_rank_properties(spark):
+    import math
+
+    # source A's docs always beat source B's (higher diversity and no
+    # digits) under the doc-2k-vs-2k+1 pairing, so theta_A > 0 > theta_B.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "A"),
+        (1, "9999 9999 9999 9999 9999 9999", "B"),
+        (2, "one two three four five six seven", "A"),
+        (3, "1111 1111 1111 1111", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in corpus.preference_bt_rank(df).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["A"]["n_wins"] == 2 and out["A"]["n_matches"] == 2
+    assert out["B"]["n_wins"] == 0 and out["B"]["n_matches"] == 2
+    assert out["A"]["theta"] > 0 > out["B"]["theta"]
+    # symmetric two-player zero-sum: thetas mirror
+    assert abs(out["A"]["theta"] + out["B"]["theta"]) < 1e-9
+    # closed form: every match has the same residual each step
+    th = 0.0
+    for _ in range(3):
+        r = round(1.0 - 1.0 / (1.0 + math.exp(-(th - (-th)))), 9)
+        th += 0.5 * r
+    assert out["A"]["theta"] == pytest.approx(round(th, 4), abs=1e-9)
