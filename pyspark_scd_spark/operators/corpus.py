@@ -1686,3 +1686,134 @@ def preference_bt_rank(
         "n_matches",
         "n_wins",
     )
+
+
+def doc_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_tokens: int = 16,
+) -> DataFrame:
+    """Sequence-length histogram with cumulative token share — the
+    artifact behind context-length and packing decisions (what share
+    of tokens lives in docs shorter than L?). One scan aggregates to
+    the bounded bucket table; the cumulative window runs over buckets
+    (dozens of rows), never documents.
+
+    Returns per bucket: (bucket_lo, n_docs, n_tokens,
+    cum_token_share) ordered by bucket_lo.
+    """
+    k = int(bucket_tokens)
+    per_doc = df.select(TXT.token_count(text_col).cast("long").alias("__t"))
+    buckets = per_doc.groupBy(
+        (F.floor(F.col("__t") / k) * k).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return buckets.select(
+        "bucket_lo",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sum("n_tokens").over(w) / F.sum("n_tokens").over(tot), 4
+        ).alias("cum_token_share"),
+    )
+
+
+def cms_vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min-Sketch word frequencies beside their exact twin —
+    the bounded-memory frequency sketch (Cormode–Muthukrishnan) that
+    replaces an unbounded vocab hashmap at stream/100 TB scale, made
+    DETERMINISTIC and hash-checkable: counter positions are the
+    60-bit md5 of ``j:token`` mod width (the Bloom device), so both
+    engines build byte-identical counters and the over-estimates are
+    part of the checked contract, not noise.
+
+    Emits the top-``k`` tokens by exact count (count DESC, token ASC)
+    with (token, exact_count, cms_estimate, overestimate). CMS
+    guarantees estimate >= exact; the gap shows collision pressure at
+    the chosen (depth × width).
+
+    Scale shape: token counts aggregate once (map-side combined, the
+    corpus's only full pass); counters aggregate over the
+    VOCAB-sized count table exploded ×depth; estimation joins the
+    k-row top-k against the (depth×width)-row counter table.
+    """
+    toks = df.select(
+        F.explode(TXT.tokens(text_col)).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    ).localCheckpoint()  # feeds counters, top-k, and estimation
+
+    def _pos(tok, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    cells = vocab.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        _pos(F.col("__tok"), j).alias("__p"),
+                        F.col("__c").alias("__c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.__j", "__e.__p", "__e.__c")
+    counters = cells.groupBy("__j", "__p").agg(
+        F.sum("__c").alias("__cnt")
+    )
+    topk = (
+        vocab.orderBy(F.col("__c").desc(), F.col("__tok").asc())
+        .limit(k)
+    )
+    probes = topk.select(
+        "__tok",
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        _pos(F.col("__tok"), j).alias("__p"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__tok", "__c", "__e.__j", "__e.__p")
+    est = (
+        probes.join(F.broadcast(counters), ["__j", "__p"])
+        .groupBy("__tok", "__c")
+        .agg(F.min("__cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("__tok").alias("token"),
+        F.col("__c").alias("exact_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("__c"))
+        .cast("long")
+        .alias("overestimate"),
+    )

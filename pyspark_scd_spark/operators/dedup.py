@@ -1282,3 +1282,61 @@ def minhash_recall_report(
             ),
         )
     )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate matrix — the provenance artifact
+    behind every corpus datacard: WHICH sources copy from which
+    (mirrors, scrapes of the same upstream, license laundering).
+    One row per unordered source pair with at least one duplicate
+    pair: (source_a <= source_b, n_dup_pairs).
+
+    Never materializes doc-level duplicate pairs: duplicate groups
+    reduce to per-(fingerprint, source) COUNTS first, and the pair
+    arithmetic runs on that histogram (within-source C(n,2),
+    cross-source n_a*n_b) — so a pathological 1M-copy document costs
+    one histogram row per source, not 10^12 join rows. Two
+    fingerprint-keyed aggregates + one histogram self-join.
+    """
+    counts = (
+        df.select(
+            TXT.fingerprint(text_col).alias("__fp"),
+            F.col(source_col).alias("__src"),
+        )
+        .groupBy("__fp", "__src")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # keep only fingerprints with >1 doc overall (duplicate groups)
+    dup_fp = (
+        counts.groupBy("__fp")
+        .agg(F.sum("__n").alias("__tot"))
+        .filter(F.col("__tot") > 1)
+        .select("__fp")
+    )
+    h = counts.join(dup_fp, "__fp")
+    a = h.select("__fp", F.col("__src").alias("__sa"), F.col("__n").alias("__na"))
+    b = h.select("__fp", F.col("__src").alias("__sb"), F.col("__n").alias("__nb"))
+    pairs = (
+        a.join(b, "__fp")
+        .filter(F.col("__sa") <= F.col("__sb"))
+        .select(
+            F.col("__sa").alias("source_a"),
+            F.col("__sb").alias("source_b"),
+            F.when(
+                F.col("__sa") == F.col("__sb"),
+                (F.col("__na") * (F.col("__na") - 1) / 2).cast("long"),
+            )
+            .otherwise((F.col("__na") * F.col("__nb")).cast("long"))
+            .alias("__p"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("__p").cast("long").alias("n_dup_pairs"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )

@@ -7347,6 +7347,30 @@ def _pii_scrub_oracle() -> str:
     """
 
 
+def _pii_enriched(d: DataFrame) -> DataFrame:
+    """Deterministic PII enrichment shared by the batch and stream
+    PII entries (and replayed in the oracle): the raw corpus has no
+    PII, so both engines append doc_id-derived emails/phones/IPs."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+
+
 @register(
     "pii_scrub_redact",
     _pii_scrub_oracle(),
@@ -7365,25 +7389,7 @@ def q_pii_scrub_redact(spark, sf_dir):
     from pyspark_scd_spark.operators import corpus
 
     d = _t(spark, sf_dir, "documents")
-    enriched = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail-"),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit(".example.org or 555-"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" ip 10."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".0."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
-        ).alias("text"),
-    )
-    out = corpus.pii_scrub(enriched)
+    out = corpus.pii_scrub(_pii_enriched(d))
     return out.select(
         "doc_id",
         F.md5("scrubbed").alias("scrubbed_md5"),
@@ -9697,3 +9703,139 @@ def q_preference_bt_rank(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.preference_bt_rank(d, n_steps=3, lr=0.5)
+
+
+@register(
+    "stream_pii_scrub",
+    _pii_scrub_oracle(),
+    doc="STREAMING PII redaction (operators/corpus.py pii_scrub over "
+    "a file stream): the ingest-time deployment shape — scrub before "
+    "anything persists downstream. A stateless regexp projection "
+    "(no watermark, no state store), so append mode is exact, "
+    "output is independent of micro-batch boundaries, and the batch "
+    "oracle SQL replays it verbatim.",
+)
+def q_stream_pii_scrub(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    src = _stream_source(
+        spark, sf_dir, "documents", prepare=_pii_enriched
+    )
+    out = corpus.pii_scrub(src).select(
+        "doc_id",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    )
+    return _run_stream_to_batch(out)
+
+
+@register(
+    "dedup_source_matrix",
+    r"""
+    WITH h AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             source
+      FROM documents),
+    counts AS (SELECT fp, source, COUNT(*) AS n FROM h GROUP BY 1, 2),
+    dup AS (SELECT fp FROM counts GROUP BY fp HAVING SUM(n) > 1),
+    hist AS (SELECT counts.* FROM counts JOIN dup USING (fp)),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                CASE WHEN a.source = b.source
+                     THEN CAST(a.n * (a.n - 1) / 2 AS BIGINT)
+                     ELSE CAST(a.n * b.n AS BIGINT) END AS p
+              FROM hist a JOIN hist b
+                ON a.fp = b.fp AND a.source <= b.source)
+    SELECT source_a, source_b, CAST(SUM(p) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2 HAVING SUM(p) > 0
+    """,
+    doc="Cross-source exact-duplicate matrix (operators/dedup.py "
+    "cross_source_dup_matrix) — the provenance artifact: which "
+    "sources copy from which. Duplicate groups reduce to "
+    "per-(fingerprint, source) COUNTS before any pair arithmetic "
+    "(within-source C(n,2), cross-source n_a*n_b on the histogram), "
+    "so a 1M-copy document costs one histogram row per source, "
+    "never a materialized pair join.",
+)
+def q_dedup_source_matrix(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(d)
+
+
+@register(
+    "doc_length_histogram",
+    f"""
+    WITH t AS (SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT CAST((n // 16) * 16 AS BIGINT) AS bucket_lo,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1)
+    SELECT bucket_lo, n_docs, n_tokens,
+           ROUND(SUM(n_tokens) OVER (ORDER BY bucket_lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / SUM(n_tokens) OVER (), 4) AS cum_token_share
+    FROM b
+    """,
+    doc="Sequence-length histogram with cumulative token share "
+    "(operators/corpus.py doc_length_histogram) — the context-length/"
+    "packing decision artifact: what share of tokens lives in docs "
+    "shorter than L. One scan to a bounded bucket table; the "
+    "cumulative window runs over buckets, never documents.",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.doc_length_histogram(d, bucket_tokens=16)
+
+
+def _cms_oracle(depth: int = 3, width: int = 1024, k: int = 20) -> str:
+    pos = (
+        "CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), "
+        f"1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH tk AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tk GROUP BY tok),
+    cells AS (SELECT CAST(j.j AS INTEGER) AS j, {pos} AS p, c
+              FROM vocab,
+              LATERAL (SELECT unnest(range(0, {depth})) AS j) j),
+    counters AS (SELECT j, p, SUM(c) AS cnt FROM cells GROUP BY 1, 2),
+    topk AS (SELECT tok, c FROM vocab
+             ORDER BY c DESC, tok ASC LIMIT {k}),
+    probes AS (SELECT tok, c, CAST(j.j AS INTEGER) AS j, {pos} AS p
+               FROM topk,
+               LATERAL (SELECT unnest(range(0, {depth})) AS j) j),
+    est AS (SELECT tok, c, MIN(cnt) AS e
+            FROM probes JOIN counters USING (j, p) GROUP BY 1, 2)
+    SELECT tok AS token, c AS exact_count,
+           CAST(e AS BIGINT) AS cms_estimate,
+           CAST(e - c AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+@register(
+    "cms_vocab_topk",
+    _cms_oracle(),
+    doc="Count-Min-Sketch word frequencies beside their exact twin "
+    "(operators/corpus.py cms_vocab_topk): the bounded-memory "
+    "mergeable frequency sketch, made deterministic and "
+    "hash-checkable - counter positions are the 60-bit md5 of "
+    "'j:token' mod width (the Bloom device), so both engines build "
+    "byte-identical counters and the CMS over-estimates are part of "
+    "the checked contract. Counters aggregate over the VOCAB-sized "
+    "count table exploded x depth (the corpus is scanned once); "
+    "estimation joins the k-row top-k against the (depth x width) "
+    "counter table.",
+)
+def q_cms_vocab_topk(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.cms_vocab_topk(d, depth=3, width=1024, k=20)

@@ -599,3 +599,49 @@ def test_preference_bt_rank_properties(spark):
         r = round(1.0 - 1.0 / (1.0 + math.exp(-(th - (-th)))), 9)
         th += 0.5 * r
     assert out["A"]["theta"] == pytest.approx(round(th, 4), abs=1e-9)
+
+
+def test_cross_source_dup_matrix_histogram_arithmetic(spark):
+    from pyspark_scd_spark.operators import dedup
+
+    rows = [
+        (0, "same text", "A"),
+        (1, "same text", "A"),
+        (2, "same text", "B"),
+        (3, "unique one", "A"),
+        (4, "other dup", "B"),
+        (5, "other dup", "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+        for r in dedup.cross_source_dup_matrix(df).collect()
+    }
+    # group {0,1,2}: within-A C(2,2)=1, cross A-B 2*1=2; group {4,5}: B-C 1
+    assert out == {("A", "A"): 1, ("A", "B"): 2, ("B", "C"): 1}
+
+
+def test_doc_length_histogram_accounts_everything(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        corpus.doc_length_histogram(docs).collect(),
+        key=lambda r: r["bucket_lo"],
+    )
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    shares = [r["cum_token_share"] for r in rows]
+    assert shares == sorted(shares) and abs(shares[-1] - 1.0) < 1e-9
+
+
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = corpus.cms_vocab_topk(docs, depth=3, width=1024, k=20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # the CMS invariant: never underestimates
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+    # a wider sketch can only tighten the worst over-estimate
+    wide = corpus.cms_vocab_topk(docs, depth=3, width=8192, k=20).collect()
+    assert max(r["overestimate"] for r in wide) <= max(
+        r["overestimate"] for r in rows
+    )
