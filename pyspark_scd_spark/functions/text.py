@@ -37,15 +37,25 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
     ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(...)))``
     — array ops in codegen, no explode until the caller needs rows.
+
+    Arrays shorter than ``n`` yield an EMPTY array (matching the
+    oracles' LATERAL range(), which emits nothing): without the
+    guard, ``sequence(0, size-n)`` is DESCENDING for size < n and
+    ``element_at`` hits index <= 0, killing the job on the first
+    punctuation-only document.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j + 1) for j in range(n)],
+                ),
+            )
+        ),
+    ).otherwise(F.slice(toks, 1, 0))
 
 
 def subword_estimate(col: Column | str) -> Column:

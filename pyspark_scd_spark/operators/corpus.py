@@ -31,13 +31,18 @@ from pyspark_scd_spark.functions import text as TXT
 
 def _word_ngrams(toks: Column, n: int) -> Column:
     """All n-word grams (NOT distinct — callers needing counts keep
-    duplicates; wrap in array_distinct for set semantics)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    duplicates; wrap in array_distinct for set semantics). Arrays
+    shorter than n yield an EMPTY array (the word_shingles
+    descending-sequence guard)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.slice(toks, 1, 0))
 
 
 def decontaminate_report(
@@ -1197,9 +1202,13 @@ def paragraph_dedup(
     device).
     """
     k = int(para_words)
+    # zero-token docs have no spans: the oracle's range(0, ceil(0/k))
+    # emits nothing (the doc is absent), while Spark's
+    # sequence(0, -1) would be DESCENDING and emit phantom '' spans —
+    # filter keeps the two engines agreeing and the sequence ascending
     toks_df = df.select(
         F.col(id_col), TXT.tokens(text_col).alias("__toks")
-    )
+    ).filter(F.size("__toks") >= 1)
     # bind the token array BEFORE the span lambda (the CollapseProject
     # re-inlining hazard — see decontaminate_report)
     paras = toks_df.select(
@@ -1250,8 +1259,15 @@ def bloom_bitmap(
     and deterministic, so the false-positive set is part of the
     checked contract, not noise. Driver state is the bitmap only
     (bounded by the constant m — the kmeans-centroid contract)."""
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
     words = m_bits // 64
-    toks_df = eval_df.select(TXT.tokens(text_col).alias("__toks"))
+    # docs shorter than n tokens have no n-grams; filtering them out
+    # BEFORE the shingle lambda also avoids word_shingles' descending
+    # sequence(0, size-n) on size < n (element_at index-0 crash)
+    toks_df = eval_df.select(
+        TXT.tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= n)
     grams = toks_df.select(
         F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__gs")
     )
@@ -1338,6 +1354,12 @@ def bloom_probe_projection(
         df.select(
             F.col(id_col), TXT.tokens(text_col).alias("__toks")
         )
+        # same short-doc rule as the oracle (whose LATERAL range()
+        # emits no gram rows, dropping the doc): docs with < n tokens
+        # are absent from the report, and the filter keeps
+        # word_shingles' sequence(0, size-n) ascending (size < n
+        # would crash on element_at index 0)
+        .filter(F.size("__toks") >= n)
         .select(
             F.col(id_col),
             TXT.word_shingles(F.col("__toks"), n).alias("__gs"),
@@ -1511,7 +1533,11 @@ def quality_classifier_train(
     ).otherwise(F.lit(0.0))
     feats = df.select(
         F.col(id_col),
-        label_pred.cast("int").alias("__y"),
+        # when/otherwise: a NULL predicate (e.g. NULL lang) lands in
+        # the otherwise-branch as 0, matching the oracle's CASE ELSE 0
+        # — a bare cast would yield NULL and silently drop the row
+        # from every AVG gradient
+        F.when(label_pred, 1).otherwise(0).alias("__y"),
         F.lit(1.0).alias("__x0"),
         F.least(F.lit(1.0), n_tok / F.lit(100.0)).alias("__x1"),
         diversity.alias("__x2"),
@@ -1757,16 +1783,8 @@ def cms_vocab_topk(
     ).localCheckpoint()  # feeds counters, top-k, and estimation
 
     def _pos(tok, j: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        )
+        # the Bloom device, shared: one determinism contract, one code
+        return _bloom_pos(tok, j, width)
 
     cells = vocab.select(
         F.explode(

@@ -70,8 +70,15 @@ def _shingles(
     # hashes per (doc, shingle) row. Collision risk at 64 bits is
     # |shingles|²/2⁶⁵ (~4e-9 for a 260k-shingle corpus) and only
     # perturbs a jaccard count by 1.
+    # Docs with fewer than n tokens have no n-shingles in any engine
+    # (the oracles' LATERAL range() emits nothing); the filter also
+    # keeps word_shingles' sequence(0, size-n) ascending — on
+    # size < n the sequence is DESCENDING and element_at hits index
+    # <= 0 / out-of-bounds, killing the job on the first empty or
+    # punctuation-only document.
     sh = (
-        toks.select(
+        toks.filter(F.size("__toks") >= n)
+        .select(
             "__id",
             F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
         )
@@ -1189,12 +1196,14 @@ def minhash_recall_report(
     )
     # string shingles here (not _shingles' xxhash64): the md5 hash
     # family must see byte-identical inputs in both engines
-    sh = (
-        toks.select(
-            "__id",
-            F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
-        )
-        .distinct()
+    # word_shingles is already distinct-per-doc and the per-doc MIN
+    # aggregates are duplicate-insensitive, so NO corpus-wide distinct
+    # here — the signature stage's only exchange is the groupBy(__id).
+    # Docs shorter than n tokens have no shingles in either engine
+    # (and the filter keeps sequence(0, size-n) ascending).
+    sh = toks.filter(F.size("__toks") >= n).select(
+        "__id",
+        F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
     )
 
     # ONE md5 per shingle row, then k derivations from the universal

@@ -9656,9 +9656,12 @@ def _bt_oracle(n_steps: int = 3, lr: float = 0.5) -> str:
                     THEN CAST(len(list_distinct(toks)) AS DOUBLE)
                          / CAST(len(toks) AS DOUBLE)
                     ELSE 0.0 END * 0.4
-             + (1.0 - (length(text)
-                       - length(regexp_replace(text, '[0-9]', '', 'g')))
-                      * 1.0 / length(text)) * 0.2 AS q
+             + (1.0 - CASE WHEN length(text) > 0
+                       THEN (length(text)
+                             - length(regexp_replace(text, '[0-9]',
+                                                     '', 'g')))
+                            * 1.0 / length(text)
+                       ELSE 0.0 END) * 0.2 AS q
            FROM t),
     m AS (SELECT CASE WHEN a.q >= b.q THEN a.source ELSE b.source END
                    AS winner,

@@ -640,8 +640,69 @@ def test_cms_estimate_dominates_exact(spark, sf_dir):
         # the CMS invariant: never underestimates
         assert r["cms_estimate"] >= r["exact_count"]
         assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
-    # a wider sketch can only tighten the worst over-estimate
-    wide = corpus.cms_vocab_topk(docs, depth=3, width=8192, k=20).collect()
-    assert max(r["overestimate"] for r in wide) <= max(
-        r["overestimate"] for r in rows
+    # determinism: the md5-positioned counters make the sketch (and
+    # therefore every over-estimate) reproducible bit-for-bit
+    again = corpus.cms_vocab_topk(docs, depth=3, width=1024, k=20).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_short_doc_edge_cases_survive(spark):
+    """Review-pass regressions: docs shorter than the gram order (or
+    empty after tokenization) must neither crash the scan-side ops
+    nor diverge from the oracle convention (gram-less docs are
+    simply absent from per-gram reports)."""
+    from pyspark_scd_spark.operators import dedup
+
+    rows = [
+        (0, "hello world", "A", "en"),          # 2 tokens < n=5
+        (1, "!!! ---", "A", "en"),               # tokenizes to []
+        (2, "one two three four five six", "B", "en"),
+        (3, "one two three four five six", "B", None),  # NULL lang
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+
+    out = corpus.bloom_decontaminate(
+        df, eval_pred=(F.col("doc_id") % 10 == 0), n=5
+    ).collect()
+    assert {r["doc_id"] for r in out} == {2, 3}  # short docs absent
+
+    p = {r["doc_id"]: r for r in corpus.paragraph_dedup(df, para_words=4).collect()}
+    assert 1 not in p  # zero-token doc absent, no phantom spans
+    assert p[0]["n_paras"] == 1
+
+    rr = dedup.minhash_recall_report(df, n=3, threshold=0.5)
+    rr.collect()  # must not crash on the 2-token/0-token docs
+
+    scored, _ = corpus.quality_classifier_train(
+        df, label_pred=(F.col("lang") == "en"), n_steps=1
     )
+    got = {r["doc_id"]: r["label"] for r in scored.collect()}
+    assert got[3] == 0  # NULL lang -> label 0, not NULL/dropped
+
+    corpus.preference_bt_rank(df).collect()  # no crash, no NULL q
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        corpus.bloom_bitmap(df, m_bits=1000)
+
+
+def test_word_helpers_short_arrays_yield_empty(spark):
+    """decontaminate_report and repetition_stats over short docs:
+    pre-guard these crashed on the descending sequence(0, size-n)."""
+    rows = [
+        (1, "one", "A"),                 # 1 token < bigram order
+        (2, "", "A"),                    # empty
+        (3, "a b c d e f", "B"),
+        (30, "a b c d e f", "B"),        # eval twin of doc 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    rep = {r["doc_id"]: r for r in corpus.repetition_stats(df).collect()}
+    assert rep[1]["top_bigram_count"] == 0 and rep[2]["n_tok"] == 0
+    dec = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_report(
+            df, eval_pred=(F.col("doc_id") % 10 == 0), n=5
+        ).collect()
+    }
+    assert set(dec) == {3}  # short docs contribute no grams, no crash
