@@ -1349,3 +1349,59 @@ def cross_source_dup_matrix(
         .agg(F.sum("__p").cast("long").alias("n_dup_pairs"))
         .filter(F.col("n_dup_pairs") > 0)
     )
+
+
+def dedup_saturation_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_slices: int = 10,
+) -> DataFrame:
+    """Dedup saturation curve — is more data still NEW data? The
+    corpus is replayed in ingest order (ascending id) in
+    ``n_slices`` equal slices; per slice: how many docs are first
+    occurrences of their content vs copies of something already
+    ingested, and the cumulative unique share. A flattening curve is
+    the signal to stop crawling a source (the scaling-law datapoint
+    every corpus team tracks).
+
+    Scale shape: first-occurrence election is one window over the
+    content fingerprint (dedup_exact's shape); slice assignment uses
+    ntile over ids — a SECOND corpus-wide sort exchange, acceptable
+    here because the slice boundary is rank-based; with a known id
+    range, a width_bucket-style map would drop it. The curve itself
+    aggregates to ``n_slices`` rows.
+    """
+    h = df.select(
+        F.col(id_col).alias("__id"),
+        TXT.fingerprint(text_col).alias("__fp"),
+    )
+    is_first = (
+        F.row_number().over(
+            Window.partitionBy("__fp").orderBy("__id")
+        )
+        == 1
+    )
+    sliced = h.select(
+        "__id",
+        is_first.cast("long").alias("__new"),
+        F.ntile(n_slices)
+        .over(Window.orderBy("__id"))
+        .alias("slice_no"),
+    )
+    per = sliced.groupBy("slice_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__new").cast("long").alias("n_new"),
+    )
+    w = Window.orderBy("slice_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "slice_no",
+        "n_docs",
+        "n_new",
+        F.round(F.col("n_new") / F.col("n_docs"), 4).alias("new_rate"),
+        F.round(
+            F.sum("n_new").over(w) / F.sum("n_docs").over(w), 4
+        ).alias("cum_unique_share"),
+    )

@@ -9842,3 +9842,42 @@ def q_cms_vocab_topk(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return corpus.cms_vocab_topk(d, depth=3, width=1024, k=20)
+
+
+@register(
+    "dedup_saturation_curve",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    f AS (SELECT doc_id,
+            CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                 = 1 THEN 1 ELSE 0 END AS is_new,
+            NTILE(10) OVER (ORDER BY doc_id) AS slice_no
+          FROM h),
+    per AS (SELECT slice_no, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(is_new) AS BIGINT) AS n_new
+            FROM f GROUP BY slice_no)
+    SELECT CAST(slice_no AS INTEGER) AS slice_no, n_docs, n_new,
+           ROUND(n_new * 1.0 / n_docs, 4) AS new_rate,
+           ROUND(SUM(n_new) OVER (ORDER BY slice_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 /
+                 SUM(n_docs) OVER (ORDER BY slice_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cum_unique_share
+    FROM per
+    """,
+    doc="Dedup saturation curve (operators/dedup.py "
+    "dedup_saturation_curve): the corpus replayed in ingest order in "
+    "10 slices - per slice the first-occurrence rate and cumulative "
+    "unique share; a flattening curve says a source is crawled out. "
+    "First-occurrence election is the dedup_exact window; the curve "
+    "aggregates to 10 rows.",
+)
+def q_dedup_saturation_curve(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_saturation_curve(d, n_slices=10)

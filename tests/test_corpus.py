@@ -706,3 +706,25 @@ def test_word_helpers_short_arrays_yield_empty(spark):
         ).collect()
     }
     assert set(dec) == {3}  # short docs contribute no grams, no crash
+
+
+def test_dedup_saturation_curve_shape(spark, sf_dir):
+    from pyspark_scd_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        dedup.dedup_saturation_curve(docs, n_slices=10).collect(),
+        key=lambda r: r["slice_no"],
+    )
+    assert [r["slice_no"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    total_new = sum(r["n_new"] for r in rows)
+    uniques = docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    ).distinct().count()
+    assert total_new == uniques
+    # the cumulative share is the running uniques/docs ratio; final
+    # point equals the corpus-wide unique share
+    assert rows[-1]["cum_unique_share"] == round(
+        uniques / docs.count(), 4
+    )
