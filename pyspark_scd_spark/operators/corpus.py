@@ -1138,10 +1138,6 @@ def char_trigram_perplexity(
     ).filter(F.length("__t") >= 3)
     # sequence(1, n) with n >= 1 only (length >= 3 guaranteed above —
     # sequence(1, 0) is DESCENDING in Spark and would emit junk)
-    # checkpointed: FOUR consumers read the gram table (trigram LM,
-    # context LM, the V distinct-count action, and the scoring join)
-    # — without it the lowercase+explode pass re-runs per consumer
-    # (measured 5.9s -> ~2s at sf0.1)
     grams = t.select(
         F.col(id_col),
         F.explode(
@@ -1150,22 +1146,37 @@ def char_trigram_perplexity(
                 "i -> substring(__t, i, 3))"
             )
         ).alias("__g"),
+    )
+    # The trigram LM is the ONLY corpus-sized aggregate; the context
+    # LM and V both derive from it (sum over the prefix / distinct
+    # third chars), so they run over the VOCAB-sized tri table —
+    # bounded by alphabet³, never the corpus. Checkpointed because
+    # three consumers read it (ctx, V, the nll lookup); an earlier
+    # form checkpointed the corpus-sized gram table instead
+    # (2M+ rows at x30) and re-shuffled it for ctx — 13.6s at x30.
+    tri = grams.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c3")
     ).localCheckpoint()
-    tri = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c3"))
-    ctx = grams.groupBy(
-        F.substring("__g", 1, 2).alias("__cx")
-    ).agg(F.count(F.lit(1)).alias("__cn"))
-    v = grams.select(F.substring("__g", 3, 1)).distinct().count()
+    ctx = tri.groupBy(F.substring("__g", 1, 2).alias("__cx")).agg(
+        F.sum("__c3").alias("__cn")
+    )
+    v = tri.select(F.substring("__g", 3, 1)).distinct().count()
     nll = -F.log(
         (F.col("__c3") + F.lit(k)) / (F.col("__cn") + F.lit(k * v))
     )
+    # per-gram nll lookup: vocab-sized, broadcastable at ANY corpus
+    # scale (trigram space is alphabet-bounded) — the scoring pass is
+    # a broadcast join riding the second gram explode, so the only
+    # corpus-keyed exchange in the whole plan is tri's groupBy.
+    lut = tri.join(
+        ctx, F.substring("__g", 1, 2) == F.col("__cx")
+    ).select("__g", nll.alias("__nll"))
     return (
-        grams.join(tri, "__g")
-        .join(ctx, F.substring("__g", 1, 2) == F.col("__cx"))
+        grams.join(F.broadcast(lut), "__g")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+            F.round(F.exp(F.avg("__nll")), 4).alias("perplexity"),
         )
     )
 
