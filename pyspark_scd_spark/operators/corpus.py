@@ -1506,6 +1506,60 @@ def train_holdout_split(
     )
 
 
+def _classifier_features(
+    df: DataFrame, label_pred: Column, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared feature projection for the logistic quality classifier:
+    (id, __y, __x0..__x3). A pure scan-side select — reused by the
+    trainer, the batch scorer, and the streaming scorer so all three
+    (and the SQL oracle) see identical feature arithmetic."""
+    n_tok = TXT.token_count(text_col).cast("double")
+    diversity = F.when(
+        n_tok > 0, TXT.distinct_token_count(text_col) / n_tok
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        # when/otherwise: a NULL predicate (e.g. NULL lang) lands in
+        # the otherwise-branch as 0, matching the oracle's CASE ELSE 0
+        # — a bare cast would yield NULL and silently drop the row
+        # from every AVG gradient
+        F.when(label_pred, 1).otherwise(0).alias("__y"),
+        F.lit(1.0).alias("__x0"),
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)).alias("__x1"),
+        diversity.alias("__x2"),
+        TXT.digit_ratio(text_col).alias("__x3"),
+    )
+
+
+def _classifier_p(w: list[float]) -> Column:
+    z = sum(
+        (F.lit(w[k]) * F.col(f"__x{k}") for k in range(len(w))),
+        F.lit(0.0),
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_score_projection(
+    df: DataFrame,
+    weights: list[float],
+    label_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with trained classifier weights — a PURE
+    projection (features + sigmoid with literal weights), so it
+    applies unchanged to a batch scan or a streaming micro-batch:
+    the train-offline / score-at-ingest deployment shape."""
+    feats = _classifier_features(df, label_pred, id_col, text_col)
+    score = F.round(_classifier_p(weights), 4)
+    return feats.select(
+        F.col(id_col),
+        F.col("__y").alias("label"),
+        score.alias("score"),
+        (score >= 0.5).alias("predicted"),
+    )
+
+
 def quality_classifier_train(
     df: DataFrame,
     label_pred: Column,
@@ -1538,35 +1592,14 @@ def quality_classifier_train(
     bit-exact in any engine — so the whole weight trajectory replays
     identically in the unrolled-CTE SQL oracle.
     """
-    n_tok = TXT.token_count(text_col).cast("double")
-    diversity = F.when(
-        n_tok > 0, TXT.distinct_token_count(text_col) / n_tok
-    ).otherwise(F.lit(0.0))
-    feats = df.select(
-        F.col(id_col),
-        # when/otherwise: a NULL predicate (e.g. NULL lang) lands in
-        # the otherwise-branch as 0, matching the oracle's CASE ELSE 0
-        # — a bare cast would yield NULL and silently drop the row
-        # from every AVG gradient
-        F.when(label_pred, 1).otherwise(0).alias("__y"),
-        F.lit(1.0).alias("__x0"),
-        F.least(F.lit(1.0), n_tok / F.lit(100.0)).alias("__x1"),
-        diversity.alias("__x2"),
-        TXT.digit_ratio(text_col).alias("__x3"),
+    feats = _classifier_features(
+        df, label_pred, id_col, text_col
     ).localCheckpoint()  # read n_steps+1 times; compute features once
 
     dims = 4
     w = [0.0] * dims
-
-    def _p() -> Column:
-        z = sum(
-            (F.lit(w[k]) * F.col(f"__x{k}") for k in range(dims)),
-            F.lit(0.0),
-        )
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-
     for _ in range(n_steps):
-        p = _p()
+        p = _classifier_p(w)
         grad = feats.agg(
             *[
                 F.round(
@@ -1577,7 +1610,7 @@ def quality_classifier_train(
         ).collect()[0]
         w = [w[k] - lr * grad[f"g{k}"] for k in range(dims)]
 
-    score = F.round(_p(), 4)
+    score = F.round(_classifier_p(w), 4)
     scored = feats.select(
         F.col(id_col),
         F.col("__y").alias("label"),

@@ -9881,3 +9881,32 @@ def q_dedup_saturation_curve(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return dedup.dedup_saturation_curve(d, n_slices=10)
+
+
+@register(
+    "stream_quality_classifier",
+    _logreg_oracle(n_steps=3, lr=0.5),
+    doc="STREAMING classifier inference (operators/corpus.py "
+    "classifier_score_projection over a file stream): the "
+    "train-offline / score-at-ingest deployment shape - weights come "
+    "from the batch quality_classifier_train run, then every "
+    "incoming micro-batch is scored by a pure projection (features + "
+    "sigmoid with literal weights): stateless, append-exact, and the "
+    "batch oracle SQL replays train AND inference end-to-end.",
+)
+def q_stream_quality_classifier(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    _, w = corpus.quality_classifier_train(
+        d, label_pred=(F.col("lang") == "en"), n_steps=3, lr=0.5
+    )
+
+    def proj(df):
+        return df.select("doc_id", "text", "lang")
+
+    src = _stream_source(spark, sf_dir, "documents", prepare=proj)
+    out = corpus.classifier_score_projection(
+        src, w, label_pred=(F.col("lang") == "en")
+    )
+    return _run_stream_to_batch(out)
