@@ -245,3 +245,104 @@ def test_debounce_matches_python_model(spark, evs):
             last = s
         want[leader] = cnt
     assert got == want
+
+
+_WORDS = st.sampled_from(["a", "b", "cc", "dd", "e1", "xyz"])
+_TEXTS = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@given(
+    texts=st.lists(_TEXTS, min_size=1, max_size=8),
+    k=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_paragraph_dedup_matches_bruteforce(spark, texts, k):
+    from pyspark_scd_spark.operators.corpus import paragraph_dedup
+    import hashlib
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # brute force: first occurrence of each k-word span wins, docs
+    # reassembled from surviving spans in position order
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        if not toks:
+            continue
+        paras = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expected[doc_id] = (
+            len(paras),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text_md5"])
+        for r in paragraph_dedup(df, para_words=k).collect()
+    }
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.lists(_WORDS, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    n=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_bloom_decontaminate_matches_bruteforce(spark, texts, n):
+    """Full brute-force replay of the Bloom filter INCLUDING its
+    false positives: positions from the same md5-60bit formula."""
+    from pyspark_scd_spark.operators.corpus import bloom_decontaminate
+    from pyspark.sql import functions as F
+    import hashlib
+
+    m_bits, k_hashes = 65536, 3
+
+    def pos(j, gram):
+        h = hashlib.md5(f"{j}:{gram}".encode()).hexdigest()[:15]
+        return int(h, 16) % m_bits
+
+    def grams_of(text):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(0, len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    bits = {
+        pos(j, g)
+        for i, t in rows
+        if i % 2 == 0
+        for g in grams_of(t)
+        for j in range(k_hashes)
+    }
+    expected = {}
+    for i, t in rows:
+        if i % 2 == 0:
+            continue
+        gs = grams_of(t)
+        if not gs:
+            continue
+        flagged = sum(
+            all(pos(j, g) in bits for j in range(k_hashes)) for g in gs
+        )
+        expected[i] = (len(gs), flagged, flagged > 0)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["is_flagged"])
+        for r in bloom_decontaminate(
+            df, eval_pred=(F.col("doc_id") % 2 == 0), n=n
+        ).collect()
+    }
+    assert got == expected
