@@ -3165,3 +3165,67 @@ def embedding_neardup_pairs_ivf(
     return scored.filter(_neardup_threshold(threshold)).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def matryoshka_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    trunc_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka truncation audit — recall@k of TRUNCATED-dimension
+    retrieval against full-dimension exact top-k. The measurement
+    behind MRL-style deployments (Kusupati et al. 2022): serve the
+    first ``trunc_dim`` components (4× less memory/bandwidth at
+    trunc 16 of 64) and pay a measured, not guessed, recall cost.
+
+    Per query: (query_id, recall_at_k, full_mean_cosine,
+    trunc_mean_cosine) — the cosine means show HOW wrong the
+    truncated ranking is, not just how often.
+
+    Both legs are brute_force_topk (broadcast queries, zero corpus
+    shuffle, WindowGroupLimit top-k); truncation is a pure
+    F.slice projection, so the corpus is scanned once per leg and
+    the report joins two |Q|·k ranked lists.
+    """
+    full = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    tcorpus = corpus.withColumn(
+        vec_col, F.slice(F.col(vec_col), 1, trunc_dim)
+    )
+    tqueries = queries.withColumn(
+        vec_col, F.slice(F.col(vec_col), 1, trunc_dim)
+    )
+    trunc = brute_force_topk(
+        tcorpus, tqueries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    hits = (
+        full.select(query_id_col, id_col)
+        .join(trunc.select(query_id_col, id_col), [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    fstat = full.groupBy(query_id_col).agg(
+        F.round(F.avg("cosine"), 6).alias("full_mean_cosine")
+    )
+    tstat = trunc.groupBy(query_id_col).agg(
+        F.round(F.avg("cosine"), 6).alias("trunc_mean_cosine")
+    )
+    return (
+        fstat.join(tstat, query_id_col)
+        .join(hits, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / float(k), 6
+            ).alias(f"recall_at_{k}"),
+            "full_mean_cosine",
+            "trunc_mean_cosine",
+        )
+    )

@@ -9910,3 +9910,59 @@ def q_stream_quality_classifier(spark, sf_dir):
         src, w, label_pred=(F.col("lang") == "en")
     )
     return _run_stream_to_batch(out)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id >= 100 AND vec_id < 110),
+    fs AS (SELECT q.query_id, e.vec_id,
+                  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS c
+           FROM e CROSS JOIN q),
+    fr AS (SELECT query_id, vec_id, c FROM (
+             SELECT query_id, vec_id, c,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY c DESC, vec_id ASC) AS rk
+             FROM fs) WHERE rk <= 10),
+    ts AS (SELECT q.query_id, e.vec_id,
+                  ROUND(list_cosine_similarity(e.v[1:16], q.qv[1:16]),
+                        6) AS c
+           FROM e CROSS JOIN q),
+    tr AS (SELECT query_id, vec_id, c FROM (
+             SELECT query_id, vec_id, c,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY c DESC, vec_id ASC) AS rk
+             FROM ts) WHERE rk <= 10),
+    h AS (SELECT fr.query_id, COUNT(*) AS hits
+          FROM fr JOIN tr USING (query_id, vec_id) GROUP BY 1),
+    fm AS (SELECT query_id, ROUND(AVG(c), 6) AS full_mean_cosine
+           FROM fr GROUP BY 1),
+    tm AS (SELECT query_id, ROUND(AVG(c), 6) AS trunc_mean_cosine
+           FROM tr GROUP BY 1)
+    SELECT fm.query_id,
+           ROUND(COALESCE(h.hits, 0) / 10.0, 6) AS recall_at_10,
+           full_mean_cosine, trunc_mean_cosine
+    FROM fm JOIN tm USING (query_id)
+    LEFT JOIN h USING (query_id)
+    """,
+    doc="Matryoshka truncation audit (operators/similarity.py "
+    "matryoshka_recall_report): recall@10 of first-16-of-64-dim "
+    "retrieval vs the full-dim exact top-10, plus both legs' mean "
+    "cosines - the measured recall cost of serving truncated "
+    "embeddings (4x less memory/bandwidth). Both legs are "
+    "brute_force_topk (broadcast queries, zero corpus shuffle); "
+    "truncation is a pure slice projection.",
+)
+def q_embedding_matryoshka_recall(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.matryoshka_recall_report(
+        e, queries, trunc_dim=16, k=10
+    )

@@ -728,3 +728,26 @@ def test_dedup_saturation_curve_shape(spark, sf_dir):
     assert rows[-1]["cum_unique_share"] == round(
         uniques / docs.count(), 4
     )
+
+
+def test_matryoshka_recall_identity_at_full_dim(spark, sf_dir):
+    """Truncating to the FULL dimension must give recall 1.0 per
+    query (the two legs are then identical rankings)."""
+    from pyspark_scd_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(e.first()["embedding"])
+    q = e.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = similarity.matryoshka_recall_report(
+        e, q, trunc_dim=dim, k=10
+    ).collect()
+    assert rows and all(r["recall_at_10"] == 1.0 for r in rows)
+    for r in rows:
+        assert r["full_mean_cosine"] == r["trunc_mean_cosine"]
+    # and a real truncation loses at most everything, gains nothing
+    rows16 = similarity.matryoshka_recall_report(
+        e, q, trunc_dim=16, k=10
+    ).collect()
+    assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows16)
