@@ -9966,3 +9966,78 @@ def q_embedding_matryoshka_recall(spark, sf_dir):
     return similarity.matryoshka_recall_report(
         e, queries, trunc_dim=16, k=10
     )
+
+
+@register(
+    "doc_pack_efficiency",
+    """
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+                         - n_tokens) / 2048) AS BIGINT) AS bin_id
+      FROM (SELECT doc_id, n_tokens, doc_id % 32 AS shard FROM sized)),
+    bins AS (SELECT shard, bin_id,
+               CAST(SUM(n_tokens) AS BIGINT) AS fill,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM packed GROUP BY 1, 2)
+    SELECT CAST(LEAST(FLOOR(fill * 10.0 / 2048), 10) AS INTEGER)
+             AS util_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill) AS BIGINT) AS n_tokens,
+           CAST(SUM(GREATEST(2048 - fill, 0)) AS BIGINT) AS padding,
+           ROUND(AVG(fill * 1.0 / 2048), 4) AS avg_util
+    FROM bins GROUP BY 1
+    """,
+    doc="Packing-efficiency report over doc_pack_bins' next-fit "
+    "output: bins histogrammed by utilization decile with the total "
+    "PADDING each band wastes (padding tokens are wasted FLOPs at "
+    "training time — this is the number that justifies a packer). "
+    "The bin roll-up is one aggregate over the pack window's output; "
+    "the histogram is bounded at 11 rows.",
+)
+def q_doc_pack_efficiency(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 32).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long"),
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return bins.groupBy(
+        F.least(F.floor(F.col("fill") * 10.0 / 2048), F.lit(10))
+        .cast("int")
+        .alias("util_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("fill").cast("long").alias("n_tokens"),
+        F.sum(F.greatest(F.lit(2048) - F.col("fill"), F.lit(0)))
+        .cast("long")
+        .alias("padding"),
+        F.round(F.avg(F.col("fill") / 2048.0), 4).alias("avg_util"),
+    )
