@@ -10041,3 +10041,116 @@ def q_doc_pack_efficiency(spark, sf_dir):
         .alias("padding"),
         F.round(F.avg(F.col("fill") / 2048.0), 4).alias("avg_util"),
     )
+
+
+@register(
+    "embedding_norm_report",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, label,
+            CAST(len(v) AS INTEGER) AS dim,
+            SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm,
+            CAST(len(list_filter(v, x -> x = 0.0)) AS INTEGER)
+              AS n_zero,
+            CAST(len(list_filter(v, x -> isnan(x))) AS INTEGER)
+              AS n_nan
+          FROM e)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS INTEGER) AS min_dim,
+           CAST(MAX(dim) AS INTEGER) AS max_dim,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vecs,
+           CAST(SUM(n_nan) AS BIGINT) AS n_nan_components,
+           CAST(SUM(CASE WHEN n_zero = dim THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_all_zero
+    FROM m GROUP BY label
+    """,
+    doc="Embedding sanity report per label: vector-norm distribution "
+    "(min/avg/max), dimension range, and degenerate-vector counts "
+    "(zero-norm, all-zero, NaN components) - the pre-flight every "
+    "vector pipeline runs before trusting an embedding export "
+    "(truncated files and failed encoder batches show up here "
+    "first). Pure scan-side array math + one small-cardinality "
+    "aggregate.",
+)
+def q_embedding_norm_report(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    n_zero = F.size(F.filter(v, lambda x: x == 0.0))
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x)))
+    m = e.select(
+        "label",
+        F.size(v).alias("dim"),
+        nrm.alias("nrm"),
+        n_zero.alias("n_zero"),
+        n_nan.alias("n_nan"),
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum((F.col("nrm") == 0.0).cast("long")).alias("n_zero_vecs"),
+        F.sum("n_nan").cast("long").alias("n_nan_components"),
+        F.sum((F.col("n_zero") == F.col("dim")).cast("long")).alias(
+            "n_all_zero"
+        ),
+    )
+
+
+@register(
+    "quality_by_source",
+    f"""
+    WITH t AS (SELECT source, text, {_TOKS_SQL} AS toks FROM documents),
+    m AS (SELECT source,
+            LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + CASE WHEN len(toks) > 0
+                   THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)
+                   ELSE 0.0 END * 0.4
+            + (1.0 - CASE WHEN length(text) > 0
+                     THEN (length(text)
+                           - length(regexp_replace(text, '[0-9]',
+                                                   '', 'g')))
+                          * 1.0 / length(text)
+                     ELSE 0.0 END) * 0.2 AS q
+          FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(q), 4) AS min_quality,
+           ROUND(AVG(q), 4) AS avg_quality,
+           ROUND(MAX(q), 4) AS max_quality,
+           CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_gate
+    FROM m GROUP BY source
+    """,
+    doc="Quality-score distribution per source (functions/text.py "
+    "quality_score): min/avg/max and the count below the 0.5 gate - "
+    "the datacard slice that says WHICH source is dragging the "
+    "corpus down before anyone tunes a threshold. One scan, one "
+    "small-cardinality aggregate.",
+)
+def q_quality_by_source(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    q = TXT.quality_score("text")
+    return d.select("source", q.alias("__q")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.min("__q"), 4).alias("min_quality"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+        F.round(F.max("__q"), 4).alias("max_quality"),
+        F.sum((F.col("__q") < 0.5).cast("long")).alias("n_below_gate"),
+    )
