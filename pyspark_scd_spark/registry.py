@@ -10154,3 +10154,108 @@ def q_quality_by_source(spark, sf_dir):
         F.round(F.max("__q"), 4).alias("max_quality"),
         F.sum((F.col("__q") < 0.5).cast("long")).alias("n_below_gate"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             ROUND(SUM(o_totalprice), 2) AS m
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    base AS (SELECT o_custkey,
+               CAST(date_diff('day', last_d, maxd) AS BIGINT) AS rec,
+               f, m
+             FROM per, mx),
+    th AS (SELECT
+             list_transform(quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]),
+                            x -> ROUND(x, 9)) AS tr,
+             list_transform(quantile_cont(f, [0.2, 0.4, 0.6, 0.8]),
+                            x -> ROUND(x, 9)) AS tf,
+             list_transform(quantile_cont(m, [0.2, 0.4, 0.6, 0.8]),
+                            x -> ROUND(x, 9)) AS tm
+           FROM base),
+    scored AS (SELECT o_custkey, rec, f, m,
+                 CAST(5 - len(list_filter(tr, x -> x < rec)) AS INTEGER)
+                   AS r_score,
+                 CAST(1 + len(list_filter(tf, x -> x < f)) AS INTEGER)
+                   AS f_score,
+                 CAST(1 + len(list_filter(tm, x -> x < m)) AS INTEGER)
+                   AS m_score
+               FROM base, th)
+    SELECT o_custkey, rec AS recency_days, f AS n_orders,
+           m AS monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    doc="RFM customer segmentation — the classic warehouse lifecycle "
+    "analysis: per customer recency/frequency/monetary, quintile "
+    "scores, and a segment label. Scores use the scale-safe quantile "
+    "device (feature_quantile_bins): exact quintile boundaries from "
+    "ONE aggregate broadcast back, bucket = count of boundaries "
+    "strictly below the value — never a global NTILE window (which "
+    "funnels every customer through one task). Boundaries rounded "
+    "9dp in both engines to absorb interpolation ulp.",
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    mx = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+    )
+    base = per.join(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_d").cast("long").alias("rec"),
+        "f",
+        "m",
+    )
+    th = base.agg(
+        *[
+            F.transform(
+                F.expr(
+                    f"percentile({c}, array(0.2D, 0.4D, 0.6D, 0.8D))"
+                ),
+                lambda x: F.round(x, 9),
+            ).alias(f"t{c}")
+            for c in ("rec", "f", "m")
+        ]
+    )
+    s = base.join(F.broadcast(th))
+    r_score = (
+        F.lit(5)
+        - F.size(F.filter("trec", lambda x: x < F.col("rec")))
+    ).cast("int")
+    f_score = (
+        F.lit(1) + F.size(F.filter("tf", lambda x: x < F.col("f")))
+    ).cast("int")
+    m_score = (
+        F.lit(1) + F.size(F.filter("tm", lambda x: x < F.col("m")))
+    ).cast("int")
+    seg = (
+        F.when((r_score >= 4) & (f_score >= 4), "champion")
+        .when(r_score >= 4, "recent")
+        .when(f_score >= 4, "loyal")
+        .when((r_score <= 2) & (f_score <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return s.select(
+        "o_custkey",
+        F.col("rec").alias("recency_days"),
+        F.col("f").alias("n_orders"),
+        F.col("m").alias("monetary"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        seg.alias("segment"),
+    )
