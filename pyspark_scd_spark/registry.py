@@ -10259,3 +10259,59 @@ def q_customer_rfm_segments(spark, sf_dir):
         m_score.alias("m_score"),
         seg.alias("segment"),
     )
+
+
+@register(
+    "corpus_zipf_slope",
+    f"""
+    WITH tk AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tk GROUP BY tok),
+    top AS (SELECT tok, c FROM vocab
+            ORDER BY c DESC, tok ASC LIMIT 1000),
+    pts AS (SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)
+                     AS DOUBLE)) AS x,
+                   LN(CAST(c AS DOUBLE)) AS y
+            FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(covar_pop(y, x) / var_pop(x), 4) AS zipf_slope,
+           ROUND(POWER(covar_pop(y, x), 2)
+                 / (var_pop(x) * var_pop(y)), 4) AS r2
+    FROM pts
+    """,
+    doc="Zipf-law fit of the vocabulary: OLS slope of ln(freq) on "
+    "ln(rank) over the top-1000 tokens plus the fit r-squared — the "
+    "corpus-health statistic (natural language sits near -1; "
+    "template/bot text bends the curve). Vocab aggregates once "
+    "(map-side combined); the rank window runs over the 1000-row "
+    "top-k (TakeOrdered prunes map-side first), never the corpus; "
+    "the fit is the closed-form covar_pop/var_pop aggregate.",
+)
+def q_corpus_zipf_slope(spark, sf_dir):
+    from pyspark_scd_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        1000
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(
+            F.pow(F.covar_pop("y", "x"), 2)
+            / (F.var_pop("x") * F.var_pop("y")),
+            4,
+        ).alias("r2"),
+    )
