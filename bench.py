@@ -1,10 +1,16 @@
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line {"metric", "value", "unit", "queries", "sf"}.
+line {"metric", "value", "unit", "queries", "sf"} as the FINAL stdout
+line, guaranteed under the driver's 2000-char tail window (r05/r06
+landed "parsed": null because the line outgrew the window and its head
+was truncated). The full-detail record (x10/x3 tiers, 3-dp timings)
+goes to BENCH_FULL.json beside this file and to an earlier stdout line.
 
-Each query runs once warm-up-free but shares one SparkSession, so JVM
-startup is excluded from per-query timings (timed per query; the
-headline value is the sum of per-query wall times).
+Timing consumer: a noop-format write, NOT df.count() — count() lets
+the optimizer PRUNE aggregate expressions (NOTES trap: a groupBy's
+md5/collect_list never ran under .count()), so r<=6 under-measured
+queries whose final stage carries expensive projections. The noop sink
+materializes every output column JVM-side with zero I/O.
 """
 
 from __future__ import annotations
@@ -93,18 +99,17 @@ HEADLINE = [
 ]
 
 
-# Standing 10x tier: a heavy subset re-run against key-shifted 10x
-# fixtures (tools/gen_scale.py), so round-over-round deltas measure
-# throughput instead of fixed cost — 44/48 headline queries finish
-# under 3s at sf0.1, where job-scheduling noise is a large share of
-# the signal. Fixtures are built once and cached in /tmp.
+# Standing scale tiers re-run against key-shifted fixtures
+# (tools/gen_scale.py), so round-over-round deltas measure throughput
+# instead of fixed cost — most headline queries finish under 3s at
+# sf0.1, where job-scheduling noise is a large share of the signal.
+# Fixtures are built once and cached in /tmp.
 X10_DIR = "/tmp/scale_x10_bench"
+X3_DIR = "/tmp/scale_x3_bench"
 X10_HEAVY = [
     "dedup_minhash_lsh",
     "dedup_cc_clusters",
-    "knn_label_vote",
     "embedding_neardup_pairs",
-    "hard_negative_mining",
     "q21_last_shipper",
     "graph_pagerank_topk",
     "basket_lift_pairs",
@@ -115,8 +120,7 @@ X10_HEAVY = [
     "dedup_semantic_clusters",
     "embedding_neardup_pairs_ivf",
     # the IVF/LSH tier contrast on identical duplicate-heavy data:
-    # the pinned-planes LSH kNN entry is the x10 tier's heaviest row
-    # while the IVF twin handles the same fixture in seconds
+    # pinned-k_cells=8 parity form beside its balanced auto twin
     "knn_label_vote_ivf",
     # balanced auto_cells (k = probe*sqrt(n)) twins: the IVF tier's
     # SCALE form — the pinned-k=8 entries above stay as the parity
@@ -125,12 +129,8 @@ X10_HEAVY = [
     "embedding_neardup_pairs_ivf_auto",
     "knn_label_vote_ivf_auto",
     # the LSH scale twin: auto_planes keeps bucket population (and
-    # per-row candidate work) constant as n grows — measured 1.9x at
-    # x10 where the pinned-planes parity form is the tier's wall
+    # per-row candidate work) constant as n grows
     "embedding_neardup_pairs_ann_auto",
-    # scale twins for the two heaviest x10 rows (the deliberate
-    # exact-grid twins knn_label_vote / hard_negative_mining): the
-    # directed audits under auto_planes / auto_cells
     "knn_label_vote_ann_auto",
     "hard_negative_mining_ivf_auto",
     # the round-6 corpus-prep family: all scan-shaped by design
@@ -142,14 +142,27 @@ X10_HEAVY = [
     "bloom_decontaminate",
     "quality_classifier_scores",
 ]
+# The two deliberate exact-quadratic ground-truth twins: their answers
+# are pinned by parity tests and their x10 runs burned ~31s of the
+# tier for no new information (O(n²) is O(n²)). They keep a scale
+# checkpoint at x3 — still exact ground truth for recall audits —
+# while their _ann/_ivf/auto twins carry the x10 scale story.
+X3_EXACT = [
+    "knn_label_vote",
+    "hard_negative_mining",
+]
+
+# Driver tail window: the final stdout line must fit inside it whole,
+# or the driver records parsed:null (r05/r06 failure mode).
+TAIL_BUDGET = 1900
 
 
-def _ensure_x10(spark) -> bool:
-    """Build (once) the 10x fixtures for every testdata table; reuse
-    across rounds via a _DONE marker."""
+def _ensure_scale(spark, copies: int, out_dir: str) -> bool:
+    """Build (once) key-shifted fixtures for every testdata table;
+    reuse across rounds via a _DONE marker."""
     import traceback
 
-    marker = os.path.join(X10_DIR, "_DONE")
+    marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return True
     try:
@@ -158,13 +171,50 @@ def _ensure_x10(spark) -> bool:
         from gen_scale import KEY_COLS, build  # noqa: PLC0415
 
         for t in KEY_COLS:
-            build(spark, t, 10, X10_DIR)
+            build(spark, t, copies, out_dir)
         with open(marker, "w") as f:
             f.write("ok\n")
         return True
     except Exception:
         traceback.print_exc(file=sys.stderr)
         return False
+
+
+def _consume(df) -> None:
+    """Materialize EVERY output column: noop-format write (JVM-side,
+    zero I/O, nothing pruned). count() is not a valid consumer here —
+    it prunes aggregate expressions (see module docstring)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _final_line(out: dict) -> str:
+    """The driver-facing JSON line, guaranteed <= TAIL_BUDGET chars:
+    compact separators, then progressively coarser per-query decimals,
+    then slowest-first truncation of the queries dict (full detail is
+    always in BENCH_FULL.json / the earlier stdout line)."""
+    for nd in (3, 2, 1):
+        cand = dict(out)
+        cand["queries"] = {
+            k: round(v, nd) for k, v in out["queries"].items()
+        }
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= TAIL_BUDGET:
+            return s
+    # Last resort: keep the slowest queries until the line fits.
+    items = sorted(
+        out["queries"].items(), key=lambda kv: -kv[1]
+    )
+    for keep in range(len(items), 0, -1):
+        cand = dict(out)
+        cand["queries"] = {k: round(v, 1) for k, v in items[:keep]}
+        cand["queries_omitted"] = len(items) - keep
+        s = json.dumps(cand, separators=(",", ":"))
+        if len(s) <= TAIL_BUDGET:
+            return s
+    return json.dumps(
+        {k: v for k, v in out.items() if k != "queries"},
+        separators=(",", ":"),
+    )
 
 
 def main() -> None:
@@ -180,17 +230,17 @@ def main() -> None:
     # Untimed warm-up at the smallest SF: JIT/codegen/parquet-footer
     # costs land here, so the timed section measures throughput, not
     # JVM startup (first-query penalty measured at ~5s vs 1s steady).
-    for name in HEADLINE:
+    for name in HEADLINE + X3_EXACT:
         if name in queries:
-            queries[name](spark, "/root/testdata/sf0.001").count()
+            _consume(queries[name](spark, "/root/testdata/sf0.001"))
     spark.catalog.clearCache()
 
     # Median of 3 runs per query: single-shot timings at sf0.1 carry
     # run-to-run environmental spread (page cache, GC, scheduler) on
     # the same order as real plan changes for the ~1s mid-pack, so
-    # round-over-round deltas were weather. The x10 tier below stays
-    # single-shot (its queries are seconds-long, spread is relatively
-    # small, and 3x its wall would dominate the round budget).
+    # round-over-round deltas were weather. The scale tiers below stay
+    # at second-of-2 (their queries are seconds-long, spread is
+    # relatively small, and 3x their wall would dominate the budget).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
@@ -198,10 +248,8 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            n = df.count()
+            _consume(queries[name](spark, sf_dir))
             runs.append(time.time() - t0)
-            assert n >= 0
             # Some operators cache intermediates (shingle sets, edge
             # sets) and cannot unpersist before their consumer
             # executes; drop those blocks here so a query's leftover
@@ -213,26 +261,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # 10x tier (only when benching the standard sf0.1 dir — a custom
-    # SPARK_GRAFT_SF_DIR means the caller wants that tier alone)
-    x10: dict[str, float] = {}
-    if sf == 0.1 and _ensure_x10(spark):
-        for name in X10_HEAVY:
+    # Scale tiers (only when benching the standard sf0.1 dir — a custom
+    # SPARK_GRAFT_SF_DIR means the caller wants that tier alone).
+    # SCALING.md's steady-state protocol: report the SECOND run —
+    # single-shot scale readings carry the previous heavy query's
+    # GC/memory-pressure wake (measured: 15.3s for a query whose
+    # steady state is 4.5s).
+    def _tier(names: list, fixture_dir: str) -> dict:
+        res: dict[str, float] = {}
+        for name in names:
             if name not in queries:
                 continue
-            # SCALING.md's steady-state protocol: report the SECOND
-            # run. Single-shot x10 readings carry the previous heavy
-            # query's GC/memory-pressure wake (measured: 15.3s for a
-            # query whose steady state is 4.5s, right after the two
-            # exact-grid monsters) — the first run absorbs it.
             runs = []
             for _ in range(2):
                 t0 = time.time()
-                n = queries[name](spark, X10_DIR).count()
+                _consume(queries[name](spark, fixture_dir))
                 runs.append(time.time() - t0)
-                assert n >= 0
                 spark.catalog.clearCache()
-            x10[name] = round(runs[-1], 3)
+            res[name] = round(runs[-1], 3)
+        return res
+
+    x10: dict[str, float] = {}
+    x3: dict[str, float] = {}
+    if sf == 0.1:
+        if _ensure_scale(spark, 10, X10_DIR):
+            x10 = _tier(X10_HEAVY, X10_DIR)
+        if _ensure_scale(spark, 3, X3_DIR):
+            x3 = _tier(X3_EXACT, X3_DIR)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -244,7 +299,27 @@ def main() -> None:
     if x10:
         out["queries_x10"] = x10
         out["value_x10"] = round(sum(x10.values()), 3)
+    if x3:
+        out["queries_x3"] = x3
+        out["value_x3"] = round(sum(x3.values()), 3)
+
+    # Full-detail record: file + an early stdout line (human tail
+    # inspection); neither needs to fit any window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
+
+    # Driver-facing line LAST: compact, per-query dict included while
+    # it fits, always whole inside the 2000-char tail window.
+    final = dict(out)
+    final.pop("queries_x10", None)
+    final.pop("queries_x3", None)
+    sys.stdout.flush()
+    print(_final_line(final))
 
 
 if __name__ == "__main__":
