@@ -1912,6 +1912,92 @@ def _dedup_scored(scored: DataFrame) -> DataFrame:
     )
 
 
+def _auto_anchor_salt(
+    df: DataFrame,
+    n_groups: int,
+    n_probe: int,
+    cap: int = 16,
+    min_anchor_rows: int = 256,
+) -> int:
+    """Anchor-salt factor for pinned cell/bucket counts: enough salts
+    that n_groups * salt oversubscribes the cluster's task slots 4x
+    (first-k centroids make SKEWED cells, so matching slots 1:1 still
+    leaves the wall at largest_cell/salt — measured at x10/k_cells=8:
+    salt 4 = 7.0s, salt 8 = 5.6s, salt 16 = 3.9s vs 11.4s unsalted),
+    but never slicing the average cell below ``min_anchor_rows``
+    anchors per task — below that, checkpoint+cogroup fixed costs eat
+    the parallelism win (sf0.1 measured +0.8s at salt 16). Groups
+    already >= 2x slots (the balanced auto_cells/auto_planes forms)
+    resolve to 1 without the count job: no replication, self-GEMM
+    path unchanged. The one count() here is a parquet-scan row count
+    — bounded work at any corpus scale."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if n_groups >= 2 * slots:
+        return 1
+    by_slots = -(-(4 * slots) // max(n_groups, 1))
+    by_rows = (df.count() * n_probe) // (
+        max(n_groups, 1) * min_anchor_rows
+    )
+    return int(max(1, min(cap, by_slots, by_rows)))
+
+
+def _salted_cell_topk_scored(
+    assigned: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_salt: int,
+    decimals: int = 6,
+    cross_label_only: bool = False,
+) -> DataFrame:
+    """``_cell_topk_scored`` with the ANCHOR side split ``n_salt``
+    ways per cell — the parallelism fix for PINNED cell counts
+    (k_cells=8 parity forms): the self-GEMM path runs one task per
+    cell, so 8 cells on 32 cores leaves 3/4 of the machine idle while
+    each task grinds a (n/8)² matmul. Anchors hash to one
+    (cell, salt) group; members replicate to every salt of their
+    cell, so each anchor still sees the FULL cell member set — its
+    per-group top-k is bit-identical to the unsalted cell top-k
+    (same GEMM row, same rounding, same (cosine DESC, id ASC)
+    order), and the global merge tail is unchanged. Cost: member
+    shuffle volume x n_salt (bounded by the salt cap) for ~n_salt x
+    task parallelism; FLOPs are identical.
+
+    ``n_salt <= 1`` falls back to the one-shuffle self-GEMM path."""
+    if n_salt <= 1:
+        return _cell_topk_scored(
+            assigned, ["cell"], k, id_col, vec_col, label_col,
+            decimals=decimals, cross_label_only=cross_label_only,
+        )
+    # Both legs consume the assignment pass; checkpoint so the
+    # mapInPandas centroid fold runs once, and re-alias the query
+    # leg's columns — cogroup children sharing attribute ids
+    # miscompile under column pruning (the _lsh_assigned_vec_rows
+    # lesson: a pruned member child arrived without its vector).
+    cols = [id_col, vec_col, label_col]
+    base = assigned.localCheckpoint()
+    members = base.select(
+        *cols,
+        "cell",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_salt)])
+        ).alias("salt"),
+    )
+    queries = base.select(
+        *[F.col(c).alias(c) for c in cols],
+        F.col("cell").alias("cell"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+        .cast("int")
+        .alias("salt"),
+    )
+    return _grouped_topk_scored(
+        queries, members, ["cell", "salt"], k, id_col, vec_col,
+        label_col, decimals=decimals,
+        cross_label_only=cross_label_only,
+    )
+
+
 def _grouped_topk_scored(
     queries: DataFrame,
     members: DataFrame,
@@ -2964,6 +3050,7 @@ def knn_label_vote_ivf(
     vec_col: str = "embedding",
     label_col: str = "label",
     verify: str = "cells",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """kNN label-consistency audit, IVF tier: neighbors restricted to
     same-cell candidates (directed — every vector is an anchor), exact
@@ -2980,7 +3067,12 @@ def knn_label_vote_ivf(
     cells (with the label carried — no join back), each cell GEMMs
     against itself and emits its local top-k per anchor; the global
     merge is the shared vote tail. Per-cell top-k ⊇ global top-k
-    (top-k distributes over the cell cover). ``verify='pairs'``
+    (top-k distributes over the cell cover). Under a PINNED cell
+    count the anchor side additionally salts ``n_salt`` ways
+    (default: enough that cells x salts covers the task slots, see
+    ``_auto_anchor_salt``) — members replicate per salt so every
+    anchor still sees the full cell, output unchanged, parallelism
+    x salt (the r6 x10 wall: 8 cells = 8 tasks on 32 cores). ``verify='pairs'``
     routes same-cell candidate pairs through the generic pair-gather
     — identical output (identical up to one caveat: the
     bucket/cell GEMM and the pair path's per-row (a*b).sum
@@ -3002,8 +3094,13 @@ def knn_label_vote_ivf(
             df, centroids, n_probe, id_col, vec_col, "serial",
             extra_cols=(label_col,),
         )
-        scored = _cell_topk_scored(
-            assigned, ["cell"], k, id_col, vec_col, label_col,
+        salt = (
+            n_salt
+            if n_salt is not None
+            else _auto_anchor_salt(df, len(centroids), n_probe)
+        )
+        scored = _salted_cell_topk_scored(
+            assigned, k, id_col, vec_col, label_col, salt,
             decimals=6,
         )
         return _vote_tail(scored, k, id_col, label_col)
@@ -3031,6 +3128,7 @@ def hard_negative_mining_ivf(
     vec_col: str = "embedding",
     label_col: str = "label",
     verify: str = "cells",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Contrastive hard negatives, IVF tier: directed same-cell
     candidates with same-label pairs masked, exact cosine re-rank to
@@ -3059,8 +3157,13 @@ def hard_negative_mining_ivf(
             df, centroids, n_probe, id_col, vec_col, "serial",
             extra_cols=(label_col,),
         )
-        scored = _cell_topk_scored(
-            assigned, ["cell"], k, id_col, vec_col, label_col,
+        salt = (
+            n_salt
+            if n_salt is not None
+            else _auto_anchor_salt(df, len(centroids), n_probe)
+        )
+        scored = _salted_cell_topk_scored(
+            assigned, k, id_col, vec_col, label_col, salt,
             decimals=6, cross_label_only=True,
         )
         return _hardneg_tail(scored, k, id_col, label_col)
