@@ -9737,10 +9737,15 @@ def q_stream_pii_scrub(spark, sf_dir):
 @register(
     "dedup_source_matrix",
     r"""
-    WITH h AS (
+    WITH docs AS (
+      SELECT text, source FROM documents
+      UNION ALL
+      SELECT text, 'seed_mirror' AS source
+      FROM documents WHERE doc_id % 13 = 0),
+    h AS (
       SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
              source
-      FROM documents),
+      FROM docs),
     counts AS (SELECT fp, source, COUNT(*) AS n FROM h GROUP BY 1, 2),
     dup AS (SELECT fp FROM counts GROUP BY fp HAVING SUM(n) > 1),
     hist AS (SELECT counts.* FROM counts JOIN dup USING (fp)),
@@ -9759,13 +9764,24 @@ def q_stream_pii_scrub(spark, sf_dir):
     "per-(fingerprint, source) COUNTS before any pair arithmetic "
     "(within-source C(n,2), cross-source n_a*n_b on the histogram), "
     "so a 1M-copy document costs one histogram row per source, "
-    "never a materialized pair join.",
+    "never a materialized pair join. The testdata documents table "
+    "has no natural cross-source exact dups at small SFs (the r6 "
+    "entry proved vacuously true: 0 rows from both engines), so "
+    "BOTH engines seed a deterministic mirror — every doc_id "
+    "divisible by 13 re-tagged source='seed_mirror' — giving the "
+    "matrix real mass (39+ dup pairs at every SF) while staying "
+    "hash-replayable.",
 )
 def q_dedup_source_matrix(spark, sf_dir):
     from pyspark_scd_spark.operators import dedup
 
-    d = _t(spark, sf_dir, "documents")
-    return dedup.cross_source_dup_matrix(d)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    seeded = d.select("text", "source").unionByName(
+        d.filter(F.col("doc_id") % 13 == 0).select(
+            "text", F.lit("seed_mirror").alias("source")
+        )
+    )
+    return dedup.cross_source_dup_matrix(seeded)
 
 
 @register(
