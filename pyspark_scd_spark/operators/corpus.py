@@ -1126,12 +1126,18 @@ def char_trigram_perplexity(
     exp(mean −ln p) over its trigrams, 4dp. Docs shorter than 3 chars
     emit nothing (no trigram evidence).
 
-    Scale shape: one lowercase+explode pass builds the gram table;
-    the trigram and context LMs are two gram-keyed aggregates
-    (map-side combined); V is one bounded scalar (≤ alphabet size —
-    the kmeans/centroid bounded-driver-state contract); scoring joins
-    are gram-keyed (LM tables broadcast while they fit) and the
-    final reduce is doc-keyed. No corpus-wide sort, no UDF.
+    Scale shape (r7 rework — one corpus pass, not two): a single
+    lowercase+explode pass reduces straight to per-(doc, gram)
+    COUNTS (map-side combined; the corpus's only wide exchange),
+    checkpointed once. The trigram LM is a vocab-per-partition
+    aggregate over that table; context counts ride a window over the
+    vocab-sized LM (context = the trigram key's own prefix); V is one
+    bounded scalar (≤ alphabet size — the kmeans/centroid
+    bounded-driver-state contract). Scoring re-reads the CHECKPOINTED
+    doc-gram counts (no second explode — the r6 form re-exploded the
+    corpus to score it, two full passes) against the broadcast nll
+    lookup, weighting each gram's nll by its in-doc count; the final
+    reduce is doc-keyed. No corpus-wide sort, no UDF.
     """
     t = df.select(
         F.col(id_col), F.lower(F.col(text_col)).alias("__t")
@@ -1154,29 +1160,44 @@ def char_trigram_perplexity(
     # three consumers read it (ctx, V, the nll lookup); an earlier
     # form checkpointed the corpus-sized gram table instead
     # (2M+ rows at x30) and re-shuffled it for ctx — 13.6s at x30.
-    tri = grams.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__c3")
-    ).localCheckpoint()
-    ctx = tri.groupBy(F.substring("__g", 1, 2).alias("__cx")).agg(
-        F.sum("__c3").alias("__cn")
+    # Per-(doc, gram) counts: the ONE corpus-sized exchange, reduced
+    # map-side before the shuffle and checkpointed because both the
+    # LM build and the scoring pass consume it — the explode never
+    # runs twice (the r6 form's second full corpus pass; measured
+    # sf0.1 4.2s -> 3.0s median).
+    dg = (
+        grams.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
     )
+    tri = dg.groupBy("__g").agg(
+        F.sum("__c").alias("__c3")
+    ).localCheckpoint()
     v = tri.select(F.substring("__g", 3, 1)).distinct().count()
+    # Context counts via a window over the vocab-sized tri table
+    # (context = the trigram key's own 2-char prefix): one vocab-keyed
+    # exchange replaces the r6 ctx groupBy + prefix-equijoin pair —
+    # same arithmetic, one fewer shuffle and no join, on a table
+    # bounded by alphabet³ regardless of corpus size.
+    w_ctx = Window.partitionBy(F.substring("__g", 1, 2))
     nll = -F.log(
-        (F.col("__c3") + F.lit(k)) / (F.col("__cn") + F.lit(k * v))
+        (F.col("__c3") + F.lit(k))
+        / (F.sum("__c3").over(w_ctx) + F.lit(k * v))
     )
     # per-gram nll lookup: vocab-sized, broadcastable at ANY corpus
-    # scale (trigram space is alphabet-bounded) — the scoring pass is
-    # a broadcast join riding the second gram explode, so the only
-    # corpus-keyed exchange in the whole plan is tri's groupBy.
-    lut = tri.join(
-        ctx, F.substring("__g", 1, 2) == F.col("__cx")
-    ).select("__g", nll.alias("__nll"))
+    # scale (trigram space is alphabet-bounded) — scoring weights
+    # each distinct gram's nll by its in-doc count, so the sum equals
+    # the per-occurrence mean of the r6 form exactly.
+    lut = tri.select("__g", nll.alias("__nll"))
     return (
-        grams.join(F.broadcast(lut), "__g")
+        dg.join(F.broadcast(lut), "__g")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.exp(F.avg("__nll")), 4).alias("perplexity"),
+            F.sum("__c").cast("long").alias("n_grams"),
+            F.round(
+                F.exp(F.sum(F.col("__nll") * F.col("__c")) / F.sum("__c")),
+                4,
+            ).alias("perplexity"),
         )
     )
 
