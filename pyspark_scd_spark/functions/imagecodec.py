@@ -1,5 +1,6 @@
-"""Vendored minimal image codec: pure-Python PPM/PGM (P2/P3/P5/P6)
-and uncompressed BMP decode, plus encoders for test payloads.
+"""Vendored minimal image codec: pure-Python PPM/PGM (P2/P3/P5/P6),
+uncompressed BMP, and 8-bit PNG (gray/RGB/RGBA, all five filters —
+stdlib zlib inflate) decode, plus encoders for test payloads.
 
 Purpose: ``operators/multimodal.decode_image_features`` prefers PIL,
 but this container ships no codecs — without a fallback its real
@@ -19,13 +20,15 @@ colors — we mirror that so the two branches agree).
 from __future__ import annotations
 
 import struct
+import zlib
 
 MAGICS = (b"P2", b"P3", b"P5", b"P6", b"BM")
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff(payload: bytes) -> bool:
     """True when the payload looks like a format this codec decodes."""
-    return payload[:2] in MAGICS
+    return payload[:2] in MAGICS or payload[:8] == PNG_MAGIC
 
 
 def _pnm_tokens(data: bytes, needed: int, start: int):
@@ -75,6 +78,8 @@ def decode(payload: bytes) -> tuple[int, int, int, list[int]]:
         w, h, maxval = int(w), int(h), int(maxval)
         toks, _ = _pnm_tokens(payload, w * h * channels, off)
         return w, h, channels, [int(t) for t in toks]
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     if magic == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
@@ -114,6 +119,95 @@ def decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     raise ValueError(f"unknown image magic {magic!r}")
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): pick whichever of
+    left/up/up-left is closest to a+b-c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """8-bit non-interlaced PNG (color types 0/2/6): chunk walk with
+    CRC verification, concatenated-IDAT zlib inflate, and per-row
+    reverse of all five scanline filters. Raises ValueError on
+    anything outside that envelope (16-bit, palette, Adam7) — callers
+    treat that as 'needs PIL', same contract as the other formats."""
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"PNG depth={depth} color={color} unsupported"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("PNG compression/filter/interlace unsupported")
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG inflated size mismatch")
+    out = bytearray(h * stride)
+    prev_start = -1
+    for row in range(h):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        cur_start = row * stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if row:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if row else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if row else 0
+                ul = (
+                    out[prev_start + i - channels]
+                    if (row and i >= channels)
+                    else 0
+                )
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[cur_start : cur_start + stride] = line
+        prev_start = cur_start
+    return w, h, channels, list(out)
+
+
 def features(payload: bytes) -> tuple[int, int, int, float]:
     """(width, height, channels, mean_intensity in [0,1] rounded to
     6dp) — the decode_image_features contract."""
@@ -134,6 +228,84 @@ def encode_ppm(w: int, h: int, rgb: list[int]) -> bytes:
 def encode_pgm(w: int, h: int, gray: list[int]) -> bytes:
     assert len(gray) == w * h
     return b"P5\n%d %d\n255\n" % (w, h) + bytes(gray)
+
+
+def encode_png(
+    w: int, h: int, channels: int, samples: list[int]
+) -> bytes:
+    """8-bit PNG from flat row-major channel-interleaved samples
+    (channels: 1 gray / 3 RGB / 4 RGBA). Each row is filtered with
+    ``row % 5`` — None, Sub, Up, Average, Paeth in rotation — so a
+    payload taller than 4 rows forces a decoder through every filter
+    reconstruction, not just the trivial one."""
+    assert len(samples) == w * h * channels
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for row in range(h):
+        cur = bytes(
+            samples[row * stride : (row + 1) * stride]
+        )
+        ftype = row % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw.extend(cur)
+        elif ftype == 1:
+            raw.extend(
+                (cur[i] - (cur[i - channels] if i >= channels else 0))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:
+            raw.extend(
+                (cur[i] - prev[i]) & 0xFF for i in range(stride)
+            )
+        elif ftype == 3:
+            raw.extend(
+                (
+                    cur[i]
+                    - (
+                        ((cur[i - channels] if i >= channels else 0)
+                         + prev[i])
+                        >> 1
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw.extend(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = cur
+
+    def _chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(
+                ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+            )
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
 
 
 def encode_bmp24(w: int, h: int, rgb: list[int]) -> bytes:

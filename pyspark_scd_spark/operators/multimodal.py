@@ -153,7 +153,7 @@ def decode_image_features(
                     feats["mean_intensity"].append(mean)
                 else:
                     raise NotImplementedError(
-                        "payload is neither PPM/PGM/BMP (vendored "
+                        "payload is neither PPM/PGM/BMP/PNG (vendored "
                         "codec) nor decodable without PIL/opencv — "
                         "install PIL on the cluster image or use "
                         "fake=True for plumbing tests"
@@ -516,4 +516,119 @@ def video_frame_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _stats, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------------
+# PNG modality: real compressed payloads (zlib inflate + PNG filters)
+# ----------------------------------------------------------------------
+
+PNG_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("max_r", T.IntegerType()),
+    ]
+)
+
+# Deterministic synthetic image: doc i is W x H RGB with W = 8 +
+# (i % 5), H = 5 + (i % 4) — H >= 5 rows, so the row-cycling encoder
+# (filter = row % 5) forces every decode through all five PNG filter
+# reconstructions — and sample (y, x, c) = (i*31 + y*13 + x*7 +
+# c*101) % 256, pure integer functions a SQL oracle replays pixel for
+# pixel (the audio/video determinism move applied to the first
+# COMPRESSED format in the vendored family).
+_PNG_PX = (31, 13, 7, 101)
+
+
+def _png_dims(doc_id: int):
+    return 8 + doc_id % 5, 5 + doc_id % 4
+
+
+def _png_pixels(doc_id: int, w: int, h: int) -> list:
+    a, b, c, d = _PNG_PX
+    return [
+        (doc_id * a + y * b + x * c + ch * d) % 256
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    ]
+
+
+def with_png_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a REAL PNG binary column (vendored encoder:
+    IHDR/IDAT/IEND with CRCs, zlib-compressed scanlines, all five
+    filters in rotation) from the deterministic pixels above. Every
+    byte downstream is a genuine PNG any viewer opens."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import imagecodec
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = _png_dims(i)
+                payloads.append(
+                    imagecodec.encode_png(w, h, 3, _png_pixels(i, w, h))
+                )
+            yield pd.DataFrame({id_col: ids, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(out_col, T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def png_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header meta + integer per-channel pixel sums from a REAL PNG
+    decode (functions/imagecodec.py: chunk walk with CRC verify,
+    stdlib-zlib inflate, per-row unfilter). The sums depend on every
+    reconstructed sample, so a hash match proves the inflate AND the
+    filter arithmetic byte for byte — decode bugs in any of the five
+    filters shift sums on the very first corrupted row."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import imagecodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in PNG_PIXEL_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = imagecodec.decode(bytes(payload))
+                arr = np.asarray(px, dtype=np.int64).reshape(-1, c)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["sum_r"].append(int(arr[:, 0].sum()))
+                out["sum_g"].append(
+                    int(arr[:, 1].sum()) if c >= 3 else 0
+                )
+                out["sum_b"].append(
+                    int(arr[:, 2].sum()) if c >= 3 else 0
+                )
+                out["max_r"].append(int(arr[:, 0].max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats, schema=PNG_PIXEL_STATS_SCHEMA
     )

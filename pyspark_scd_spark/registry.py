@@ -2765,6 +2765,50 @@ def q_multimodal_audio_energy(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_meta",
+    """
+    WITH d AS (SELECT doc_id,
+                      8 + doc_id % 5 AS w,
+                      5 + doc_id % 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, yy.y AS y, xx.x AS x
+           FROM d,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx)
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(SUM((doc_id*31 + y*13 + x*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + y*13 + x*7 + 101) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(SUM((doc_id*31 + y*13 + x*7 + 202) % 256) AS BIGINT)
+             AS sum_b,
+           CAST(MAX((doc_id*31 + y*13 + x*7) % 256) AS INTEGER) AS max_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="PNG modality — the first COMPRESSED format in the vendored "
+    "codec family (operators/multimodal.py with_png_payload / "
+    "png_pixel_stats; functions/imagecodec.py encode_png/_decode_png): "
+    "synthesize real zlib-compressed PNGs whose rows rotate through "
+    "all five scanline filters, decode them back (chunk walk + CRC "
+    "verify + stdlib inflate + unfilter), emit integer per-channel "
+    "pixel sums. The oracle replays the deterministic pixel signal "
+    "directly — a hash match proves the inflate and every filter "
+    "reconstruction byte for byte, the WAV/Y4M playbook applied to "
+    "a real web format. JPEG/FLAC (lossy/entropy-coded) remain the "
+    "documented NotImplementedError gates.",
+)
+def q_multimodal_png_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.png_pixel_stats(
+        multimodal.with_png_payload(d)
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     """
     WITH d AS (SELECT doc_id,
