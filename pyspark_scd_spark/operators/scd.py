@@ -139,6 +139,31 @@ def union_snapshots(history: DataFrame, new_rows: DataFrame) -> DataFrame:
     return history.unionByName(new_rows, allowMissingColumns=False)
 
 
+def union_snapshots_evolving(
+    history: DataFrame, new_rows: DataFrame
+) -> DataFrame:
+    """Schema-drift-tolerant append: a column newly appearing in (or
+    dropped from) a snapshot feed unions by NAME with NULL backfill on
+    the side that lacks it — the most common real-world SCD event the
+    reference silently corrupts (positional unionAll, reference
+    jobs/create_employee_all.py:77-78: a new column would shift every
+    later column one slot).
+
+    Hash-columns policy: after an evolving union, compute the row
+    fingerprint over the EVOLVED column set with
+    ``with_row_hash(hardened=True)``. The hardened form
+    (sha2(to_json(struct))) omits null fields from the JSON, so a
+    pre-drift row (new column backfilled NULL) hashes identically to
+    a post-drift row whose new column is also NULL — no spurious
+    'Changed' wall at the drift boundary — while any real value in
+    the new column changes the fingerprint exactly like a tracked-
+    attribute edit. The faithful concat_ws hash must NOT be used
+    across a drift boundary: concat_ws skips NULLs, so it cannot
+    distinguish (NULL, 'x') from ('x', NULL) shifts.
+    """
+    return history.unionByName(new_rows, allowMissingColumns=True)
+
+
 def _with_global_max(
     df: DataFrame,
     time_col: str,

@@ -399,6 +399,107 @@ def q_scd_merge_incremental(spark, sf_dir):
 
 
 @register(
+    "scd_schema_evolution",
+    """
+    WITH snaps AS (
+      SELECT key, snap_date, o_orderstatus, o_orderpriority,
+             CASE WHEN snap_date >= DATE '1998-01-01'
+                  THEN CAST(FLOOR(o_totalprice / 50000) AS INTEGER)
+             END AS price_band
+      FROM (
+        SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS snap_date,
+               o_orderstatus, o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                 ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    s AS (
+      SELECT *,
+        MIN(snap_date) OVER (PARTITION BY key) AS min_t,
+        MAX(snap_date) OVER (PARTITION BY key) AS max_t,
+        MAX(snap_date) OVER () AS global_max_t,
+        LEAD(snap_date) OVER w AS next_t,
+        LAG(o_orderstatus) OVER w AS p_st,
+        LAG(o_orderpriority) OVER w AS p_pr,
+        LAG(price_band) OVER w AS p_bd
+      FROM snaps
+      WINDOW w AS (PARTITION BY key ORDER BY snap_date)),
+    st AS (
+      SELECT *,
+        CASE WHEN snap_date = min_t THEN 'New'
+             WHEN next_t IS NULL AND max_t <> global_max_t THEN 'Deleted'
+             WHEN (o_orderstatus IS DISTINCT FROM p_st)
+               OR (o_orderpriority IS DISTINCT FROM p_pr)
+               OR (price_band IS DISTINCT FROM p_bd) THEN 'Changed'
+             ELSE 'No Change' END AS change_status
+      FROM s),
+    g AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY key ORDER BY snap_date DESC)
+        - ROW_NUMBER() OVER (
+            PARTITION BY key, o_orderstatus, o_orderpriority, price_band
+            ORDER BY snap_date DESC) AS gap_grp
+      FROM st)
+    SELECT key, snap_date, o_orderstatus, o_orderpriority, price_band,
+           change_status,
+           CASE WHEN change_status = 'Deleted' THEN snap_date
+                ELSE MIN(snap_date) OVER (
+                  PARTITION BY key, o_orderstatus, o_orderpriority,
+                               price_band, gap_grp)
+           END AS changed_status_date
+    FROM g
+    """,
+    doc="SCD under SCHEMA DRIFT: a newly-tracked attribute "
+    "(price_band) appears mid-history (snapshots from 1998-01-01 "
+    "carry it, earlier ones don't — the most common real-world SCD "
+    "feed event). operators/scd.py union_snapshots_evolving unions "
+    "by name with NULL backfill (the reference's positional unionAll "
+    "would silently shift columns, jobs/create_employee_all.py:77-78) "
+    "and the hardened to_json row hash keeps fingerprints comparable "
+    "across the boundary: backfilled-NULL rows hash like "
+    "explicit-NULL rows (no spurious Changed wall at the drift date), "
+    "while a real value in the new column triggers Changed exactly "
+    "like any tracked-attribute edit. The oracle never replays the "
+    "hash — it compares the evolved tuple with IS DISTINCT FROM, "
+    "which is the semantics the injective hardened hash encodes.",
+)
+def q_scd_schema_evolution(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.to_date("o_orderdate").alias("snap_date"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 50000)
+        .cast("int")
+        .alias("price_band"),
+    )
+    pre = base.filter(F.col("snap_date") < "1998-01-01").drop(
+        "price_band"
+    )
+    post = base.filter(F.col("snap_date") >= "1998-01-01")
+    evolved = scd.union_snapshots_evolving(pre, post)
+    out = scd.scd_apply(
+        evolved,
+        key_cols=["key"],
+        time_col="snap_date",
+        hash_cols=["o_orderstatus", "o_orderpriority", "price_band"],
+        tiebreak_cols=["o_orderkey"],
+        hardened_hash=True,
+    )
+    return out.select(
+        "key",
+        "snap_date",
+        "o_orderstatus",
+        "o_orderpriority",
+        "price_band",
+        "change_status",
+        "changed_status_date",
+    )
+
+
+@register(
     "dup_key_check",
     """
     SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -178,3 +178,77 @@ def test_scd_merge_matches_full_recompute(spark):
         # on New/Deleted/No Change; Changed dates agree by construction.
         assert g_status == status, (emp, g_status, status)
         assert g_date == date, (emp, g_date, date)
+
+
+def test_schema_evolution_golden(spark):
+    """A tracked column appears mid-history: union_snapshots_evolving
+    backfills NULL, the hardened hash keeps fingerprints comparable
+    across the boundary. Golden per-entity expectations:
+      - emp 1: old values unchanged, new col NULL after drift
+               -> NO spurious Changed at the boundary;
+      - emp 2: old values unchanged, new col gets a value at drift
+               -> Changed at the boundary, not before;
+      - emp 3: NULL-shift probe — (dept=NULL, grade='x') vs
+               (dept='x', grade=NULL) must differ (the concat_ws
+               faithful hash would collide; hardened must not).
+    """
+    pre = spark.createDataFrame(
+        [
+            (1, d(1), "eng"),
+            (1, d(2), "eng"),
+            (2, d(1), "ops"),
+            (2, d(2), "ops"),
+            (3, d(1), None),
+            (3, d(2), None),
+        ],
+        ["employee_number", T, "dept"],
+    )
+    post = spark.createDataFrame(
+        [
+            (1, d(3), "eng", None),
+            (2, d(3), "ops", "senior"),
+            (3, d(3), "x", None),
+        ],
+        ["employee_number", T, "dept", "grade"],
+    )
+    evolved = scd.union_snapshots_evolving(pre, post)
+    assert set(evolved.columns) == {
+        "employee_number", T, "dept", "grade"
+    }
+    out = scd.scd_apply(
+        evolved,
+        key_cols=KEY,
+        time_col=T,
+        hash_cols=["dept", "grade"],
+        hardened_hash=True,
+    )
+    m1 = _status_map(out, 1)
+    assert m1[d(2)][0] == "No Change"
+    assert m1[d(3)][0] == "No Change"  # NULL backfill == NULL value
+    m2 = _status_map(out, 2)
+    assert m2[d(2)][0] == "No Change"
+    assert m2[d(3)][0] == "Changed"  # new column got a real value
+    assert m2[d(3)][1] == d(3)
+    # emp 3 pre rows: (dept=NULL); at d(3): dept='x', grade=NULL —
+    # with the faithful concat_ws hash both sides would emit 'x'…
+    # here grade is a NEW column so pre-side grade is NULL too; the
+    # drift row sets dept='x' (real change) — must be Changed
+    m3 = _status_map(out, 3)
+    assert m3[d(3)][0] == "Changed"
+
+
+def test_schema_evolution_nullshift_distinct(spark):
+    """The hardened hash distinguishes (a=NULL, b='x') from (a='x',
+    b=NULL) — the exact NULL-shift collision the faithful concat_ws
+    form cannot see (its docstring hazard, now load-bearing across
+    drift boundaries where backfilled NULLs are routine)."""
+    df = spark.createDataFrame(
+        [(1, d(1), None, "x"), (1, d(2), "x", None)],
+        ["employee_number", T, "a", "b"],
+    )
+    hashed = scd.with_row_hash(df, ["a", "b"], hardened=True)
+    h = [r["row_hash"] for r in hashed.orderBy(T).collect()]
+    assert h[0] != h[1]
+    faithful = scd.with_row_hash(df, ["a", "b"], hardened=False)
+    hf = [r["row_hash"] for r in faithful.orderBy(T).collect()]
+    assert hf[0] == hf[1]  # documents WHY hardened is mandatory here
