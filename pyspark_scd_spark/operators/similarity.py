@@ -2741,6 +2741,114 @@ def embedding_neardup_incremental_ivf(
     )
 
 
+def ivf_drift_retrain(
+    store: DataFrame,
+    batch: DataFrame,
+    k_cells: int = 8,
+    n_probe: int = 2,
+    drift_threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fold: str = "serial",
+) -> DataFrame:
+    """Close the IVF maintenance loop: measure distribution DRIFT of
+    an incoming batch against the serving index's cell histogram and,
+    when it trips the threshold, RETRAIN (re-seed centroids from
+    store ∪ batch, re-assign everything). This is the cycle
+    ``embedding_neardup_incremental_ivf`` documents but leaves to the
+    operator of this function: day-to-day the persisted cell table
+    absorbs batches O(batch); an embedding-model upgrade or a corpus
+    shift silently degrades cell balance (and with it recall) until
+    the index is rebuilt — the drift stat is the trigger.
+
+    Drift = total-variation distance between the store's and the
+    batch's cell-assignment histograms under the CURRENT centroids,
+    computed with an exact-integer numerator — TV = Σ|nb·TS − ns·TB|
+    / (2·TB·TS) — so both engines agree bit-for-bit before one final
+    rounded division (the float-sum-association dodge). Returns one
+    row per cell of the ACTIVE index (retrained or original):
+    (cell, n_store, n_batch, tv_drift, retrained). Driver state is
+    k-bounded scalars (the histogram totals and the TV numerator) —
+    the bounded-driver-state contract every IVF op here keeps.
+
+    At 100 TB: histograms are k-sized aggregates of the (id, cell)
+    tables the incremental path already maintains, so the drift check
+    is ~free per batch; the retrain branch costs one assignment pass
+    over the store — exactly the cost it avoids paying daily.
+    """
+    c0 = _default_centroids(store, k_cells, n_probe, id_col, vec_col)
+    acs = _ivf_cell_rows(store, c0, n_probe, id_col, vec_col, fold=fold)
+    acb = _ivf_cell_rows(batch, c0, n_probe, id_col, vec_col, fold=fold)
+
+    def _hist(cells_df, alias):
+        return cells_df.groupBy("cell").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    spark = store.sparkSession
+    all_cells = spark.range(len(c0)).select(
+        F.col("id").cast("int").alias("cell")
+    )
+    hist = (
+        all_cells.join(_hist(acs, "__ns"), "cell", "left")
+        .join(_hist(acb, "__nb"), "cell", "left")
+        .fillna(0, subset=["__ns", "__nb"])
+    )
+    tot = hist.agg(
+        F.sum("__ns").alias("ts"), F.sum("__nb").alias("tb")
+    ).collect()[0]
+    ts, tb = int(tot["ts"]), int(tot["tb"])
+    tv_num = int(
+        hist.agg(
+            F.sum(
+                F.abs(
+                    F.col("__nb") * F.lit(ts)
+                    - F.col("__ns") * F.lit(tb)
+                )
+            )
+        ).collect()[0][0]
+    )
+    # half-AWAY rounding (DuckDB ROUND), not Python's banker's round:
+    # a TV landing exactly on a 5e-7 boundary must not round apart
+    import math
+
+    tv = (
+        math.floor(tv_num / (2.0 * tb * ts) * 1e6 + 0.5) / 1e6
+        if ts and tb
+        else 0.0
+    )
+    retrained = tv > drift_threshold
+
+    if retrained:
+        merged = store.select(id_col, vec_col).unionByName(
+            batch.select(id_col, vec_col)
+        )
+        c1 = _default_centroids(
+            merged, k_cells, n_probe, id_col, vec_col
+        )
+        acs = _ivf_cell_rows(
+            store, c1, n_probe, id_col, vec_col, fold=fold
+        )
+        acb = _ivf_cell_rows(
+            batch, c1, n_probe, id_col, vec_col, fold=fold
+        )
+        all_cells = spark.range(len(c1)).select(
+            F.col("id").cast("int").alias("cell")
+        )
+    return (
+        all_cells.join(_hist(acs, "n_store"), "cell", "left")
+        .join(_hist(acb, "n_batch"), "cell", "left")
+        .fillna(0, subset=["n_store", "n_batch"])
+        .select(
+            "cell",
+            F.col("n_store").cast("long").alias("n_store"),
+            F.col("n_batch").cast("long").alias("n_batch"),
+            F.lit(tv).alias("tv_drift"),
+            F.lit(retrained).alias("retrained"),
+        )
+    )
+
+
 def auto_cells(n_rows: int, n_probe: int = 2, lo: int = 8,
                hi: int = 65536) -> int:
     """Balanced IVF cell count k = n_probe·√n — the point where

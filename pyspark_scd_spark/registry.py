@@ -9413,6 +9413,83 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
 
 
 @register(
+    "ivf_drift_retrain",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    st AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    ba AS (SELECT vec_id, list_transform(v, x -> abs(x)) AS v
+           FROM e WHERE vec_id % 10 = 7),
+    {_first_k_cent_sql("st", 8)},
+    {_ivf_assign_sql("st", "cent", "c", "acs", 2)},
+    {_ivf_assign_sql("ba", "cent", "c", "acb", 2)},
+    hist AS (SELECT cent.c AS cell,
+                    COALESCE(hs.ns, 0) AS ns, COALESCE(hb.nb, 0) AS nb
+             FROM cent
+             LEFT JOIN (SELECT c, CAST(COUNT(*) AS BIGINT) AS ns
+                        FROM acs GROUP BY 1) hs ON hs.c = cent.c
+             LEFT JOIN (SELECT c, CAST(COUNT(*) AS BIGINT) AS nb
+                        FROM acb GROUP BY 1) hb ON hb.c = cent.c),
+    tv AS (SELECT ROUND(SUM(ABS(nb * ts - ns * tb))
+                        / (2.0 * MAX(tb) * MAX(ts)), 6) AS tvd
+           FROM (SELECT hist.*, t.ts, t.tb FROM hist CROSS JOIN
+                 (SELECT SUM(ns) AS ts, SUM(nb) AS tb FROM hist) t)),
+    un AS (SELECT * FROM st UNION ALL SELECT * FROM ba),
+    cent1 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                     AS INTEGER) AS c, v AS cv
+              FROM un ORDER BY vec_id LIMIT 8),
+    {_ivf_assign_sql("st", "cent1", "c", "rcs", 2)},
+    {_ivf_assign_sql("ba", "cent1", "c", "rcb", 2)},
+    r1 AS (SELECT cent1.c AS cell,
+                  CAST(COALESCE(hs.n, 0) AS BIGINT) AS n_store,
+                  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_batch
+           FROM cent1
+           LEFT JOIN (SELECT c, COUNT(*) AS n FROM rcs GROUP BY 1) hs
+             ON hs.c = cent1.c
+           LEFT JOIN (SELECT c, COUNT(*) AS n FROM rcb GROUP BY 1) hb
+             ON hb.c = cent1.c),
+    r0 AS (SELECT cell, CAST(ns AS BIGINT) AS n_store,
+                  CAST(nb AS BIGINT) AS n_batch FROM hist)
+    SELECT r.cell, r.n_store, r.n_batch, tv.tvd AS tv_drift,
+           tv.tvd > 0.25 AS retrained
+    FROM (SELECT * FROM r1 WHERE (SELECT tvd FROM tv) > 0.25
+          UNION ALL
+          SELECT * FROM r0 WHERE (SELECT tvd FROM tv) <= 0.25) r
+    CROSS JOIN tv
+    """,
+    doc="Drift-triggered IVF retrain (operators/similarity.py "
+    "ivf_drift_retrain) — closes the maintenance loop the "
+    "incremental IVF twins document: the batch arrives from a "
+    "simulated encoder upgrade (rectified |x| embeddings — the "
+    "all-positive orthant concentrates assignments into few cells, "
+    "TV 0.45 vs the store where sign-flip's 0.10 stays isotropic "
+    "and must NOT trip), its cell "
+    "histogram under the serving centroids diverges (total-variation "
+    "distance with an EXACT-INTEGER numerator Σ|nb·TS − ns·TB|, so "
+    "both engines agree bit-for-bit before one rounded division), "
+    "the 0.25 trigger trips, and the index re-seeds from "
+    "store ∪ batch and re-assigns. One row per active-index cell "
+    "with its store/batch populations + the drift stat. The oracle "
+    "replays BOTH branches and selects by the same trigger, so the "
+    "conditional itself is verified, not just the taken path.",
+)
+def q_ivf_drift_retrain(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7).select(
+        "vec_id",
+        F.transform("embedding", F.abs).alias("embedding"),
+    )
+    return similarity.ivf_drift_retrain(
+        store, batch, k_cells=8, n_probe=2, drift_threshold=0.25
+    )
+
+
+@register(
     "dedup_paragraph_exact",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

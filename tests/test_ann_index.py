@@ -79,3 +79,38 @@ def test_ann_index_build_and_pruned_search(spark, sf_dir, tmp_path):
         .collect()
     }
     assert rows == want
+
+
+def test_ivf_drift_retrain_branches(spark, sf_dir):
+    """Both sides of the drift trigger: an in-distribution batch keeps
+    the serving centroids (retrained=False); a rectified-|x| batch
+    (simulated encoder upgrade) concentrates into the positive orthant,
+    trips the TV threshold, and re-seeds from store + batch."""
+    from pyspark.sql import functions as F
+
+    from pyspark_scd_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = e.filter(F.col("vec_id") % 10 != 7)
+    same_dist = e.filter(F.col("vec_id") % 10 == 7)
+    drifted = same_dist.select(
+        "vec_id", F.transform("embedding", F.abs).alias("embedding")
+    )
+
+    calm = similarity.ivf_drift_retrain(
+        store, same_dist, k_cells=8, n_probe=2, drift_threshold=0.25
+    ).collect()
+    assert all(not r["retrained"] for r in calm)
+    assert len(calm) == 8
+    # probe-row mass conserved: every vector lands in exactly n_probe cells
+    assert sum(r["n_batch"] for r in calm) == same_dist.count() * 2
+
+    hot = similarity.ivf_drift_retrain(
+        store, drifted, k_cells=8, n_probe=2, drift_threshold=0.25
+    ).collect()
+    assert all(r["retrained"] for r in hot)
+    assert len(hot) == 8
+    assert hot[0]["tv_drift"] > calm[0]["tv_drift"]
+    assert sum(r["n_store"] for r in hot) == store.count() * 2
