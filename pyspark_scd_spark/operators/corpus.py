@@ -1111,6 +1111,7 @@ def char_trigram_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 1.0,
+    materialize_docs_max: int = 200_000,
 ) -> DataFrame:
     """Character-trigram LM perplexity per document — the CCNet/KenLM
     quality-filter shape (Wenzek et al. 2020): train a smoothed
@@ -1126,18 +1127,32 @@ def char_trigram_perplexity(
     exp(mean −ln p) over its trigrams, 4dp. Docs shorter than 3 chars
     emit nothing (no trigram evidence).
 
-    Scale shape (r7 rework — one corpus pass, not two): a single
-    lowercase+explode pass reduces straight to per-(doc, gram)
-    COUNTS (map-side combined; the corpus's only wide exchange),
-    checkpointed once. The trigram LM is a vocab-per-partition
-    aggregate over that table; context counts ride a window over the
-    vocab-sized LM (context = the trigram key's own prefix); V is one
-    bounded scalar (≤ alphabet size — the kmeans/centroid
-    bounded-driver-state contract). Scoring re-reads the CHECKPOINTED
-    doc-gram counts (no second explode — the r6 form re-exploded the
-    corpus to score it, two full passes) against the broadcast nll
-    lookup, weighting each gram's nll by its in-doc count; the final
-    reduce is doc-keyed. No corpus-wide sort, no UDF.
+    Scale shape (r7, two forms with a measured cutover — the CC
+    edge-count-cutover device applied to a linear pipeline):
+
+    - SMALL corpora (≤ ``materialize_docs_max``): one explode pass
+      reduces to per-(doc, gram) COUNTS (map-side combined; the one
+      wide exchange), checkpointed for both consumers — the explode
+      never runs twice. Wins while the gram table sits comfortably
+      in the shuffle tier: sf0.1 4.2s → 3.0s median.
+    - LARGE corpora: the STATELESS two-pass form — the explode runs
+      once for the LM build and once for scoring, but NOTHING
+      corpus-sized is exchanged or materialized (tri's groupBy
+      reduces to vocab-per-partition before its shuffle; the final
+      doc agg map-side-combines to ~1 row/doc/partition because
+      explode preserves doc locality). Measured at x100 (500k docs,
+      ~150M grams): 47s vs the materializing form's 72s (5.0× from
+      x30 — the (doc,gram) exchange + checkpoint go super-linear
+      once they spill); a grams-table checkpoint variant OOMs the
+      execution tier outright. At 100 TB only this form is sane:
+      two scans beat shuffling the corpus once.
+
+    Either form: the trigram LM is the only corpus-fed aggregate and
+    is vocab-bounded; context counts ride a window over the LM
+    (context = the trigram key's own prefix); V is one bounded
+    scalar; the nll lookup broadcasts at any corpus scale. The two
+    forms produce identical output (weighted mean over per-doc gram
+    counts ≡ per-occurrence mean; 4dp round) — the oracle pins it.
     """
     t = df.select(
         F.col(id_col), F.lower(F.col(text_col)).alias("__t")
@@ -1153,26 +1168,35 @@ def char_trigram_perplexity(
             )
         ).alias("__g"),
     )
-    # The trigram LM is the ONLY corpus-sized aggregate; the context
+    # Form cutover (docstring: Scale shape). The count is a cheap
+    # parquet-scan row count; the threshold ≈ 60M grams at the
+    # testdata's ~300 chars/doc, where the measured curves cross.
+    materialize = df.count() <= materialize_docs_max
+    if materialize:
+        # Per-(doc, gram) counts: the ONE corpus-sized exchange,
+        # reduced map-side before the shuffle and checkpointed
+        # because both the LM build and the scoring pass consume it.
+        scoring_src = (
+            grams.groupBy(id_col, "__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint()
+        )
+        tri = scoring_src.groupBy("__g").agg(
+            F.sum("__c").alias("__c3")
+        ).localCheckpoint()
+    else:
+        # Stateless two-pass: tri aggregates the explode directly
+        # (vocab-per-partition reduction before its exchange — the
+        # shuffle carries ~vocab rows per partition, never the
+        # corpus); scoring re-derives the explode below.
+        scoring_src = None
+        tri = grams.groupBy("__g").agg(
+            F.count(F.lit(1)).alias("__c3")
+        ).localCheckpoint()
+    # The trigram LM is the ONLY corpus-fed aggregate; the context
     # LM and V both derive from it (sum over the prefix / distinct
     # third chars), so they run over the VOCAB-sized tri table —
-    # bounded by alphabet³, never the corpus. Checkpointed because
-    # three consumers read it (ctx, V, the nll lookup); an earlier
-    # form checkpointed the corpus-sized gram table instead
-    # (2M+ rows at x30) and re-shuffled it for ctx — 13.6s at x30.
-    # Per-(doc, gram) counts: the ONE corpus-sized exchange, reduced
-    # map-side before the shuffle and checkpointed because both the
-    # LM build and the scoring pass consume it — the explode never
-    # runs twice (the r6 form's second full corpus pass; measured
-    # sf0.1 4.2s -> 3.0s median).
-    dg = (
-        grams.groupBy(id_col, "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint()
-    )
-    tri = dg.groupBy("__g").agg(
-        F.sum("__c").alias("__c3")
-    ).localCheckpoint()
+    # bounded by alphabet³, never the corpus.
     v = tri.select(F.substring("__g", 3, 1)).distinct().count()
     # Context counts via a window over the vocab-sized tri table
     # (context = the trigram key's own 2-char prefix): one vocab-keyed
@@ -1185,19 +1209,32 @@ def char_trigram_perplexity(
         / (F.sum("__c3").over(w_ctx) + F.lit(k * v))
     )
     # per-gram nll lookup: vocab-sized, broadcastable at ANY corpus
-    # scale (trigram space is alphabet-bounded) — scoring weights
-    # each distinct gram's nll by its in-doc count, so the sum equals
-    # the per-occurrence mean of the r6 form exactly.
+    # scale (trigram space is alphabet-bounded). Scoring: weighted
+    # mean over the materialized per-doc gram counts, or the
+    # per-occurrence mean over a second explode — identical values
+    # (weights ARE the occurrence multiplicities).
     lut = tri.select("__g", nll.alias("__nll"))
+    if materialize:
+        return (
+            scoring_src.join(F.broadcast(lut), "__g")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__c").cast("long").alias("n_grams"),
+                F.round(
+                    F.exp(
+                        F.sum(F.col("__nll") * F.col("__c"))
+                        / F.sum("__c")
+                    ),
+                    4,
+                ).alias("perplexity"),
+            )
+        )
     return (
-        dg.join(F.broadcast(lut), "__g")
+        grams.join(F.broadcast(lut), "__g")
         .groupBy(id_col)
         .agg(
-            F.sum("__c").cast("long").alias("n_grams"),
-            F.round(
-                F.exp(F.sum(F.col("__nll") * F.col("__c")) / F.sum("__c")),
-                4,
-            ).alias("perplexity"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.exp(F.avg("__nll")), 4).alias("perplexity"),
         )
     )
 

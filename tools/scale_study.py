@@ -71,13 +71,21 @@ def main() -> None:
     for d in dirs:
         for k in keys:
             b = SPECIAL[k] if k in SPECIAL else REGISTRY[k].builder
+            # noop-format write, NOT count(): count() lets the
+            # optimizer prune final-stage aggregate expressions
+            # (the bench.py r7 lesson), under-measuring queries
+            # whose last stage carries md5/collect_list work.
             try:
                 t0 = time.time()
-                b(spark, d).count()
+                b(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 cold = time.time() - t0
                 t0 = time.time()
-                n = b(spark, d).count()
+                df = b(spark, d)
+                df.write.format("noop").mode("overwrite").save()
                 steady = time.time() - t0
+                n = "-"
             except Exception as e:  # noqa: BLE001
                 print(f"ERR {k} @ {d}: {e}", flush=True)
                 results[k].append(float("nan"))
