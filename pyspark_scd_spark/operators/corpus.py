@@ -1361,17 +1361,29 @@ def bloom_bitmap(
     return [b - (1 << 64) if b >= (1 << 63) else b for b in bitmap]
 
 
-def _bloom_pos(gram: Column, j: int, m_bits: int) -> Column:
-    """Position of hash j for a gram: 60-bit md5 of 'j:gram' mod m —
-    identical in Spark and DuckDB."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), gram)), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % m_bits
+def _bloom_h1h2(md5_hex: Column) -> tuple[Column, Column]:
+    """Kirsch–Mitzenmacher double-hash pair from ONE md5: h1 = the
+    digest's first 60 bits, h2 = its next 60 bits forced ODD (m is a
+    power of two, so an odd stride is coprime with m and the k probe
+    positions never collapse onto a short cycle). Position j is then
+    (h1 + j·h2) mod m — the classic result that two hash functions
+    simulate k with no loss in Bloom FP asymptotics. r6 computed a
+    FULL md5 per (gram, j) — 3 md5s per probed gram, and md5 over
+    ~30-char grams dominated the honest (noop-timed) probe cost."""
+    h1 = F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("bigint")
+    h2 = (
+        F.conv(F.substring(md5_hex, 16, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseOR(F.lit(1))
     )
+    return h1, h2
+
+
+def _bloom_pos(gram: Column, j: int, m_bits: int) -> Column:
+    """Position of hash j for a gram — KM double hashing, identical
+    in Spark and DuckDB (the oracle replays the same slice/or/mod)."""
+    h1, h2 = _bloom_h1h2(F.md5(gram))
+    return (h1 + F.lit(j) * h2) % m_bits
 
 
 # 2^k for k in 0..63 as signed longs (2^63 wraps negative): bit tests
@@ -1403,8 +1415,8 @@ def bloom_probe_projection(
     bm = F.array(*[F.lit(b) for b in bitmap])
     pows = F.array(*[F.lit(v) for v in _BLOOM_POWS])
 
-    def _bit_set(gram: Column, j: int) -> Column:
-        pos = _bloom_pos(gram, j, m_bits)
+    def _bit_set(pair: Column, j: int) -> Column:
+        pos = (pair["h1"] + F.lit(j) * pair["h2"]) % m_bits
         word = F.element_at(
             F.col("__bm"), (pos / 64).cast("int") + 1
         )
@@ -1413,11 +1425,15 @@ def bloom_probe_projection(
         )
         return word.bitwiseAND(mask) != 0
 
-    def _hit(gram: Column) -> Column:
-        cond = _bit_set(gram, 0)
+    def _hit(pair: Column) -> Column:
+        cond = _bit_set(pair, 0)
         for j in range(1, k_hashes):
-            cond = cond & _bit_set(gram, j)
+            cond = cond & _bit_set(pair, j)
         return cond
+
+    def _pair(h: Column) -> Column:
+        h1, h2 = _bloom_h1h2(h)
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
 
     return (
         df.select(
@@ -1435,10 +1451,19 @@ def bloom_probe_projection(
         )
         .withColumn("__bm", bm)
         .withColumn("__pows", pows)
+        # two nested transforms so each gram's md5 is computed ONCE
+        # and its (h1, h2) pair once — a single lambda slicing md5(g)
+        # twice would re-hash per slice (HOF bodies don't CSE)
+        .withColumn(
+            "__hp",
+            F.transform(
+                F.transform("__gs", lambda g: F.md5(g)), _pair
+            ),
+        )
         .select(
             F.col(id_col),
             F.size("__gs").cast("long").alias("n_grams"),
-            F.size(F.filter(F.col("__gs"), _hit))
+            F.size(F.filter(F.col("__hp"), _hit))
             .cast("long")
             .alias("n_flagged"),
         )

@@ -9535,10 +9535,13 @@ _BLOOM_SQL = f"""
             toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
               || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
           FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    h AS (SELECT doc_id, is_eval, gram,
+            CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+            CAST(('0x' || substr(md5(gram), 16, 15)) AS BIGINT) | 1 AS h2
+          FROM g),
     pos AS (SELECT doc_id, is_eval, gram, j.j AS j,
-              CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || gram),
-                    1, 15)) AS BIGINT) % 65536 AS p
-            FROM g, LATERAL (SELECT unnest(range(0, 3)) AS j) j),
+              (h1 + j.j * h2) % 65536 AS p
+            FROM h, LATERAL (SELECT unnest(range(0, 3)) AS j) j),
     bset AS (SELECT DISTINCT p FROM pos WHERE is_eval),
     tr AS (SELECT pos.doc_id, pos.gram,
                   CAST(COUNT(bset.p) AS INTEGER) AS hits
@@ -9558,9 +9561,12 @@ _BLOOM_SQL = f"""
     _BLOOM_SQL,
     doc="Bloom-filter 5-gram decontamination (operators/corpus.py "
     "bloom_decontaminate): the eval set (doc_id%10=0) compresses to "
-    "a CONSTANT 8 KB bitmap (m=65536, k=3; positions are 60-bit md5 "
-    "of 'j:gram' mod m — engine-independent, so the deterministic "
-    "false-positive set is part of the checked contract) and the "
+    "a CONSTANT 8 KB bitmap (m=65536, k=3; Kirsch-Mitzenmacher "
+    "double hashing — h1/h2 are two 60-bit slices of ONE md5, h2 "
+    "forced odd, position j = (h1 + j*h2) mod m — engine-independent, "
+    "so the deterministic false-positive set is part of the checked "
+    "contract, and the probe pays one md5 per gram instead of k) "
+    "and the "
     "training corpus probes it as a PURE scan-side projection: zero "
     "joins, zero aggregates, zero exchanges (plan-pinned). The 100 TB replacement for "
     "decontaminate_ngram's broadcast gram set when the held-out "
