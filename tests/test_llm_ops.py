@@ -789,8 +789,11 @@ def test_decode_image_features_unknown_format_raises(spark):
     from py4j.protocol import Py4JJavaError
     import pytest as _pytest
 
+    # GIF magic: a real format the vendored codec does NOT cover
+    # (PNG moved to the covered set in r7 — a malformed PNG now
+    # raises ValueError from the decoder instead, see test_png.py)
     df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\nnotreally")], "doc_id long, payload binary"
+        [(1, b"GIF89anotreally")], "doc_id long, payload binary"
     )
     with _pytest.raises(Exception) as exc:
         multimodal.decode_image_features(df, fake=False).collect()
