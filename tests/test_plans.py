@@ -285,3 +285,30 @@ def test_quality_classifier_scoring_is_pure_map(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_png_meta_is_pure_map(spark, sf_dir):
+    """multimodal_png_meta is synth -> decode through two Arrow
+    mapInPandas passes riding one scan: no exchange, no join — the
+    multimodal plumbing shape at any corpus scale."""
+    df = REGISTRY["multimodal_png_meta"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_schema_evolution_single_key_shuffle(spark, sf_dir):
+    """The evolving-union SCD keeps the one-exchange pipeline shape:
+    the drift union is two filters of the same scan (no exchange of
+    its own), dedup + status + islands all ride ONE hash(key)
+    exchange, and the only SinglePartition is the 1-row global-max
+    scalar finalization — never a Window over data."""
+    df = REGISTRY["scd_schema_evolution"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    data_exchanges = re.findall(
+        r"Exchange hashpartitioning\([^)]*\)", plan
+    )
+    assert len(data_exchanges) == 1, plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*", plan):
+        upstream = plan[: m.start()].splitlines()[-3:]
+        assert not any("Window" in ln for ln in upstream), plan
