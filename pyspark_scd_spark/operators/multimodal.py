@@ -632,3 +632,122 @@ def png_pixel_stats(
     return df.select(id_col, payload_col).mapInPandas(
         _stats, schema=PNG_PIXEL_STATS_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# GIF modality: real LZW-compressed payloads (entropy-coded decode)
+# ----------------------------------------------------------------------
+
+GIF_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_palette", T.IntegerType()),
+        T.StructField("sum_idx", T.LongType()),
+        T.StructField("max_idx", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+    ]
+)
+
+# Deterministic synthetic indexed image: doc i is W x H over a
+# 64-color palette, W = 8 + (i % 5), H = 5 + (i % 4); index (y, x) =
+# (i*7 + y*11 + x*3) % 64; palette entry p = ((p*37) % 256,
+# (p*59 + 11) % 256, (p*83 + 29) % 256). Pure integer functions a SQL
+# oracle replays — the determinism move applied to the family's first
+# ENTROPY-CODED format (GIF LZW: variable code width, dictionary
+# reconstruction; functions/gifcodec.py).
+_GIF_N_PAL = 64
+
+
+def _gif_dims(doc_id: int):
+    return 8 + doc_id % 5, 5 + doc_id % 4
+
+
+def _gif_palette() -> list:
+    pal = []
+    for p in range(_GIF_N_PAL):
+        pal.extend(
+            ((p * 37) % 256, (p * 59 + 11) % 256, (p * 83 + 29) % 256)
+        )
+    return pal
+
+
+def _gif_indices(doc_id: int, w: int, h: int) -> list:
+    return [
+        (doc_id * 7 + y * 11 + x * 3) % _GIF_N_PAL
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def with_gif_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a REAL GIF87a binary column (vendored encoder:
+    genuine dictionary-building LZW, global color table) from the
+    deterministic indexed image above."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import gifcodec
+
+        pal = _gif_palette()
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = _gif_dims(i)
+                payloads.append(
+                    gifcodec.encode_gif87a(
+                        w, h, pal, _gif_indices(i, w, h)
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(out_col, T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def gif_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header + palette + pixel statistics from a REAL GIF decode
+    (functions/gifcodec.py: block walk, LZW bit-unpack with width
+    schedule and KwKwK dictionary reconstruction). sum_idx/max_idx
+    depend on every decoded index and sum_r routes every index
+    through the parsed color table, so a hash match proves the
+    entropy decode AND the palette parse byte for byte."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import gifcodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in GIF_PIXEL_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pal, idx = gifcodec.decode(bytes(payload))
+                arr = np.asarray(idx, dtype=np.int64)
+                reds = np.asarray(pal[0::3], dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_palette"].append(len(pal) // 3)
+                out["sum_idx"].append(int(arr.sum()))
+                out["max_idx"].append(int(arr.max()))
+                out["sum_r"].append(int(reds[arr].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats, schema=GIF_PIXEL_STATS_SCHEMA
+    )

@@ -2910,6 +2910,49 @@ def q_multimodal_png_meta(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_meta",
+    """
+    WITH d AS (SELECT doc_id,
+                      8 + doc_id % 5 AS w,
+                      5 + doc_id % 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id*7 + yy.y*11 + xx.x*3) % 64 AS idx
+           FROM d,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx)
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(64 AS INTEGER) AS n_palette,
+           CAST(SUM(idx) AS BIGINT) AS sum_idx,
+           CAST(MAX(idx) AS INTEGER) AS max_idx,
+           CAST(SUM((idx * 37) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="GIF modality — the family's first ENTROPY-CODED format "
+    "(operators/multimodal.py with_gif_payload / gif_pixel_stats; "
+    "functions/gifcodec.py): synthesize real GIF87a payloads with a "
+    "genuine dictionary-building LZW encoder, decode them back "
+    "(block walk, LSB-first bit unpack, variable code width, KwKwK "
+    "dictionary reconstruction, 4096-entry clear/rebuild), emit "
+    "index sums plus a palette-routed channel sum. The oracle "
+    "replays the deterministic index/palette signal — a hash match "
+    "proves the LZW decode and the color-table parse byte for byte. "
+    "With PNG (zlib) and GIF (LZW) real, the remaining codec gates "
+    "are JPEG/FLAC — lossy-DCT/LPC, genuinely out of vendoring "
+    "scope.",
+)
+def q_multimodal_gif_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.gif_pixel_stats(
+        multimodal.with_gif_payload(d)
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     """
     WITH d AS (SELECT doc_id,
