@@ -96,6 +96,11 @@ HEADLINE = [
     "tokenizer_fertility",
     "train_holdout_split",
     "quality_classifier_scores",
+    # round 7
+    "scd_schema_evolution",
+    "ivf_drift_retrain",
+    "multimodal_png_meta",
+    "multimodal_gif_meta",
 ]
 
 

@@ -119,17 +119,26 @@ def repetition_stats(
     Bigram counting explodes to rows and aggregates (map-side combine)
     rather than nesting higher-order functions over a bound token
     array — Catalyst's CollapseProject re-inlines the array into each
-    lambda, going quadratic per document.
+    lambda, going quadratic per document. The token array is BOUND to
+    a named column before the n-gram transform for the same reason
+    (the decontaminate_report fix): passing the raw split+filter
+    expression into the lambda re-evaluates it per element_at —
+    O(len) work per bigram, O(len²) per document. r6 count()-based
+    timing HID this (the final join's count pruned the heavy
+    branches); honest noop timing exposed 5k docs costing 6.6s,
+    the binding brings it back to sub-second.
     """
-    toks = TXT.tokens(text_col)
-    base = df.select(
-        F.col(id_col),
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    toks_df = df.select(
+        F.col(id_col), TXT.tokens(text_col).alias("__toks")
     )
-    bigrams = df.select(
+    base = toks_df.select(
         F.col(id_col),
-        F.explode(_word_ngrams(toks, 2)).alias("__g"),
+        F.size("__toks").alias("n_tok"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
+    )
+    bigrams = toks_df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(F.col("__toks"), 2)).alias("__g"),
     )
     top = (
         bigrams.groupBy(id_col, "__g")
@@ -459,9 +468,16 @@ def chunk_documents(
     Pure array expressions (sequence → slice → concat_ws) in one
     codegen stage, then a single explode: no shuffle at all — chunking
     is a flatMap over the scan, so it scales with input bytes
-    regardless of cluster size.
+    regardless of cluster size. The token array is BOUND to a named
+    column before the chunk lambda (the decontaminate_report /
+    repetition_stats fix): the lambda slices it twice per chunk, and
+    an unbound split+filter expression would re-run per slice —
+    O(len²/stride) per document.
     """
-    toks = TXT.tokens(text_col)
+    df = df.select(
+        F.col(id_col), TXT.tokens(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = (
         F.when(n <= chunk_tokens, F.lit(1).cast("long"))
