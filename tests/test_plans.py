@@ -312,3 +312,12 @@ def test_schema_evolution_single_key_shuffle(spark, sf_dir):
     for m in re.finditer(r"Exchange SinglePartition[^\n]*", plan):
         upstream = plan[: m.start()].splitlines()[-3:]
         assert not any("Window" in ln for ln in upstream), plan
+
+
+def test_gif_meta_is_pure_map(spark, sf_dir):
+    """multimodal_gif_meta: synth -> LZW decode through two Arrow
+    mapInPandas passes riding one scan — no exchange, no join."""
+    df = REGISTRY["multimodal_gif_meta"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
