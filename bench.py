@@ -97,6 +97,7 @@ HEADLINE = [
     "train_holdout_split",
     "quality_classifier_scores",
     # round 7
+    "global_dense_rank",
     "scd_schema_evolution",
     "ivf_drift_retrain",
     "multimodal_png_meta",
@@ -146,6 +147,9 @@ X10_HEAVY = [
     "dedup_paragraph_exact",
     "bloom_decontaminate",
     "quality_classifier_scores",
+    # full-width global ranking: the no-single-partition shape must
+    # hold its ~linear growth as rows x10
+    "global_dense_rank",
 ]
 # The two deliberate exact-quadratic ground-truth twins: their answers
 # are pinned by parity tests and their x10 runs burned ~31s of the

@@ -1,0 +1,109 @@
+"""Scale-safe GLOBAL ranking: dense_rank / row_number over a total
+key order without a single-partition window.
+
+The naive form — ``ROW_NUMBER() OVER (ORDER BY …)`` with no
+PARTITION BY — funnels the entire dataset through ONE task (Spark
+even logs the WindowExec warning), which is the canonical
+billion-row cliff. The classic distributed construction here:
+
+1. ``repartitionByRange`` on the sort keys (one exchange; the range
+   partitioner maps EQUAL keys to the SAME partition, so partition
+   boundaries never split a tie group) + ``sortWithinPartitions``;
+2. one bounded aggregate of per-partition counts (rows and distinct
+   key tuples) — #partitions rows to the driver, the
+   kmeans-centroid bounded-driver-state contract;
+3. a second pass over the SAME shuffle output (Spark skips the map
+   stages — the exchange is paid once) assigning local ranks in an
+   Arrow ``mapInPandas`` stream and adding the broadcast per-
+   partition offset.
+
+Because partition i holds strictly smaller keys than partition i+1
+and ties never straddle partitions, ``local rank + offset`` IS the
+global rank — no merge pass, no boundary reconciliation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PID = "__rank_pid"
+
+
+def global_dense_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    dense: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a global ``dense_rank`` (or ``row_number`` with
+    ``dense=False``) over ``ORDER BY order_cols ASC NULLS FIRST`` —
+    Spark's ``asc`` null order; mirror with NULLS FIRST in oracle
+    SQL. With ``dense=False`` ties are broken by the engine's
+    physical order WITHIN the tie group, so use it only when
+    ``order_cols`` is a total key (unique) — dense ranks are
+    deterministic under ties, row numbers are not.
+    """
+    cols = list(order_cols)
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    staged = ranged.withColumn(_PID, F.spark_partition_id())
+
+    # Pass 1: bounded per-partition stats. The distinct-tuple count
+    # rides the same grouped aggregate; re-running this lineage in
+    # pass 2 reuses the range exchange's shuffle files (skipped map
+    # stages), so the corpus is exchanged exactly once.
+    stats = (
+        staged.groupBy(_PID)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(*[F.col(c) for c in cols]).alias("__d"),
+        )
+        .collect()
+    )
+    sizes = {int(r[_PID]): (int(r["__n"]), int(r["__d"])) for r in stats}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid][1] if dense else sizes[pid][0]
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(rank_col, T.LongType())]
+    )
+
+    def _rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        prev_key = None
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf[_PID].iloc[0])
+            base = offsets.get(pid, 0)
+            ranks = []
+            if dense:
+                for key in zip(*[pdf[c] for c in cols]):
+                    if key != prev_key:
+                        local += 1
+                        prev_key = key
+                    ranks.append(base + local)
+            else:
+                ranks = list(
+                    range(base + seen + 1, base + seen + len(pdf) + 1)
+                )
+                seen += len(pdf)
+            out = pdf.drop(columns=[_PID])
+            out[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
+            yield out
+
+    return staged.mapInPandas(_rank, schema=out_schema)

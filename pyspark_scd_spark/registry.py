@@ -500,6 +500,36 @@ def q_scd_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "global_dense_rank",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(DENSE_RANK() OVER (ORDER BY l_extendedprice)
+                AS BIGINT) AS price_rank
+    FROM lineitem
+    """,
+    doc="GLOBAL dense rank without the single-partition window cliff "
+    "(operators/ranking.py global_dense_rank): repartitionByRange on "
+    "the sort key (equal keys never straddle partitions), one "
+    "bounded per-partition stats aggregate (#partitions rows to the "
+    "driver), then local ranks + broadcast offsets in one Arrow "
+    "pass over the SAME shuffle output (map stages skip — the "
+    "corpus is exchanged once). The naive ROW_NUMBER() OVER "
+    "(ORDER BY ...) form funnels every row through ONE task; this "
+    "is the shape that survives a billion rows. Plan-pinned: no "
+    "SinglePartition exchange anywhere.",
+)
+def q_global_dense_rank(spark, sf_dir):
+    from pyspark_scd_spark.operators import ranking
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return ranking.global_dense_rank(
+        li, ["l_extendedprice"], rank_col="price_rank"
+    )
+
+
+@register(
     "dup_key_check",
     """
     SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
