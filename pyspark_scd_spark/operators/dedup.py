@@ -1405,3 +1405,117 @@ def dedup_saturation_curve(
             F.sum("n_new").over(w) / F.sum("n_docs").over(w), 4
         ).alias("cum_unique_share"),
     )
+
+
+def suffix_ranks_prefix_doubling(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_col: str = "suffix_rank",
+) -> DataFrame:
+    """Corpus SUFFIX-ARRAY ranks by distributed prefix doubling — the
+    real index behind ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), where
+    ``dedup_span_overlap`` is the winnowing stand-in: rank every
+    suffix of every document in one global lexicographic order, so
+    equal-rank runs ARE repeated substrings across the corpus.
+
+    Construction (O(log max_len) rounds, each one hash join + one
+    range exchange — never a single-partition sort):
+
+    - positions encode as ``doc_id·stride + offset`` with
+      ``stride = 2·max_len + 1`` — STRICTLY more than offset + the
+      largest doubling step (the last step is the power of two below
+      max_len), so ``pos + k`` past a document's end lands in the
+      gap between documents, finds no row, and ranks as the −1
+      sentinel: EXACTLY end-of-string semantics, no separator rows,
+      and no cross-document phantom reads (a bare ``max_len + 1``
+      stride lets late rounds roll into the next document's range
+      and break verbatim-duplicate ties nondeterministically);
+    - round 0 ranks are raw ascii codes (the corpus is ASCII — the
+      multimodal entries' verified assumption), so byte order equals
+      lexicographic order with zero exchanges spent;
+    - each doubling round joins rank[pos] with rank[pos+k]
+      (sentinel −1 when absent) and re-ranks the pair with
+      ``global_dense_rank`` (operators/ranking.py) — the range-
+      partitioned, bounded-driver-state global ranking; per-round
+      ``localCheckpoint`` cuts the iterative lineage (the
+      scd_merge / pagerank device).
+
+    Ties in the result are REAL: identical suffixes (verbatim
+    repeated text) share a rank at every round, so the output is
+    deterministic and its dense ranks replay in one SQL window —
+    ``DENSE_RANK() OVER (ORDER BY suffix_string)`` — because the −1
+    sentinel orders a proper prefix before every extension, exactly
+    like byte-wise string comparison.
+
+    Returns (id, pos_in_doc 0-based, rank_col). At 100 TB this is
+    the documented heavyweight: ~log₂(max_len) corpus exchanges to
+    build, amortized over every substring-dedup query it serves.
+    """
+    from pyspark_scd_spark.operators.ranking import global_dense_rank
+
+    t = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.length(text_col) >= 1
+    )
+    mx = t.agg(F.max(F.length(text_col))).collect()[0][0]
+    if not mx:
+        return t.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("pos_in_doc"),
+            F.lit(0).cast("long").alias(rank_col),
+        ).limit(0)
+    mx = int(mx)
+    stride = 2 * mx + 1
+    codes = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> ascii(substring({text_col}, i, 1)))"
+            )
+        ).alias("__i", "__code"),
+    )
+    ranks = codes.select(
+        (F.col(id_col) * stride + F.col("__i")).alias("__pos"),
+        F.col("__code").cast("long").alias("__r"),
+    ).localCheckpoint(eager=True)
+    if mx == 1:
+        # no doubling round runs — densify the raw codes so the
+        # contract (ranks are DENSE 1..D) holds for 1-char corpora
+        return global_dense_rank(
+            ranks, ["__r"], rank_col="__nr"
+        ).select(
+            F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
+            (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
+            F.col("__nr").cast("long").alias(rank_col),
+        )
+    # after the round with step k the rank reflects a 2k-char prefix;
+    # stop once k >= mx (every suffix fully covered). The last step is
+    # therefore the power of two below mx — the stride bound above.
+    k = 1
+    while k < mx:
+        shifted = ranks.select(
+            (F.col("__pos") - k).alias("__pos"),
+            F.col("__r").alias("__r2"),
+        )
+        paired = (
+            ranks.join(shifted, "__pos", "left")
+            .select(
+                "__pos",
+                "__r",
+                F.coalesce("__r2", F.lit(-1)).alias("__r2"),
+            )
+        )
+        ranks = (
+            global_dense_rank(paired, ["__r", "__r2"], rank_col="__nr")
+            .select("__pos", F.col("__nr").alias("__r"))
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+    return ranks.select(
+        F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
+        # posexplode offsets are 0-based already
+        (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
+        F.col("__r").cast("long").alias(rank_col),
+    )

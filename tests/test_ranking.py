@@ -68,3 +68,46 @@ def test_global_rank_plan_never_single_partitions(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_suffix_ranks_banana_and_cross_doc_ties(spark):
+    """Prefix-doubling suffix ranks equal a pure-Python suffix sort —
+    including REAL ties where two documents share a verbatim suffix
+    (dense ranks collapse them), and the 1-char / empty-doc edges."""
+    from pyspark_scd_spark.operators import dedup
+
+    docs = {1: "banana", 2: "ana", 3: "b", 4: "", 5: "bandana"}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["pos_in_doc"]): r["suffix_rank"]
+        for r in dedup.suffix_ranks_prefix_doubling(df).collect()
+    }
+    suffixes = sorted(
+        {s for d, t in docs.items() for i in range(len(t))
+         for s in [t[i:]]}
+    )
+    rank_of = {s: i + 1 for i, s in enumerate(suffixes)}
+    want = {
+        (d, i): rank_of[t[i:]]
+        for d, t in docs.items()
+        for i in range(len(t))
+    }
+    assert got == want
+    # the shared suffixes 'ana'/'na'/'a' tie across docs 1 and 2
+    assert got[(1, 3)] == got[(2, 0)]  # 'ana'
+    assert got[(1, 5)] == got[(2, 2)]  # 'a'
+
+
+def test_suffix_ranks_one_char_corpus(spark):
+    """mx == 1 short-circuit: ranks must still be dense 1..D, not raw
+    ascii codes."""
+    from pyspark_scd_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b")], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["pos_in_doc"]): r["suffix_rank"]
+        for r in dedup.suffix_ranks_prefix_doubling(df).collect()
+    }
+    assert got == {(2, 0): 1, (1, 0): 2, (3, 0): 2}
