@@ -175,6 +175,15 @@ def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
         prev = (v,)
     if prev:
         emit(table[prev])
+        # the decoder ADDS an entry while processing this tail code
+        # (it adds on every code once primed) — mirror its bookkeeping
+        # or the EOI is written one bit narrower than the decoder
+        # reads it (hypothesis-found: alternating 2-color stream whose
+        # final add lands exactly on a width boundary)
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)

@@ -231,6 +231,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "basket_lift_pairs": 1,      # basket-count scalar row
     "source_drift_chisq": 1,     # corpus language-mix row
     "hybrid_search_rrf": 1,      # BM25 N/avgdl stats row
+    "scd_schema_evolution": 1,   # global-max stamp (1-row agg),
+                                 # same as every SCD pipeline entry
 }
 
 
