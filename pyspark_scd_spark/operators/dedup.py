@@ -1493,6 +1493,18 @@ def suffix_ranks_prefix_doubling(
     # after the round with step k the rank reflects a 2k-char prefix;
     # stop once k >= mx (every suffix fully covered). The last step is
     # therefore the power of two below mx — the stride bound above.
+    #
+    # Storage discipline: each round pins TWO corpus-positions-sized
+    # checkpoints (global_dense_rank's range-pinned pass + this
+    # round's ranks). Without explicit frees, peak pinned storage is
+    # ~2·log₂(max_len) copies of the position table — at the
+    # documented heavyweight scale that exhausts the storage tier
+    # before the computation does. Once round N's ranks have
+    # materialized (eager=True), round N−1's blocks are garbage;
+    # unpersist them immediately via their JVM RDD handles.
+    from pyspark_scd_spark.operators.ranking import checkpoint_rdd_handle
+
+    stale: list = []  # round N−1's pinned JVM RDDs
     k = 1
     while k < mx:
         shifted = ranks.select(
@@ -1507,11 +1519,26 @@ def suffix_ranks_prefix_doubling(
                 F.coalesce("__r2", F.lit(-1)).alias("__r2"),
             )
         )
+        fresh: list = []  # this round's intermediate (gdr's pinned pass)
+        prev_handle = checkpoint_rdd_handle(ranks)
         ranks = (
-            global_dense_rank(paired, ["__r", "__r2"], rank_col="__nr")
+            global_dense_rank(
+                paired, ["__r", "__r2"], rank_col="__nr", _cleanup=fresh
+            )
             .select("__pos", F.col("__nr").alias("__r"))
             .localCheckpoint(eager=True)
         )
+        # ranks is now materialized data: the previous round's ranks
+        # AND this round's gdr intermediate are both unreachable.
+        if prev_handle is not None:
+            stale.append(prev_handle)
+        stale.extend(fresh)
+        for h in stale:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
+        stale = []
         k *= 2
     return ranks.select(
         F.floor(F.col("__pos") / stride).cast("long").alias(id_col),

@@ -41,6 +41,35 @@ from pyspark.sql import types as T
 
 _PID = "__rank_pid"
 
+# Sentinel standing in for SQL NULL in the Arrow rank pass. Arrow
+# hands a nullable long column to pandas as float64 with NaN holes,
+# and NaN != NaN would give every null row its own dense rank; all
+# null keys normalize to this one identity-equal object instead.
+_NULL = object()
+
+
+def _norm_key_part(v):
+    try:
+        if pd.isna(v):
+            return _NULL
+    except (TypeError, ValueError):
+        # non-scalar (array/struct) order values: pass through
+        pass
+    return v
+
+
+def checkpoint_rdd_handle(df: DataFrame):
+    """JVM RDD pinned by a ``localCheckpoint``-ed DataFrame (its
+    analyzed plan is a LogicalRDD), or None when the plan isn't one.
+    Callers that checkpoint per iteration (prefix doubling, pagerank)
+    use this to ``unpersist(False)`` round N−1's blocks once round
+    N has materialized — otherwise peak pinned storage is the whole
+    iteration history, not one round."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
 
 def global_dense_rank(
     df: DataFrame,
@@ -48,6 +77,7 @@ def global_dense_rank(
     rank_col: str = "rank",
     dense: bool = True,
     num_partitions: int | None = None,
+    _cleanup: list | None = None,
 ) -> DataFrame:
     """Attach a global ``dense_rank`` (or ``row_number`` with
     ``dense=False``) over ``ORDER BY order_cols ASC NULLS FIRST`` —
@@ -56,6 +86,16 @@ def global_dense_rank(
     physical order WITHIN the tie group, so use it only when
     ``order_cols`` is a total key (unique) — dense ranks are
     deterministic under ties, row numbers are not.
+
+    NULL order keys are supported: distinct counts use a struct (a
+    struct with null fields is non-null, so null-bearing tuples
+    count) and the Arrow pass normalizes NaN-encoded nulls to one
+    shared sentinel. One documented conflation remains: for FLOAT/
+    DOUBLE order columns that contain BOTH real NaN values and
+    NULLs, pandas represents both as NaN, so the two groups merge
+    if they ever land adjacent in one partition (Spark sorts NULLS
+    FIRST and NaN last, so they meet only in degenerate tiny
+    partitions). Integer/string/date keys are exact.
     """
     cols = list(order_cols)
     ranged = (
@@ -65,9 +105,16 @@ def global_dense_rank(
     ).sortWithinPartitions(*cols)
     # Pin the physical partitions (docstring step 2): both passes
     # below MUST see identical partition ids and contents.
-    staged = ranged.localCheckpoint(eager=True).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    pinned = ranged.localCheckpoint(eager=True)
+    if _cleanup is not None:
+        # hand the pinned blocks' JVM RDD to an iterative caller so
+        # it can unpersist them once its own downstream checkpoint
+        # has materialized (the returned DataFrame reads `pinned`
+        # lazily — only eager consumers may free it)
+        h = checkpoint_rdd_handle(pinned)
+        if h is not None:
+            _cleanup.append(h)
+    staged = pinned.withColumn(_PID, F.spark_partition_id())
 
     # Pass 1: bounded per-partition stats. The distinct-tuple count
     # rides the same grouped aggregate; re-running this lineage in
@@ -77,7 +124,14 @@ def global_dense_rank(
         staged.groupBy(_PID)
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.count_distinct(*[F.col(c) for c in cols]).alias("__d"),
+            # struct() so tuples CONTAINING nulls still count: bare
+            # count_distinct(a, b) skips any row where a or b is
+            # NULL, undercounting the partition and shifting every
+            # later partition's offset. A struct with null fields is
+            # itself non-null, so every distinct key tuple counts.
+            F.count_distinct(F.struct(*[F.col(c) for c in cols])).alias(
+                "__d"
+            ),
         )
         .collect()
     )
@@ -104,7 +158,8 @@ def global_dense_rank(
             base = offsets.get(pid, 0)
             ranks = []
             if dense:
-                for key in zip(*[pdf[c] for c in cols]):
+                for raw in zip(*[pdf[c] for c in cols]):
+                    key = tuple(_norm_key_part(v) for v in raw)
                     if key != prev_key:
                         local += 1
                         prev_key = key

@@ -2817,7 +2817,18 @@ def ivf_drift_retrain(
         if ts and tb
         else 0.0
     )
-    retrained = tv > drift_threshold
+    # Trigger on the EXACT integer numerator, not the rounded tv:
+    # two half-away roundings (here and DuckDB's ROUND) can disagree
+    # on values whose unrounded double sits 1 ulp from a 5e-7
+    # boundary, flipping the retrained branch between engines. The
+    # comparison tv_num > thr·2·tb·ts has one exactly-representable
+    # product on the right (tb·ts < 2^53 at any realistic histogram
+    # total; thr·2 = 0.5 for the registry's 0.25), so both engines
+    # evaluate the identical predicate. The rounded tv is emitted
+    # for display only.
+    retrained = bool(ts and tb) and (
+        float(tv_num) > drift_threshold * 2.0 * float(tb) * float(ts)
+    )
 
     if retrained:
         merged = store.select(id_col, vec_col).unionByName(

@@ -9504,7 +9504,9 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
              LEFT JOIN (SELECT c, CAST(COUNT(*) AS BIGINT) AS nb
                         FROM acb GROUP BY 1) hb ON hb.c = cent.c),
     tv AS (SELECT ROUND(SUM(ABS(nb * ts - ns * tb))
-                        / (2.0 * MAX(tb) * MAX(ts)), 6) AS tvd
+                        / (2.0 * MAX(tb) * MAX(ts)), 6) AS tvd,
+                  SUM(ABS(nb * ts - ns * tb))
+                    > 0.25 * 2.0 * MAX(tb) * MAX(ts) AS trig
            FROM (SELECT hist.*, t.ts, t.tb FROM hist CROSS JOIN
                  (SELECT SUM(ns) AS ts, SUM(nb) AS tb FROM hist) t)),
     un AS (SELECT * FROM st UNION ALL SELECT * FROM ba),
@@ -9524,10 +9526,10 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
     r0 AS (SELECT cell, CAST(ns AS BIGINT) AS n_store,
                   CAST(nb AS BIGINT) AS n_batch FROM hist)
     SELECT r.cell, r.n_store, r.n_batch, tv.tvd AS tv_drift,
-           tv.tvd > 0.25 AS retrained
-    FROM (SELECT * FROM r1 WHERE (SELECT tvd FROM tv) > 0.25
+           tv.trig AS retrained
+    FROM (SELECT * FROM r1 WHERE (SELECT trig FROM tv)
           UNION ALL
-          SELECT * FROM r0 WHERE (SELECT tvd FROM tv) <= 0.25) r
+          SELECT * FROM r0 WHERE NOT (SELECT trig FROM tv)) r
     CROSS JOIN tv
     """,
     doc="Drift-triggered IVF retrain (operators/similarity.py "
@@ -9538,9 +9540,11 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
     "TV 0.45 vs the store where sign-flip's 0.10 stays isotropic "
     "and must NOT trip), its cell "
     "histogram under the serving centroids diverges (total-variation "
-    "distance with an EXACT-INTEGER numerator Σ|nb·TS − ns·TB|, so "
-    "both engines agree bit-for-bit before one rounded division), "
-    "the 0.25 trigger trips, and the index re-seeds from "
+    "distance with an EXACT-INTEGER numerator Σ|nb·TS − ns·TB|; the "
+    "trigger compares that integer against thr·2·TS·TB directly — "
+    "no rounded division in the predicate, so the branch can never "
+    "flip between engines on a 1-ulp boundary; the rounded tv is "
+    "display-only), the 0.25 trigger trips, and the index re-seeds from "
     "store ∪ batch and re-assigns. One row per active-index cell "
     "with its store/batch populations + the drift stat. The oracle "
     "replays BOTH branches and selects by the same trigger, so the "

@@ -129,6 +129,38 @@ def test_suffix_ranks_one_char_corpus(spark):
     assert got == {(2, 0): 1, (1, 0): 2, (3, 0): 2}
 
 
+def test_dense_rank_null_order_keys(spark):
+    """NULLs in order_cols (the r7 ADVICE latent bug): the distinct
+    count must include null-bearing tuples (struct form) and the
+    Arrow pass must give all null rows ONE shared dense rank, not a
+    rank each (Arrow hands nullable longs to pandas as NaN, and
+    NaN != NaN). Spark's asc = NULLS FIRST, so nulls rank 1."""
+    rows = [(None,), (3,), (None,), (1,), (3,), (None,), (2,)]
+    df = spark.createDataFrame(rows, "v: int")
+    out = ranking.global_dense_rank(
+        df, ["v"], rank_col="r", num_partitions=3
+    ).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], set()).add(r["r"])
+    assert by_v == {None: {1}, 1: {2}, 2: {3}, 3: {4}}
+    # multi-column: null in ONE field of the tuple
+    rows2 = [(1, None), (1, None), (1, 5), (2, None), (0, 9)]
+    df2 = spark.createDataFrame(rows2, "a: int, b: int")
+    out2 = {
+        (r["a"], r["b"], r["r"])
+        for r in ranking.global_dense_rank(
+            df2, ["a", "b"], rank_col="r", num_partitions=2
+        ).collect()
+    }
+    assert out2 == {
+        (0, 9, 1),
+        (1, None, 2),
+        (1, 5, 3),
+        (2, None, 4),
+    }
+
+
 def test_dense_rank_many_partitions_with_duplicates(spark):
     """Multi-partition stress for the partition-pinning fix: without
     the localCheckpoint, the stats and ranking passes re-execute the
