@@ -166,14 +166,20 @@ X3_EXACT = [
 TAIL_BUDGET = 1900
 
 
-def _ensure_scale(spark, copies: int, out_dir: str) -> bool:
+def _ensure_scale(spark, copies: int, out_dir: str) -> tuple[bool, bool]:
     """Build (once) key-shifted fixtures for every testdata table;
-    reuse across rounds via a _DONE marker."""
+    reuse across rounds via a _DONE marker. Returns (ok, fresh):
+    ``fresh`` means the fixture was built THIS call — the caller must
+    run one untimed full-tier pass before timing (the r7 driver rerun
+    recorded knn_label_vote_ivf at 12.5s where steady state is ~4s:
+    a rebuild leaves the process with fixture-write GC pressure and
+    cold per-query code paths that the second-of-2 protocol alone
+    does not absorb)."""
     import traceback
 
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
-        return True
+        return True, False
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tools"))
@@ -183,10 +189,10 @@ def _ensure_scale(spark, copies: int, out_dir: str) -> bool:
             build(spark, t, copies, out_dir)
         with open(marker, "w") as f:
             f.write("ok\n")
-        return True
+        return True, True
     except Exception:
         traceback.print_exc(file=sys.stderr)
-        return False
+        return False, False
 
 
 def _consume(df) -> None:
@@ -277,6 +283,18 @@ def main() -> None:
     # GC/memory-pressure wake (measured: 15.3s for a query whose
     # steady state is 4.5s).
     def _tier(names: list, fixture_dir: str) -> dict:
+        # Always one untimed full-tier warm pass first (r7 driver
+        # rerun: knn_label_vote_ivf recorded 12.5s where steady state
+        # is ~4s). Measured convergence at x10 in a fresh process is
+        # 14.9 / 5.3 / 4.6 / 4.3s — the tier-scale cogroup+GEMM paths
+        # JIT over the first TWO executions, so the second-of-2
+        # protocol alone lands mid-curve whenever the process is
+        # fresh (every driver run is). Warm + 2 timed = the third
+        # execution is the recorded one, on the curve's flat.
+        for name in names:
+            if name in queries:
+                _consume(queries[name](spark, fixture_dir))
+                spark.catalog.clearCache()
         res: dict[str, float] = {}
         for name in names:
             if name not in queries:
@@ -293,9 +311,9 @@ def main() -> None:
     x10: dict[str, float] = {}
     x3: dict[str, float] = {}
     if sf == 0.1:
-        if _ensure_scale(spark, 10, X10_DIR):
+        if _ensure_scale(spark, 10, X10_DIR)[0]:
             x10 = _tier(X10_HEAVY, X10_DIR)
-        if _ensure_scale(spark, 3, X3_DIR):
+        if _ensure_scale(spark, 3, X3_DIR)[0]:
             x3 = _tier(X3_EXACT, X3_DIR)
 
     out = {
