@@ -1458,13 +1458,65 @@ def suffix_ranks_prefix_doubling(
     t = df.select(F.col(id_col), F.col(text_col)).filter(
         F.length(text_col) >= 1
     )
-    mx = t.agg(F.max(F.length(text_col))).collect()[0][0]
+    ranks, stride, mx = _prefix_pos_ranks(t, id_col, text_col)
     if not mx:
         return t.select(
             F.col(id_col),
             F.lit(0).cast("long").alias("pos_in_doc"),
             F.lit(0).cast("long").alias(rank_col),
         ).limit(0)
+    if mx == 1:
+        # no doubling round ran — densify the raw codes so the
+        # contract (ranks are DENSE 1..D) holds for 1-char corpora
+        return global_dense_rank(
+            ranks, ["__r"], rank_col="__nr"
+        ).select(
+            F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
+            (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
+            F.col("__nr").cast("long").alias(rank_col),
+        )
+    return ranks.select(
+        F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
+        # posexplode offsets are 0-based already
+        (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
+        F.col("__r").cast("long").alias(rank_col),
+    )
+
+
+def _prefix_pos_ranks(
+    t: DataFrame,
+    id_col: str,
+    text_col: str,
+    upto: int | None = None,
+):
+    """Prefix-doubling position ranks shared by the full suffix-array
+    build (``suffix_ranks_prefix_doubling``) and the ExactSubstr span
+    cutter (``dedup_exact_substrings``): returns ``(ranks, stride,
+    mx)`` where ``ranks`` is (``__pos`` = id·stride + 0-based offset,
+    ``__r``), ``__r`` equality ⟺ equality of the suffixes' first
+    ``min(2^ceil(log2(upto or mx)), covered)`` characters (truncated
+    suffixes rank distinctly from any full window via the −1
+    sentinel). With ``upto=h`` (a power of two) the loop stops once
+    ranks reflect an h-char prefix — ⌈log₂ h⌉ rounds instead of
+    ⌈log₂ max_len⌉, which is the whole point for fixed-window
+    queries. ``mx == 0`` means the corpus is empty (ranks unusable);
+    ``mx == 1`` means raw ascii codes were returned un-densified.
+
+    Storage discipline: each round pins TWO corpus-positions-sized
+    localCheckpoints (global_dense_rank's range-pinned pass + the
+    round's ranks). Once round N's ranks have materialized
+    (eager=True), round N−1's blocks are garbage; unpersist them
+    immediately via their JVM RDD handles — otherwise peak pinned
+    storage is ~2·log₂(max_len) copies of the position table.
+    """
+    from pyspark_scd_spark.operators.ranking import (
+        checkpoint_rdd_handle,
+        global_dense_rank,
+    )
+
+    mx = t.agg(F.max(F.length(text_col))).collect()[0][0]
+    if not mx:
+        return None, 0, 0
     mx = int(mx)
     stride = 2 * mx + 1
     codes = t.select(
@@ -1480,33 +1532,14 @@ def suffix_ranks_prefix_doubling(
         (F.col(id_col) * stride + F.col("__i")).alias("__pos"),
         F.col("__code").cast("long").alias("__r"),
     ).localCheckpoint(eager=True)
-    if mx == 1:
-        # no doubling round runs — densify the raw codes so the
-        # contract (ranks are DENSE 1..D) holds for 1-char corpora
-        return global_dense_rank(
-            ranks, ["__r"], rank_col="__nr"
-        ).select(
-            F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
-            (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
-            F.col("__nr").cast("long").alias(rank_col),
-        )
     # after the round with step k the rank reflects a 2k-char prefix;
-    # stop once k >= mx (every suffix fully covered). The last step is
-    # therefore the power of two below mx — the stride bound above.
-    #
-    # Storage discipline: each round pins TWO corpus-positions-sized
-    # checkpoints (global_dense_rank's range-pinned pass + this
-    # round's ranks). Without explicit frees, peak pinned storage is
-    # ~2·log₂(max_len) copies of the position table — at the
-    # documented heavyweight scale that exhausts the storage tier
-    # before the computation does. Once round N's ranks have
-    # materialized (eager=True), round N−1's blocks are garbage;
-    # unpersist them immediately via their JVM RDD handles.
-    from pyspark_scd_spark.operators.ranking import checkpoint_rdd_handle
-
+    # stop once k >= lim (every suffix covered to the target). The
+    # last step is therefore the power of two below mx — the stride
+    # bound above.
+    lim = min(mx, upto) if upto else mx
     stale: list = []  # round N−1's pinned JVM RDDs
     k = 1
-    while k < mx:
+    while k < lim:
         shifted = ranks.select(
             (F.col("__pos") - k).alias("__pos"),
             F.col("__r").alias("__r2"),
@@ -1540,9 +1573,183 @@ def suffix_ranks_prefix_doubling(
                 pass
         stale = []
         k *= 2
-    return ranks.select(
-        F.floor(F.col("__pos") / stride).cast("long").alias(id_col),
-        # posexplode offsets are 0-based already
-        (F.col("__pos") % stride).cast("long").alias("pos_in_doc"),
-        F.col("__r").cast("long").alias(rank_col),
+    return ranks, stride, mx
+
+
+def dedup_exact_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """ExactSubstr dedup MATERIALIZED (Lee et al. 2022): cut from
+    every document every byte that lies inside a length-``min_len``
+    window whose content occurs ≥ 2 times anywhere in the corpus
+    (position-level count, so overlapping self-repeats within one
+    document count too — the paper's semantics, where BOTH copies of
+    a duplicated span are removed since each occurrence is judged
+    independently). ``suffix_ranks_prefix_doubling`` builds the
+    index's hard part; this locates and cuts the spans.
+
+    Per doc: (id, n_dup_windows, cut_bytes, kept_len, kept_md5) —
+    the md5 pins every byte of the cut corpus for the oracle.
+
+    Scale design — why ranks instead of grouping the raw L-grams:
+
+    - a window start ``i`` holds a duplicated L-gram iff the pair
+      ``(rank_h(i), rank_h(i+L−h))`` with ``h = 2^⌊log₂L⌋`` repeats
+      — the two h-windows overlap-cover [i, i+L) exactly (2h ≥ L),
+      the standard overlapping-windows trick. Grouping shuffles 16
+      bytes per position instead of L raw bytes (L=50 tokens ≈
+      hundreds of bytes in the paper's setting), and the h-ranks
+      build is ⌈log₂ h⌉ rounds, NOT ⌈log₂ max_len⌉ — the fixed-L cut
+      needs only the prefix of the full suffix-array build;
+    - valid starts come straight from the docs table
+      (``sequence(0, len−L)``), so no per-position length join; both
+      rank lookups are constant-shift hash joins (the doubling-round
+      device);
+    - the cut itself is one Arrow ``mapInPandas`` over (doc, text,
+      sorted dup starts): a numpy boolean mask per doc, O(len +
+      windows·L) per doc, per-task state bounded by one document.
+
+    Truncated tails can never false-positive: a start is only
+    emitted when ``i + L ≤ len``, and inside a valid window both
+    h-rank lookups see full h-char windows, so rank equality is
+    exactly h-gram equality.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    h = 1 << (L.bit_length() - 1)  # 2^floor(log2(L)); 2h >= L
+    t = df.select(F.col(id_col), F.col(text_col))
+    nonempty = t.filter(F.length(text_col) >= 1)
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_dup_windows", T.LongType()),
+            T.StructField("cut_bytes", T.LongType()),
+            T.StructField("kept_len", T.LongType()),
+            T.StructField("kept_md5", T.StringType()),
+        ]
     )
+
+    def _trivial() -> DataFrame:
+        # no document reaches L chars: the corpus is kept verbatim
+        return t.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_dup_windows"),
+            F.lit(0).cast("long").alias("cut_bytes"),
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("kept_len"),
+            F.md5(
+                F.coalesce(F.col(text_col), F.lit("")).cast("binary")
+            ).alias("kept_md5"),
+        )
+
+    mx0 = nonempty.agg(F.max(F.length(text_col))).collect()[0][0]
+    if not mx0 or int(mx0) < L:
+        # no document reaches L chars — bail BEFORE the eager codes
+        # checkpoint materializes a corpus-positions table for nothing
+        return _trivial()
+
+    ranks, stride, mx = _prefix_pos_ranks(
+        nonempty, id_col, text_col, upto=h
+    )
+
+    # valid window starts (0-based), straight from the docs table
+    starts = nonempty.filter(F.length(text_col) >= L).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.length(text_col) - F.lit(L))
+        ).alias("__s"),
+    )
+    keyed = starts.select(
+        id_col,
+        "__s",
+        (F.col(id_col) * stride + F.col("__s")).alias("__p1"),
+        (F.col(id_col) * stride + F.col("__s") + F.lit(L - h)).alias(
+            "__p2"
+        ),
+    )
+    r1 = ranks.select(
+        F.col("__pos").alias("__p1"), F.col("__r").alias("__r1")
+    )
+    r2 = ranks.select(
+        F.col("__pos").alias("__p2"), F.col("__r").alias("__r2")
+    )
+    keyed = keyed.join(r1, "__p1").join(r2, "__p2")
+    # duplicated L-gram keys: bounded 16-byte key per position; the
+    # agg+join (not a window) keeps the heavy side a plain hash
+    # exchange AQE can skew-split
+    dup_keys = (
+        keyed.groupBy("__r1", "__r2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__r1", "__r2")
+    )
+    dup_starts = keyed.join(dup_keys, ["__r1", "__r2"]).select(
+        id_col, "__s"
+    )
+    per_doc = dup_starts.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__s")).alias("__starts")
+    )
+    joined = t.join(per_doc, id_col, "left")
+
+    def _cut(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                c: [] for c in (
+                    "n_dup_windows", "cut_bytes", "kept_len",
+                    "kept_md5",
+                )
+            }
+            for text, starts_arr in zip(
+                pdf[text_col], pdf["__starts"]
+            ):
+                s = "" if text is None else text
+                has = starts_arr is not None and len(starts_arr) > 0
+                if has:
+                    mask = np.zeros(len(s), dtype=bool)
+                    for st in starts_arr:
+                        mask[st : st + L] = True
+                    arr = np.array(list(s), dtype=object)
+                    kept = "".join(arr[~mask].tolist())
+                    nw = int(len(starts_arr))
+                else:
+                    kept = s
+                    nw = 0
+                out["n_dup_windows"].append(nw)
+                out["cut_bytes"].append(len(s) - len(kept))
+                out["kept_len"].append(len(kept))
+                out["kept_md5"].append(
+                    hashlib.md5(kept.encode("utf-8")).hexdigest()
+                )
+            res = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_dup_windows": pd.Series(
+                        out["n_dup_windows"], dtype="int64"
+                    ),
+                    "cut_bytes": pd.Series(
+                        out["cut_bytes"], dtype="int64"
+                    ),
+                    "kept_len": pd.Series(
+                        out["kept_len"], dtype="int64"
+                    ),
+                    "kept_md5": out["kept_md5"],
+                }
+            )
+            yield res
+
+    return joined.mapInPandas(_cut, schema=out_schema)

@@ -129,6 +129,77 @@ def test_suffix_ranks_one_char_corpus(spark):
     assert got == {(2, 0): 1, (1, 0): 2, (3, 0): 2}
 
 
+def test_exact_substrings_cut_matches_brute_force(spark):
+    """ExactSubstr materialization: the rank-pair window locator +
+    numpy cut equals a brute-force L-gram Counter — including
+    overlapping self-repeats ('aaaaaaaaaa'), empty docs, docs shorter
+    than L, and cross-doc duplicates."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark_scd_spark.operators import dedup
+
+    docs = [
+        (1, "xxABCDEFGHyy"),
+        (2, "zzzABCDEFGHqq"),
+        (3, "completely unique text"),
+        (4, "aaaaaaaaaa"),
+        (5, ""),
+        (6, "short"),
+        (7, "tail overlap ABCDEFGH"),  # dup gram at the very end
+    ]
+    L = 8
+    got = {
+        r["doc_id"]: (
+            r["n_dup_windows"], r["cut_bytes"], r["kept_len"],
+            r["kept_md5"],
+        )
+        for r in dedup.dedup_exact_substrings(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_len=L
+        ).collect()
+    }
+    grams = Counter(
+        t[i : i + L] for _, t in docs for i in range(len(t) - L + 1)
+    )
+    for d, t in docs:
+        starts = [
+            i for i in range(len(t) - L + 1)
+            if grams[t[i : i + L]] >= 2
+        ]
+        mask = [False] * len(t)
+        for s in starts:
+            for j in range(s, s + L):
+                mask[j] = True
+        kept = "".join(c for c, m in zip(t, mask) if not m)
+        assert got[d] == (
+            len(starts),
+            len(t) - len(kept),
+            len(kept),
+            hashlib.md5(kept.encode()).hexdigest(),
+        ), f"doc {d}"
+
+
+def test_exact_substrings_trivial_corpus(spark):
+    """Every doc shorter than L: the whole corpus is kept verbatim
+    through the pre-index bail-out path."""
+    import hashlib
+
+    from pyspark_scd_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["cut_bytes"], r["kept_md5"])
+        for r in dedup.dedup_exact_substrings(df, min_len=8).collect()
+    }
+    assert got == {
+        1: (0, 0, hashlib.md5(b"abc").hexdigest()),
+        2: (0, 0, hashlib.md5(b"abc").hexdigest()),
+        3: (0, 0, hashlib.md5(b"").hexdigest()),
+    }
+
+
 def test_dense_rank_null_order_keys(spark):
     """NULLs in order_cols (the r7 ADVICE latent bug): the distinct
     count must include null-bearing tuples (struct form) and the
