@@ -502,6 +502,151 @@ def scd_merge(
     )
 
 
+def scd_merge_tree(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    hash_cols: Sequence[str],
+    status_col: str = "change_status",
+    date_col: str = "changed_status_date",
+) -> DataFrame:
+    """Tree-fold (parallel-prefix) form of the incremental MERGE fold:
+    the same end state as folding ``scd_merge`` day-by-day, in
+    ``ceil(log2 days)`` passes instead of ``days`` sequential joins.
+
+    Input: ONE table with one row per (key, snapshot time) — i.e. the
+    deduped union of all snapshots — where the distinct snapshot
+    times form the global snapshot sequence (gaps in a KEY's
+    appearances are meaningful; gaps in the global sequence are not
+    allowed, same contract as the closed-form oracle).
+
+    Why it composes: the per-key fold state is summarizable per
+    contiguous block of snapshots as (first appearance year+hash,
+    previous/last appearance year+hash, last RESET strictly after
+    the block's first appearance, last attrs). Two adjacent blocks
+    combine with pure expressions — the boundary reset is the later
+    block's first year on a fingerprint change, the earlier block's
+    last year on an appearance gap (block-index arithmetic, so any
+    orderable time type works), else nothing; the combined last
+    reset is ``coalesce(later.internal, boundary, earlier.internal)``.
+    Status and change date fall out of the root block exactly as the
+    sequential fold computes them (deleted keys keep their last
+    appearance's attrs/date; gap + same fingerprint = No Change with
+    the pre-gap date; gap + new fingerprint = Changed at reappearance).
+
+    Scale: each pass is ONE hash exchange on (key, pair) over one
+    summary row per live (key, block) — the day-by-day fold is a
+    serial chain of full-outer joins whose length is the snapshot
+    count, which is exactly what dominates its wall clock at x10
+    (NOTES round-7 flag). Driver state: the sorted distinct snapshot
+    times (bounded — days, not rows).
+    """
+    keys = list(key_cols)
+    attr_cols = [
+        c for c in snapshots.columns if c not in (*keys, time_col)
+    ]
+    hashed = with_row_hash(snapshots, hash_cols, out_col="__h")
+    times = sorted(
+        r[0] for r in snapshots.select(time_col).distinct().collect()
+    )
+    if not times:
+        return snapshots.select(
+            *keys,
+            time_col,
+            *attr_cols,
+            F.lit(STATUS_NEW).alias(status_col),
+            F.col(time_col).alias(date_col),
+        ).limit(0)
+    t_type = snapshots.schema[time_col].dataType
+    tmax = times[-1]
+    blk_map = F.create_map(
+        *[
+            x
+            for t, i in ((t, i) for i, t in enumerate(times))
+            for x in (F.lit(t), F.lit(i))
+        ]
+    )
+    state = hashed.select(
+        *keys,
+        blk_map[F.col(time_col)].cast("long").alias("__blk"),
+        F.struct(
+            F.lit(1).cast("long").alias("n"),
+            F.col(time_col).alias("fy"),
+            F.col("__h").alias("fh"),
+            blk_map[F.col(time_col)].cast("long").alias("fb"),
+            F.lit(None).cast(t_type).alias("py"),
+            F.lit(None).cast("string").alias("ph"),
+            F.col(time_col).alias("ly"),
+            F.col("__h").alias("lh"),
+            blk_map[F.col(time_col)].cast("long").alias("lb"),
+            F.lit(None).cast(t_type).alias("dtx"),
+            F.struct(*attr_cols).alias("attrs"),
+        ).alias("__s"),
+    )
+    n_blocks = len(times)
+    while n_blocks > 1:
+        paired = state.select(
+            *keys,
+            F.floor(F.col("__blk") / 2).alias("__pair"),
+            F.when(F.col("__blk") % 2 == 0, F.col("__s")).alias("__s0"),
+            F.when(F.col("__blk") % 2 == 1, F.col("__s")).alias("__s1"),
+        ).withColumnRenamed("__pair", "__blk")
+        g = paired.groupBy(*keys, "__blk").agg(
+            F.first("__s0", ignorenulls=True).alias("__s0"),
+            F.first("__s1", ignorenulls=True).alias("__s1"),
+        )
+        s0, s1 = F.col("__s0"), F.col("__s1")
+        boundary_reset = F.when(
+            s1["fh"] != s0["lh"], s1["fy"]
+        ).when(s1["fb"] > s0["lb"] + 1, s0["ly"])
+        combined = F.struct(
+            (s0["n"] + s1["n"]).alias("n"),
+            s0["fy"].alias("fy"),
+            s0["fh"].alias("fh"),
+            s0["fb"].alias("fb"),
+            F.when(s1["n"] >= 2, s1["py"])
+            .otherwise(s0["ly"])
+            .alias("py"),
+            F.when(s1["n"] >= 2, s1["ph"])
+            .otherwise(s0["lh"])
+            .alias("ph"),
+            s1["ly"].alias("ly"),
+            s1["lh"].alias("lh"),
+            s1["lb"].alias("lb"),
+            F.coalesce(s1["dtx"], boundary_reset, s0["dtx"]).alias(
+                "dtx"
+            ),
+            s1["attrs"].alias("attrs"),
+        )
+        state = g.select(
+            *keys,
+            "__blk",
+            F.when(s0.isNull(), s1)
+            .when(s1.isNull(), s0)
+            .otherwise(combined)
+            .alias("__s"),
+        )
+        n_blocks = -(-n_blocks // 2)
+    s = F.col("__s")
+    at_max = s["ly"] == F.lit(tmax)
+    status = (
+        F.when(at_max & s["py"].isNull(), F.lit(STATUS_NEW))
+        .when(at_max & (s["ph"] != s["lh"]), F.lit(STATUS_CHANGED))
+        .when(at_max, F.lit(STATUS_NO_CHANGE))
+        .otherwise(F.lit(STATUS_DELETED))
+    )
+    change_date = F.when(
+        at_max, F.coalesce(s["dtx"], s["fy"])
+    ).otherwise(s["ly"])
+    return state.select(
+        *keys,
+        s["ly"].alias(time_col),
+        *[s["attrs"][a].alias(a) for a in attr_cols],
+        status.alias(status_col),
+        change_date.alias(date_col),
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -361,6 +361,11 @@ def q_scd_employee_current(spark, sf_dir):
     "steps compose to the right end state.",
 )
 def q_scd_merge_incremental(spark, sf_dir):
+    # Tree-fold (parallel-prefix) form: ceil(log2 years) exchanges on
+    # (key, pair) instead of a serial chain of full-outer joins one
+    # per year — identical end state (property-tested against the
+    # day-by-day scd_merge fold on gap/revert/delete patterns, and
+    # the closed-form oracle here checks the composition end-to-end).
     orders = _t(spark, sf_dir, "orders")
     yearly = (
         orders.select(
@@ -377,25 +382,14 @@ def q_scd_merge_incremental(spark, sf_dir):
             )
         )
         .drop("o_orderkey", "snap_date")
-        # one materialization: the fold filters this table once per
-        # year, and each filter would otherwise re-run the dedup
-        # window over the full scan
+        # one materialization: the tree fold scans its input twice
+        # (distinct snapshot times + the leaf summaries), and each
+        # scan would otherwise re-run the dedup window
         .localCheckpoint()
     )
-    years = sorted(
-        r[0] for r in yearly.select("snap_year").distinct().collect()
+    return scd.scd_merge_tree(
+        yearly, ["key"], "snap_year", SCD_HASH_COLS
     )
-    current = None
-    for y in years:
-        day = yearly.filter(F.col("snap_year") == y)
-        if current is None:
-            current = scd.scd_bootstrap(day, ["key"], "snap_year")
-        else:
-            current = scd.scd_merge(
-                current, day, ["key"], "snap_year", SCD_HASH_COLS
-            )
-        current = current.localCheckpoint(eager=False)
-    return current
 
 
 @register(

@@ -153,3 +153,33 @@ def test_scd_merge_fold_matches_merge_model(spark, obs):
     }
     want = python_merge_model(obs, days)
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=histories())
+def test_scd_merge_tree_matches_merge_model(spark, obs):
+    """The O(log days) tree fold must equal the day-by-day merge fold
+    on arbitrary gap / revert / delete patterns — same model, same
+    semantics, associative composition instead of a serial chain."""
+    if not obs:
+        return
+    rows = [
+        (e, BASE + dt.timedelta(days=dd), v)
+        for (e, dd), v in obs.items()
+    ]
+    snaps = spark.createDataFrame(rows, ["entity", "snap_date", "val"])
+    got = {
+        r["entity"]: (
+            r["change_status"],
+            (r["changed_status_date"] - BASE).days,
+        )
+        for r in scd.scd_merge_tree(
+            snaps, ["entity"], "snap_date", ["val"]
+        ).collect()
+    }
+    want = python_merge_model(obs, sorted({d for _, d in obs}))
+    assert got == want
