@@ -102,6 +102,9 @@ HEADLINE = [
     "ivf_drift_retrain",
     "multimodal_png_meta",
     "multimodal_gif_meta",
+    # round 8
+    "multimodal_jpeg_meta",
+    "dedup_exact_substrings",
 ]
 
 

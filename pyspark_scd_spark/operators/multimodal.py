@@ -112,7 +112,7 @@ def decode_image_features(
                 from PIL import Image as pil_image  # type: ignore
             except ImportError:
                 pil_image = None
-        from pyspark_scd_spark.functions import imagecodec
+        from pyspark_scd_spark.functions import imagecodec, jpegcodec
 
         for pdf in batches:
             feats = {"doc_id": [], "width": [], "height": [], "channels": [], "mean_intensity": []}
@@ -151,12 +151,24 @@ def decode_image_features(
                     feats["height"].append(h)
                     feats["channels"].append(c)
                     feats["mean_intensity"].append(mean)
+                elif jpegcodec.sniff(bytes(payload)):
+                    w, h, nc, planes = jpegcodec.decode(bytes(payload))
+                    total = sum(sum(p) for p in planes)
+                    feats["doc_id"].append(int(doc_id))
+                    feats["width"].append(w)
+                    feats["height"].append(h)
+                    feats["channels"].append(nc)
+                    feats["mean_intensity"].append(
+                        round(
+                            total / (max(w * h * nc, 1) * 255.0), 6
+                        )
+                    )
                 else:
                     raise NotImplementedError(
-                        "payload is neither PPM/PGM/BMP/PNG (vendored "
-                        "codec) nor decodable without PIL/opencv — "
-                        "install PIL on the cluster image or use "
-                        "fake=True for plumbing tests"
+                        "payload is neither PPM/PGM/BMP/PNG/baseline-"
+                        "JPEG (vendored codecs) nor decodable without "
+                        "PIL/opencv — install PIL on the cluster "
+                        "image or use fake=True for plumbing tests"
                     )
             yield pd.DataFrame(feats)
 
@@ -750,4 +762,135 @@ def gif_pixel_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _stats, schema=GIF_PIXEL_STATS_SCHEMA
+    )
+
+
+# ----------------------------------------------------------------------
+# JPEG modality: real baseline-DCT payloads (Huffman + IDCT decode)
+# ----------------------------------------------------------------------
+
+JPEG_COMPONENT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+        T.StructField("sumsq_y", T.LongType()),
+        T.StructField("max_y", T.IntegerType()),
+    ]
+)
+
+# Deterministic synthetic JPEG: doc i is W x H, W = 16 + 8*(i%3),
+# H = 8 + 8*(i%2), 3 components at 4:4:4. Each 8x8 block of component
+# c at (bx, by) carries exactly two quantized coefficients — DC
+# v-128 with v = 3 + (i*31 + c*101 + bx*13 + by*7) % 250, and
+# AC(4,4) k = ((i*17 + c*29 + bx*5 + by*3) % 7) - 3 — the two IDCT
+# basis positions whose reconstruction is RATIONAL, so the decoded
+# samples are exactly v + k*s(x)*s(y) with s = [+,-,-,+,+,-,-,+]
+# (s(x) = +1 iff x%4 in {0,3}): a lossy codec with a pixel-exact SQL
+# oracle. v's [3,252] range keeps v±3 inside [0,255] so the clamp
+# never engages. See functions/jpegcodec.py for why this still
+# exercises the full baseline machinery (4 Huffman tables, ZRL x2 to
+# reach zigzag 39, EOB, DC prediction, byte unstuffing, real 2D
+# float IDCT).
+
+
+def _jpeg_dims(doc_id: int):
+    return 16 + 8 * (doc_id % 3), 8 + 8 * (doc_id % 2)
+
+
+def _jpeg_blocks(doc_id: int, c: int, bx_n: int, by_n: int, ac44_zz):
+    return [
+        {
+            0: (3 + (doc_id * 31 + c * 101 + bx * 13 + by * 7) % 250)
+            - 128,
+            ac44_zz: ((doc_id * 17 + c * 29 + bx * 5 + by * 3) % 7)
+            - 3,
+        }
+        for by in range(by_n)
+        for bx in range(bx_n)
+    ]
+
+
+def with_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a REAL baseline JPEG binary column (vendored
+    encoder: JFIF/DQT/SOF0/DHT/SOS markers, canonical Huffman entropy
+    coding with byte stuffing) from the deterministic coefficients
+    above. Every byte downstream is a genuine JPEG any viewer opens."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import jpegcodec
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = _jpeg_dims(i)
+                comp = [
+                    _jpeg_blocks(
+                        i, c, w // 8, h // 8, jpegcodec.AC44_ZZ
+                    )
+                    for c in range(3)
+                ]
+                payloads.append(jpegcodec.encode_jpeg(w, h, comp))
+            yield pd.DataFrame({id_col: ids, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(out_col, T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def jpeg_component_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header meta + integer per-component sample sums (plus Y
+    sum-of-squares and max) from a REAL baseline JPEG decode
+    (functions/jpegcodec.py: marker walk, DHT/DQT parse, Huffman
+    entropy decode with unstuffing, DC prediction, dequant, float 2D
+    IDCT, clamp). The plain sums are invariant to the AC(4,4) term
+    (its basis sums to zero over a block), so ``sumsq_y`` is the
+    statistic that proves the AC path: sum of squares per block is
+    64*v^2 + 64*k^2, which shifts on the first wrong coefficient."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import jpegcodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_COMPONENT_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, nc, planes = jpegcodec.decode(bytes(payload))
+                y = np.asarray(planes[0], dtype=np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_components"].append(nc)
+                out["sum_y"].append(int(y.sum()))
+                out["sum_cb"].append(
+                    int(sum(planes[1])) if nc >= 3 else 0
+                )
+                out["sum_cr"].append(
+                    int(sum(planes[2])) if nc >= 3 else 0
+                )
+                out["sumsq_y"].append(int((y * y).sum()))
+                out["max_y"].append(int(y.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats, schema=JPEG_COMPONENT_STATS_SCHEMA
     )

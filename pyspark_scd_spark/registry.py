@@ -2977,6 +2977,67 @@ def q_multimodal_gif_meta(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_meta",
+    """
+    WITH d AS (SELECT doc_id,
+                      16 + 8*(doc_id % 3) AS w,
+                      8 + 8*(doc_id % 2) AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, cc.c AS c,
+                  3 + (doc_id*31 + cc.c*101 + (xx.x // 8)*13
+                       + (yy.y // 8)*7) % 250
+                  + ((((doc_id*17 + cc.c*29 + (xx.x // 8)*5
+                        + (yy.y // 8)*3) % 7) - 3)
+                     * (CASE WHEN (xx.x % 8) % 4 IN (0, 3)
+                             THEN 1 ELSE -1 END)
+                     * (CASE WHEN (yy.y % 8) % 4 IN (0, 3)
+                             THEN 1 ELSE -1 END)) AS val
+           FROM d,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) cc,
+           LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+           LATERAL (SELECT unnest(range(0, w)) AS x) xx)
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_components,
+           CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT)
+             AS sum_y,
+           CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT)
+             AS sum_cb,
+           CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT)
+             AS sum_cr,
+           CAST(SUM(CASE WHEN c = 0 THEN val*val ELSE 0 END)
+                AS BIGINT) AS sumsq_y,
+           CAST(MAX(CASE WHEN c = 0 THEN val END) AS INTEGER) AS max_y
+    FROM px GROUP BY doc_id
+    """,
+    doc="JPEG modality — the flagship LOSSY web format, closing the "
+    "vendored codec family (operators/multimodal.py "
+    "with_jpeg_payload / jpeg_component_stats; functions/jpegcodec.py "
+    "encode_jpeg/decode): synthesize real baseline JPEGs whose 8x8 "
+    "blocks carry energy only at the two RATIONAL-basis positions — "
+    "DC and AC(4,4) — so the decode is pixel-exact (v + k*s(x)*s(y), "
+    "s = [+,-,-,+,+,-,-,+]) while the bitstream exercises the full "
+    "baseline machinery: 4 canonical Huffman tables parsed from DHT, "
+    "double-ZRL runs to zigzag 39, EOB, DC prediction across MCUs, "
+    "0xFF byte unstuffing, dequant, and a real float 2D IDCT. The "
+    "oracle replays the samples per pixel; sumsq_y is the statistic "
+    "that pins the AC path (plain sums are invariant to the "
+    "zero-mean AC basis). Full documents table like PNG/GIF "
+    "(~0.5ms/doc pure-python entropy coding, Arrow-parallel). "
+    "YCbCr->RGB is deliberately NOT applied (irrational matrix; "
+    "component stats are the decode proof).",
+)
+def q_multimodal_jpeg_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.jpeg_component_stats(
+        multimodal.with_jpeg_payload(d)
+    )
+
+
+@register(
     "multimodal_video_frame_stats",
     """
     WITH d AS (SELECT doc_id,
