@@ -1978,3 +1978,260 @@ def cms_vocab_topk(
         .cast("long")
         .alias("overestimate"),
     )
+
+
+def corpus_release(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    quality_threshold: float = 0.58,
+    jaccard_threshold: float = 0.5,
+    para_words: int = 16,
+    n_gram: int = 5,
+    alpha: float = 0.7,
+    budget_frac: float = 0.5,
+    bin_tokens: int = 2048,
+    n_shards: int = 32,
+    lsh_num_hashes: int = 63,
+    lsh_bands: int = 21,
+) -> DataFrame:
+    """End-to-end "corpus release" composite — the pipeline a training-
+    data team actually ships, as ONE operator with ONE hash-checked
+    manifest. Nine stages, each reusing the standing operator:
+
+    0. ``0_input``          — the raw corpus;
+    1. ``1_eval_holdout``   — eval rows (``eval_pred``) leave the
+       training pool first, so they can't influence dedup or the mix;
+    2. ``2_exact_dedup``    — fingerprint groups keep their minimum-id
+       document (``functions/text.fingerprint``);
+    3. ``3_near_dedup``     — banded MinHash + exact-Jaccard verify
+       (``dedup.minhash_lsh_pairs``); every qualifying pair drops its
+       LARGER id — one deterministic sweep, SQL-replayable, unlike a
+       transitive CC collapse (registered separately as
+       ``dedup_cc_clusters``);
+    4. ``4_para_dedup``     — duplicate ``para_words``-token spans keep
+       their first (doc, idx) occurrence; surviving spans reassemble
+       into the cut text that flows DOWNSTREAM (the paragraph_dedup
+       report device, upgraded to materialize); token-empty docs drop;
+    5. ``5_decontaminate``  — drop training docs sharing a word
+       ``n_gram``-gram with any eval doc's RAW text;
+    6. ``6_quality_gate``   — composite quality score ≥ threshold on
+       the REASSEMBLED text (unrounded compare: the score arithmetic
+       is the same IEEE expression in both engines);
+    7. ``7_temperature_mix``— deterministic per-source temperature
+       sampling (``temperature_sample``: md5-fraction membership);
+    8. ``8_pack``           — next-fit packing into (shard, bin)
+       (the doc_pack_bins device); the sig pins every bin assignment.
+
+    Returns the MANIFEST: one row per stage — (stage, n_docs,
+    n_tokens, content_sig) where content_sig is the order-insensitive
+    ``bit_xor`` of a 60-bit md5 prefix of ``id:payload`` (payload =
+    the stage's surviving text, or ``id:bin`` for the pack stage).
+    A downstream consumer can verify an entire release byte-for-byte
+    against this card; the DuckDB oracle replays all nine stages.
+
+    Scale notes: every stage is the registered operator's plan — the
+    manifest adds one bounded aggregate per stage. Stage outputs are
+    ``localCheckpoint(eager=False)``-pinned so stage N+1 and stage N's
+    manifest row share one execution instead of re-running the
+    prefix chain (9 stages would otherwise cost O(k²) scans).
+    """
+    from pyspark_scd_spark.operators import dedup as DD
+
+    def _sig(payload: Column) -> Column:
+        return F.coalesce(
+            F.bit_xor(
+                F.conv(F.substring(F.md5(payload), 1, 15), 16, 10)
+                .cast("long")
+            ),
+            F.lit(0),
+        )
+
+    def _row(stage: str, sdf: DataFrame, payload: Column) -> DataFrame:
+        return sdf.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(TXT.token_count(text_col)), F.lit(0)
+            ).cast("long").alias("n_tokens"),
+            _sig(payload).alias("content_sig"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "content_sig",
+        )
+
+    def _text_payload() -> Column:
+        return F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
+        )
+
+    s0 = df.select(id_col, source_col, text_col)
+    s1 = s0.filter(~eval_pred).localCheckpoint(eager=False)
+    eval_docs = s0.filter(eval_pred)
+
+    # 2: exact dedup — canonical = min id per normalized fingerprint
+    from pyspark.sql import Window as W
+
+    fp = s1.withColumn("__fp", TXT.fingerprint(text_col))
+    s2 = (
+        fp.withColumn(
+            "__cmin", F.min(id_col).over(W.partitionBy("__fp"))
+        )
+        .filter(F.col(id_col) == F.col("__cmin"))
+        .select(id_col, source_col, text_col)
+        .localCheckpoint(eager=False)
+    )
+
+    # 3: near dedup — qualifying pairs drop their larger id
+    pairs = DD.minhash_lsh_pairs(
+        s2,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=lsh_num_hashes,
+        bands=lsh_bands,
+        verify_threshold=jaccard_threshold,
+    )
+    drops = pairs.select(
+        F.col("doc_b").alias(id_col)
+    ).distinct()
+    s3 = s2.join(drops, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    # 4: paragraph dedup, text MATERIALIZED (first (doc, idx) span of
+    # each distinct paragraph survives; reassembly = idx-ordered join)
+    k = int(para_words)
+    toks_df = s3.select(
+        F.col(id_col),
+        F.col(source_col),
+        TXT.tokens(text_col).alias("__toks"),
+    ).filter(F.size("__toks") >= 1)
+    paras = toks_df.select(
+        id_col,
+        source_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__toks) / {k}.0)"
+                f" as int) - 1), i -> concat_ws(' ', slice(__toks, "
+                f"i * {k} + 1, {k})))"
+            )
+        ).alias("idx", "__para"),
+    )
+    wp = W.partitionBy(F.md5("__para")).orderBy(id_col, "idx")
+    kept = paras.withColumn("__rk", F.row_number().over(wp)).filter(
+        F.col("__rk") == 1
+    )
+    s4 = (
+        kept.groupBy(id_col, source_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("idx"), F.col("__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+            ).alias(text_col)
+        )
+        .filter(F.length(text_col) > 0)
+        .localCheckpoint(eager=False)
+    )
+
+    # 5: decontaminate vs the eval docs' RAW grams (bounded set,
+    # broadcast — the decontaminate_report device on raw strings so
+    # the oracle replays grams verbatim)
+    def _grams(sdf: DataFrame) -> DataFrame:
+        # size >= n_gram guard BEFORE the sequence: Spark's
+        # sequence(1, 0) is DESCENDING ([1, 0] — slice at index 0
+        # then throws), the paragraph-span trap in another costume
+        toks = sdf.select(
+            F.col(id_col), TXT.tokens(text_col).alias("__toks")
+        ).filter(F.size("__toks") >= n_gram)
+        return toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - "
+                    f"{n_gram - 1}), i -> concat_ws(' ', "
+                    f"slice(__toks, i, {n_gram})))"
+                )
+            ).alias("__gram"),
+        ).distinct()
+
+    contaminated = (
+        _grams(s4)
+        .join(
+            F.broadcast(_grams(eval_docs).select("__gram").distinct()),
+            "__gram",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    s5 = s4.join(contaminated, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    # 6: quality gate on the reassembled text (unrounded compare)
+    s6 = s5.filter(
+        TXT.quality_score(text_col) >= F.lit(quality_threshold)
+    ).localCheckpoint(eager=False)
+
+    # 7: deterministic temperature mix
+    kept_ids = temperature_sample(
+        s6,
+        source_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+        alpha=alpha,
+        budget_frac=budget_frac,
+    ).select(id_col)
+    s7 = s6.join(kept_ids, id_col).localCheckpoint(eager=False)
+
+    # 8: next-fit pack into (shard, bin)
+    sized = s7.select(
+        id_col,
+        source_col,
+        text_col,
+        TXT.token_count(text_col).cast("long").alias("__nt"),
+        (F.col(id_col) % n_shards).alias("__shard"),
+    )
+    wb = (
+        W.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s8 = sized.withColumn(
+        "__bin",
+        F.floor(
+            (F.sum("__nt").over(wb) - F.col("__nt"))
+            / F.lit(bin_tokens)
+        ).cast("long"),
+    )
+
+    return (
+        _row("0_input", s0, _text_payload())
+        .unionByName(_row("1_eval_holdout", s1, _text_payload()))
+        .unionByName(_row("2_exact_dedup", s2, _text_payload()))
+        .unionByName(_row("3_near_dedup", s3, _text_payload()))
+        .unionByName(_row("4_para_dedup", s4, _text_payload()))
+        .unionByName(_row("5_decontaminate", s5, _text_payload()))
+        .unionByName(_row("6_quality_gate", s6, _text_payload()))
+        .unionByName(_row("7_temperature_mix", s7, _text_payload()))
+        .unionByName(
+            _row(
+                "8_pack",
+                s8,
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("__bin").cast("string"),
+                ),
+            )
+        )
+    )

@@ -2683,6 +2683,7 @@ def embedding_neardup_incremental_ivf(
     round_to: int = 4,
     store_cells: DataFrame | None = None,
     fold: str = "serial",
+    verify: str = "cells",
 ) -> DataFrame:
     """Daily-ingest semantic near-dup on the IVF tier: exact-verified
     pairs between a NEW batch and the existing STORE via shared
@@ -2692,16 +2693,28 @@ def embedding_neardup_incremental_ivf(
     The store's cell-assignment table (id, cell) is the persistable
     artifact: pass ``store_cells`` (written by an earlier run via
     ``_ivf_cell_rows``) and each day's work is one Arrow assignment
-    pass over the BATCH, an equi-join against the store's cells, and
-    an exact-cosine verify that packs only the candidate store
-    vectors — O(batch·cell_size·probe²) per day, never a store
-    re-scan. Centroids default to the first ``k_cells`` STORE vectors
-    (deterministic, oracle-replayable); at scale pass ``kmeans_train``
-    output and the balanced ``auto_cells`` k — and retrain/re-assign
-    only when drift warrants (the classic IVF maintenance cycle).
+    pass over the BATCH against the store's cells — O(batch·cell_size·
+    probe²) per day, never a store re-scan. Centroids default to the
+    first ``k_cells`` STORE vectors (deterministic, oracle-replayable);
+    at scale pass ``kmeans_train`` output and the balanced
+    ``auto_cells`` k — and retrain/re-assign only when drift warrants
+    (the classic IVF maintenance cycle).
+
+    ``verify='cells'`` (default) is the directed cell-native GEMM:
+    both sides cogroup on the cell key and pair volume exists only as
+    FLOPs inside each task (``_cell_dense_pairs_directed``). The r8
+    x100 study caught the previous default — ``verify='pairs'``, kept
+    for cross-tier comparability — materializing AND checkpointing the
+    full same-cell store×batch pair list before verifying: ~160M rows
+    at 60k vectors under the pinned k_cells=8 parity config, billions
+    at 600k. A pair sharing >1 probed cell dedups by max-agg
+    (different GEMM shapes may round a boundary dot differently —
+    the embedding_neardup_pairs_ivf lesson).
 
     Returns (store_id, batch_id, cosine ≥ threshold at ``round_to``).
     """
+    if verify not in ("cells", "pairs"):
+        raise ValueError(f"unknown verify: {verify!r}")
     if store_cells is not None and centroids is None:
         # A persisted cell table is only meaningful WITH the centroids
         # that produced it: re-deriving defaults here would assign the
@@ -2727,6 +2740,21 @@ def embedding_neardup_incremental_ivf(
     cb = _ivf_cell_rows(
         batch, centroids, n_probe, id_col, vec_col, fold=fold
     )
+    if verify == "cells":
+        ca_vec = cs.join(store.select(id_col, vec_col), id_col)
+        cb_vec = cb.join(batch.select(id_col, vec_col), id_col)
+        pairs = _cell_dense_pairs_directed(
+            ca_vec, cb_vec, threshold, id_col, vec_col, round_to
+        )
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
+            .select(
+                F.col("id_a").alias("store_id"),
+                F.col("id_b").alias("batch_id"),
+                "cosine",
+            )
+        )
     cand = (
         cs.select(F.col(id_col).alias("id_a"), "cell")
         .join(cb.select(F.col(id_col).alias("id_b"), "cell"), "cell")
@@ -3091,6 +3119,90 @@ def _cell_dense_pairs(
 
     return assigned.groupBy("cell").applyInPandas(
         _pairs, schema=out_schema
+    )
+
+
+def _cell_dense_pairs_directed(
+    assigned_a: DataFrame,
+    assigned_b: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Within-cell dense verify between TWO sides (store rows A,
+    batch rows B sharing a probed cell): cogroup on cell, L2-normalize
+    both sides, one (chunked) A×Bᵀ GEMM per cell, emit only
+    (id_a, id_b) pairs whose half-away-rounded cosine clears
+    ``threshold``. The directed twin of ``_cell_dense_pairs``.
+
+    This replaces the candidate-pair materialization that made the
+    pinned-k incremental IVF form quadratic in practice: the r8 x100
+    study caught ``embedding_neardup_incremental_ivf`` checkpointing
+    the full store×batch same-cell pair LIST (~160M rows at 60k
+    vectors with k_cells=8, billions at 600k) before verifying.
+    Here pair volume exists only as GEMM FLOPs inside each task;
+    the shuffle is one assignment pass per side (O(n·probe·dim)
+    bytes) and the output is hits only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    p = 10.0 ** round_to
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _norm(pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return ids, mat / norms
+
+    def _pairs(key, pa, pb):
+        if len(pa) == 0 or len(pb) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype(
+                {
+                    "id_a": np.int64,
+                    "id_b": np.int64,
+                    "cosine": np.float64,
+                }
+            )
+        ids_a, mat_a = _norm(pa)
+        ids_b, mat_b = _norm(pb)
+        nb = len(ids_b)
+        chunk = max(1, min(chunk_rows, 16_000_000 // max(nb, 1)))
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            sims = mat_a[lo:hi] @ mat_b.T
+            sims = np.sign(sims) * np.floor(np.abs(sims) * p + 0.5) / p
+            ii, jj = np.nonzero(sims >= threshold)
+            out_a.append(ids_a[ii + lo])
+            out_b.append(ids_b[jj])
+            out_c.append(sims[ii, jj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        assigned_a.groupBy("cell")
+        .cogroup(assigned_b.groupBy("cell"))
+        .applyInPandas(_pairs, schema=out_schema)
     )
 
 

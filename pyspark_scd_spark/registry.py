@@ -4678,6 +4678,150 @@ def q_corpus_temperature_sample(spark, sf_dir):
     return corpus.temperature_sample(d, alpha=0.7, budget_frac=0.5)
 
 
+def _release_mrow(stage: str, src: str, payload: str = "text",
+                  toks_of: str = "text") -> str:
+    """One manifest row of the corpus_release oracle: stage label,
+    doc count, token volume, and the order-insensitive bit_xor of a
+    60-bit md5 prefix of id:payload."""
+    toks = _TOKS_SQL.replace("text", toks_of)
+    return f"""
+    SELECT '{stage}' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(len({toks})), 0) AS BIGINT) AS n_tokens,
+           COALESCE(BIT_XOR(CAST(('0x' || substring(md5(
+             CAST(doc_id AS VARCHAR) || ':' || {payload}), 1, 15))
+             AS BIGINT)), 0) AS content_sig
+    FROM {src}"""
+
+
+@register(
+    "corpus_release",
+    f"""
+    WITH raw AS (SELECT doc_id, source, text FROM documents),
+    ev AS (SELECT doc_id, text FROM raw WHERE doc_id % 10 = 0),
+    s1 AS (SELECT * FROM raw WHERE NOT (doc_id % 10 = 0)),
+    fpd AS (SELECT doc_id, source, text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) AS f
+            FROM s1),
+    s2 AS (SELECT doc_id, source, text FROM
+            (SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS cmin
+             FROM fpd)
+           WHERE doc_id = cmin),
+    t2 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM s2),
+    shg AS (SELECT DISTINCT doc_id,
+              toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+                AS s
+            FROM t2,
+            LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) i),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM shg a JOIN shg b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    dropb AS (SELECT DISTINCT db AS doc_id FROM inter
+              JOIN sizes sa ON sa.doc_id = da
+              JOIN sizes sb ON sb.doc_id = db
+              WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    s3 AS (SELECT s2.* FROM s2 ANTI JOIN dropb USING (doc_id)),
+    t3 AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM s3),
+    p AS (SELECT doc_id, source, CAST(i.i AS BIGINT) AS idx,
+                 array_to_string(toks[(i.i*16+1):(i.i*16+16)], ' ')
+                   AS para
+          FROM t3,
+          LATERAL (SELECT unnest(range(0,
+               CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i) i),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(para)
+                    ORDER BY doc_id, idx) AS rk FROM p),
+    s4 AS (SELECT doc_id, MIN(source) AS source,
+                  string_agg(para, ' ' ORDER BY idx) AS text
+           FROM r WHERE rk = 1 GROUP BY doc_id),
+    t4 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM s4),
+    gtr AS (SELECT DISTINCT doc_id,
+              toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+                || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
+            FROM t4,
+            LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    tev AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM ev),
+    gev AS (SELECT DISTINCT
+              toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2]
+                || ' ' || toks[i.i+3] || ' ' || toks[i.i+4] AS gram
+            FROM tev,
+            LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) i),
+    cont AS (SELECT DISTINCT gtr.doc_id FROM gtr
+             JOIN gev USING (gram)),
+    s5 AS (SELECT s4.* FROM s4 ANTI JOIN cont USING (doc_id)),
+    q AS (SELECT doc_id, source, text,
+                 CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tok,
+                 CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                   AS n_dis,
+                 (length(text) - length(regexp_replace(text, '[0-9]',
+                   '', 'g'))) * 1.0 / length(text) AS dr
+          FROM s5),
+    s6 AS (SELECT doc_id, source, text FROM q
+           WHERE LEAST(1.0, n_tok / 100.0) * 0.4
+                 + CASE WHEN n_tok > 0 THEN n_dis / n_tok
+                        ELSE 0.0 END * 0.4
+                 + (1.0 - dr) * 0.2 >= 0.58),
+    per AS (SELECT source,
+                   CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+            FROM s6 GROUP BY source),
+    tot AS (SELECT SUM(pow(n_tokens, 0.7)) AS sum_raw,
+                   SUM(n_tokens) AS total_tokens FROM per),
+    rt AS (SELECT source,
+              ROUND(LEAST(1.0, 0.5 * ROUND(pow(n_tokens, 0.7)
+                / sum_raw * total_tokens / n_tokens, 4)), 6)
+                AS keep_rate
+           FROM per, tot),
+    s7 AS (SELECT s6.* FROM s6 JOIN rt USING (source)
+           WHERE CAST(CAST(('0x' || substring(md5(
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 AS DOUBLE) / 4294967296.0 < keep_rate),
+    sized AS (SELECT doc_id, text,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS nt,
+                     doc_id % 32 AS shard
+              FROM s7),
+    pk AS (SELECT doc_id, text,
+                  CAST(FLOOR((SUM(nt) OVER (PARTITION BY shard
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) - nt) / 2048) AS BIGINT) AS bin
+           FROM sized)
+    {_release_mrow("0_input", "raw")}
+    UNION ALL {_release_mrow("1_eval_holdout", "s1")}
+    UNION ALL {_release_mrow("2_exact_dedup", "s2")}
+    UNION ALL {_release_mrow("3_near_dedup", "s3")}
+    UNION ALL {_release_mrow("4_para_dedup", "s4")}
+    UNION ALL {_release_mrow("5_decontaminate", "s5")}
+    UNION ALL {_release_mrow("6_quality_gate", "s6")}
+    UNION ALL {_release_mrow("7_temperature_mix", "s7")}
+    UNION ALL {_release_mrow(
+        "8_pack", "pk", payload="CAST(bin AS VARCHAR)")}
+    """,
+    doc="End-to-end corpus RELEASE composite (operators/corpus.py "
+    "corpus_release) — the product a training-data team ships, as "
+    "one operator with one hash-checked manifest: eval holdout → "
+    "exact dedup (min-id per fingerprint) → near dedup (banded "
+    "MinHash + exact-Jaccard >= 0.5, larger id of each pair drops) "
+    "→ paragraph dedup with the cut text MATERIALIZED and flowing "
+    "downstream → 5-gram decontamination vs the eval docs' raw text "
+    "→ quality gate (unrounded IEEE-identical compare) → "
+    "deterministic temperature mix → next-fit (shard, bin) packing. "
+    "One row per stage: (stage, n_docs, n_tokens, content_sig) with "
+    "content_sig = bit_xor of a 60-bit md5 prefix of id:text (id:bin "
+    "for the pack stage) — order-insensitive, so a consumer verifies "
+    "an entire release byte-for-byte against the card. The oracle "
+    "replays all nine stages in one SQL chain assembled from the "
+    "already-proven per-stage oracles; every stage has real drop "
+    "mass at sf0.1 (8 exact dups, 24+ near-dup docs, 1k+ dup "
+    "paragraph spans, quality q25 under the 0.58 gate).",
+)
+def q_corpus_release(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.corpus_release(d, F.col("doc_id") % 10 == 0)
+
+
 @register(
     "knn_label_vote",
     """
