@@ -105,6 +105,7 @@ HEADLINE = [
     # round 8
     "multimodal_jpeg_meta",
     "dedup_exact_substrings",
+    "corpus_release",
 ]
 
 
@@ -142,6 +143,9 @@ X10_HEAVY = [
     "embedding_neardup_pairs_ann_auto",
     "knn_label_vote_ann_auto",
     "hard_negative_mining_ivf_auto",
+    # daily-ingest near-dup, balanced-cells scale form (the pinned
+    # k=8 parity sibling measured quadratic at the r8 x100 study)
+    "embedding_neardup_incremental_ivf_auto",
     # the round-6 corpus-prep family: all scan-shaped by design
     # (gram-keyed aggregates, scan-side Bloom probe, one window +
     # one aggregate, per-step 4-value aggregates) — benched at x10

@@ -9685,6 +9685,54 @@ def q_embedding_neardup_incremental_ivf(spark, sf_dir):
 
 
 @register(
+    "embedding_neardup_incremental_ivf_auto",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    st AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    ba AS (SELECT * FROM e WHERE vec_id % 10 = 7),
+    cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS c, v AS cv
+             FROM st ORDER BY vec_id
+             LIMIT (SELECT GREATEST(8, LEAST(65536,
+                      CAST(ROUND(2 * SQRT(COUNT(*))) AS BIGINT)))
+                    FROM st)),
+    {_ivf_assign_sql("st", "cent", "c", "acs", 2)},
+    {_ivf_assign_sql("ba", "cent", "c", "acb", 2)},
+    cand AS (SELECT DISTINCT a.vec_id AS store_id,
+                    b.vec_id AS batch_id
+             FROM acs a JOIN acb b ON a.c = b.c),
+    j AS (SELECT store_id, batch_id,
+                 ROUND(list_cosine_similarity(ea.v, eb.v), 4)
+                   AS cosine
+          FROM cand JOIN e ea ON ea.vec_id = store_id
+                    JOIN e eb ON eb.vec_id = batch_id)
+    SELECT store_id, batch_id, cosine FROM j WHERE cosine >= 0.3
+    """,
+    doc="embedding_neardup_incremental_ivf under the balanced "
+    "auto_cells rule (k = probe*sqrt(n_store)) — the SCALE form of "
+    "the daily-ingest near-dup. The r8 x100 study measured the "
+    "pinned-k=8 parity sibling at 3.8s/31s for x30/x100 novel "
+    "vectors — 8x for 3.3x data, quadratic-within-cell by "
+    "construction once cell population grows with n — while this "
+    "form keeps per-cell population ~probe*sqrt(n): assignment "
+    "O(n*k*d) and directed within-cell GEMM verify "
+    "O(batch*(n/k)*probe^2*d) balance at O(n^1.5*d) per day. Same "
+    "store/batch split, same 0.3 threshold; k computed from the "
+    "store count in BOTH engines (scalar-subquery LIMIT).",
+)
+def q_embedding_neardup_incremental_ivf_auto(spark, sf_dir):
+    from pyspark_scd_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    store = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    return similarity.embedding_neardup_incremental_ivf(
+        store, batch, threshold=0.3, k_cells=None, n_probe=2
+    )
+
+
+@register(
     "ivf_drift_retrain",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -751,3 +751,177 @@ def test_matryoshka_recall_identity_at_full_dim(spark, sf_dir):
         e, q, trunc_dim=16, k=10
     ).collect()
     assert all(0.0 <= r["recall_at_10"] <= 1.0 for r in rows16)
+
+
+def test_corpus_release_manifest_matches_python_model(spark):
+    """The nine-stage release composite against an independent pure-
+    Python model on a corpus engineered so EVERY stage drops
+    something: an eval doc, an exact duplicate, a near duplicate, a
+    shared 16-token paragraph, a contaminated doc, a low-quality doc,
+    and a temperature-sampled tail."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from pyspark_scd_spark.operators import corpus as C
+
+    P = ("paraone paratwo parathree parafour parafive parasix "
+         "paraseven paraeight paranine paraten paraeleven paratwelve "
+         "parathirteen parafourteen parafifteen parasixteen")
+    A = ("unique alpha text with many different interesting words "
+         "covering several distinct topics and offering plenty of "
+         "lexical diversity for the quality gate to approve easily")
+    docs = {
+        10: "alpha beta gamma delta epsilon held out for evaluation "
+            "purposes only with some extra words",
+        1: "the quick brown fox jumps over that lazy dog repeatedly "
+           "and often without ever stopping for breath anywhere",
+        2: "the quick brown fox jumps over that lazy dog repeatedly "
+           "and often without ever stopping for breath anywhere",
+        3: A,
+        4: A.replace("offering", "providing"),
+        5: P + " tailfive one tailfive two tailfive three tailfive "
+               "four tailfive five tailfive six tailfive seven",
+        6: P + " tailsix uno tailsix duo tailsix tres tailsix "
+               "quattro tailsix cinque tailsix sei tailsix sette",
+        7: "this training document sadly contains alpha beta gamma "
+           "delta epsilon verbatim plus enough other words to pass "
+           "every other gate comfortably here",
+        8: "1 2 3",
+        11: "filler eleven carries assorted vocabulary nobody else "
+            "uses anywhere including zirconium marmalade telescopes "
+            "quadrants and wandering albatross formations today",
+        12: "filler twelve speaks of entirely separate matters such "
+            "as limestone harmonicas juggling porcupines sailing "
+            "ketches and improbable lighthouse keepers",
+        13: "filler thirteen rambles about distinct subjects like "
+            "velvet asteroids crocheted submarines peppermint "
+            "glaciers and the occasional bashful meteorite",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"], r["content_sig"])
+        for r in C.corpus_release(
+            df, F.col("doc_id") % 10 == 0
+        ).collect()
+    }
+
+    # ---- independent model ----
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def sig(items):  # items: (doc_id, payload)
+        acc = 0
+        for i, p in items:
+            acc ^= int(
+                hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:15], 16
+            )
+        return acc
+
+    def ntok(items):
+        return sum(len(toks(p)) for _, p in items)
+
+    def row(items):
+        return (len(items), ntok(items), sig(items))
+
+    s0 = sorted(docs.items())
+    assert got["0_input"] == row(s0)
+    s1 = [(i, t) for i, t in s0 if i % 10 != 0]
+    assert got["1_eval_holdout"] == row(s1)
+    # exact dedup: min id per normalized fingerprint
+    fp = {}
+    for i, t in s1:
+        f = re.sub(r"\s+", " ", t.lower()).strip()
+        fp.setdefault(f, i)
+    s2 = [(i, t) for i, t in s1 if fp[re.sub(r"\s+", " ", t.lower()).strip()] == i]
+    assert got["2_exact_dedup"] == row(s2)
+    # near dedup: 3-shingle jaccard >= 0.5 drops the larger id
+    sh = {i: {" ".join(toks(t)[j:j + 3])
+              for j in range(len(toks(t)) - 2)} for i, t in s2}
+    dropped = set()
+    for i, _ in s2:
+        for j, _ in s2:
+            if i < j and sh[i] and sh[j]:
+                jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+                if jac >= 0.5:
+                    dropped.add(j)
+    s3 = [(i, t) for i, t in s2 if i not in dropped]
+    assert got["3_near_dedup"] == row(s3)
+    # paragraph dedup: 16-token spans, first (doc, idx) keeps
+    first = {}
+    for i, t in s3:
+        tk = toks(t)
+        for idx in range(-(-len(tk) // 16)):
+            para = " ".join(tk[idx * 16:idx * 16 + 16])
+            if para not in first:
+                first[para] = (i, idx)
+    s4 = []
+    for i, t in s3:
+        tk = toks(t)
+        kept = [" ".join(tk[idx * 16:idx * 16 + 16])
+                for idx in range(-(-len(tk) // 16))
+                if first[" ".join(tk[idx * 16:idx * 16 + 16])] == (i, idx)]
+        newt = " ".join(kept)
+        if newt:
+            s4.append((i, newt))
+    assert got["4_para_dedup"] == row(s4)
+    # decontaminate: 5-gram overlap with eval raw text
+    ev_grams = set()
+    for i, t in s0:
+        if i % 10 == 0:
+            tk = toks(t)
+            ev_grams |= {" ".join(tk[j:j + 5])
+                         for j in range(len(tk) - 4)}
+    s5 = []
+    for i, t in s4:
+        tk = toks(t)
+        grams = {" ".join(tk[j:j + 5]) for j in range(len(tk) - 4)}
+        if not (grams & ev_grams):
+            s5.append((i, t))
+    assert got["5_decontaminate"] == row(s5)
+    # quality gate (same IEEE expression)
+    s6 = []
+    for i, t in s5:
+        tk = toks(t)
+        nt = float(len(tk))
+        div = len(set(tk)) / nt if nt > 0 else 0.0
+        dr = sum(c.isdigit() for c in t) / len(t) if t else 0.0
+        q = min(1.0, nt / 100.0) * 0.4 + div * 0.4 + (1.0 - dr) * 0.2
+        if q >= 0.58:
+            s6.append((i, t))
+    assert got["6_quality_gate"] == row(s6)
+    # temperature mix: single source -> epochs 1.0 -> rate 0.5
+    def frac(i):
+        return int(
+            hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+    s7 = [(i, t) for i, t in s6 if frac(i) < 0.5]
+    assert got["7_temperature_mix"] == row(s7)
+    # pack: next-fit within shard = id % 32
+    cum = Counter()
+    bins = {}
+    for i, t in sorted(s7):
+        nt = len(toks(t))
+        shard = i % 32
+        bins[i] = cum[shard] // 2048
+        cum[shard] += nt
+    n_docs, n_toks, _ = row(s7)
+    assert got["8_pack"] == (
+        n_docs, n_toks, sig([(i, str(bins[i])) for i, _ in s7])
+    )
+    # the engineered drops actually happened, stage by stage
+    assert got["1_eval_holdout"][0] == got["0_input"][0] - 1
+    assert got["2_exact_dedup"][0] == got["1_eval_holdout"][0] - 1
+    assert got["3_near_dedup"][0] == got["2_exact_dedup"][0] - 1
+    assert got["4_para_dedup"][1] < got["3_near_dedup"][1]  # P cut once
+    assert got["4_para_dedup"][0] == got["3_near_dedup"][0]
+    assert got["5_decontaminate"][0] == got["4_para_dedup"][0] - 1
+    # TWO quality drops, one of them a cross-stage interaction: doc 8
+    # is the engineered digit-noise drop, and doc 6 — whose shared
+    # 16-token paragraph stage 4 cut — is left with "tailsix X" * 8,
+    # whose lexical diversity (9/16) no longer clears the gate. The
+    # composite exposes interactions the per-stage entries can't.
+    assert got["6_quality_gate"][0] == got["5_decontaminate"][0] - 2

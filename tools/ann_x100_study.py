@@ -44,6 +44,7 @@ TIERS = [(60_000, "x30"), (200_000, "x100"), (600_000, "x300")]
 QUERIES = [
     "ivf_drift_retrain",
     "embedding_neardup_incremental_ivf",
+    "embedding_neardup_incremental_ivf_auto",
     "embedding_neardup_pairs_ivf_auto",
     "knn_label_vote_ivf_auto",
 ]
