@@ -49,6 +49,11 @@ QUERIES = [
     "knn_label_vote_ivf_auto",
 ]
 
+# the pinned-k=8 parity form is quadratic by construction (measured
+# 3.8/31/322s across the decade); skip its x300 leg on re-runs —
+# the wall is documented, re-measuring it costs ~17 min for nothing
+SKIP = {("embedding_neardup_incremental_ivf", "x300")}
+
 
 def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -74,6 +79,8 @@ def main() -> None:
         q = qs[name]
         results[name] = {}
         for n, tag in TIERS:
+            if (name, tag) in SKIP:
+                continue
             d = f"/tmp/vecstudy_{n}"
             runs = []
             for _ in range(3):  # warm + 2 timed
@@ -97,8 +104,10 @@ def main() -> None:
             "x100": x100,
             "x300": x300,
             # linear growth would be 3.33 and 3.0 per step
-            "x30_to_x100": round(x100 / x30, 2) if x30 else None,
-            "x100_to_x300": round(x300 / x100, 2) if x100 else None,
+            "x30_to_x100": round(x100 / x30, 2)
+            if x30 and x100 else None,
+            "x100_to_x300": round(x300 / x100, 2)
+            if x100 and x300 else None,
         }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
