@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_gif_meta",
     # round 8
     "multimodal_jpeg_meta",
+    "multimodal_flac_meta",
     "dedup_exact_substrings",
     "corpus_release",
 ]

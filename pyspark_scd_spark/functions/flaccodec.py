@@ -1,0 +1,397 @@
+"""Vendored FLAC codec subset (xiph.org FLAC format, public spec):
+a REAL decoder for the core of the format — STREAMINFO parse, frame
+sync + header with UTF-8-coded frame numbers and CRC-8 verify,
+CONSTANT / VERBATIM / FIXED-predictor subframes, RICE entropy decode
+(4-bit-parameter partitions, unary quotient + zigzag), fixed-
+prediction reconstruction, frame CRC-16 verify, and the STREAMINFO
+MD5 check over the decoded PCM — plus an encoder for deterministic
+test payloads. The audio counterpart of jpegcodec/imagecodec: the
+compressed-audio gate the multimodal suite previously documented as
+NotImplementedError.
+
+Envelope: mono, 16-bit, fixed block size, fixed predictors (orders
+0–4). LPC subframes, stereo decorrelation, and wasted bits raise
+ValueError — callers treat that as 'needs a real library', the same
+contract as the other vendored codecs. Everything inside the
+envelope is the genuine article: rice coding IS FLAC's entropy layer
+and the fixed predictors are the spec's §9.2.2 polynomials, so a
+hash-green decode proves bit-level unary/rice parsing, the
+prediction recurrences, both CRCs, and the container walk.
+
+Why decode is EXACT (no rounding story needed): FLAC is a lossless
+codec — unlike JPEG there is no rational-basis trick required; any
+integer sample stream round-trips bit-for-bit by construction, and
+the oracle replays the deterministic sample formula directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+MAGIC = b"fLaC"
+
+
+def sniff(payload: bytes) -> bool:
+    return payload[:4] == MAGIC
+
+
+# ---------------------------------------------------------------- CRCs
+# CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — frame header.
+# CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — frame.
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (
+                crc << 1
+            ) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def unary(self, q: int) -> None:
+        # q zeros then a 1 (FLAC unary)
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+        self.acc &= (1 << self.nbits) - 1
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of the frame number."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    marks = [(0x7FF, 0xC0, 1), (0xFFFF, 0xE0, 2), (0x1FFFFF, 0xF0, 3)]
+    for cap, lead, cont in marks:
+        if n <= cap:
+            out.append(lead | (n >> (6 * cont)))
+            for i in range(cont - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large for this subset")
+
+
+def _read_utf8_frame_number(br: _BitReader) -> int:
+    b0 = br.bits(8)
+    if b0 < 0x80:
+        return b0
+    n_cont = 0
+    mask = 0x40
+    while b0 & mask:
+        n_cont += 1
+        mask >>= 1
+    v = b0 & (mask - 1)
+    for _ in range(n_cont):
+        c = br.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation in frame number")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+# FLAC §9.2.2 fixed predictors: residual[t] = s[t] - pred(s[t-1..t-o])
+_FIXED = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _rice_write(bw: _BitWriter, residuals: list[int]) -> None:
+    """One rice partition (partition order 0): 4-bit parameter chosen
+    from the mean magnitude, zigzag mapping, unary quotient +
+    param-bit remainder."""
+    zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in residuals]
+    mean = (sum(zz) // max(len(zz), 1)) + 1
+    param = 0
+    while (1 << (param + 1)) < mean and param < 14:
+        param += 1
+    bw.put(param, 4)
+    for z in zz:
+        bw.unary(z >> param)
+        if param:
+            bw.put(z & ((1 << param) - 1), param)
+
+
+def _rice_read(br: _BitReader, n: int) -> list[int]:
+    param = br.bits(4)
+    if param == 15:
+        raise ValueError("escape-coded rice partition unsupported")
+    out = []
+    for _ in range(n):
+        q = br.unary()
+        z = (q << param) | (br.bits(param) if param else 0)
+        out.append((z >> 1) ^ -(z & 1))
+    return out
+
+
+def encode_flac(
+    samples: list[int],
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    fixed_order: int = 2,
+) -> bytes:
+    """Real FLAC stream (mono 16-bit) from integer samples in
+    [-32768, 32767]: STREAMINFO with the PCM MD5, then one frame per
+    ``block_size`` samples, each a FIXED-predictor subframe (order
+    clamped to the block's available warmup) with one rice partition.
+    Any spec-conforming decoder plays the result."""
+    n = len(samples)
+    if any(not (-32768 <= s <= 32767) for s in samples):
+        raise ValueError("samples out of 16-bit range")
+    pcm = b"".join(
+        struct.pack("<h", s) for s in samples
+    )  # mono 16-bit LE, the md5 the spec hashes
+    md5 = hashlib.md5(pcm).digest()
+
+    # STREAMINFO (34 bytes, big-endian bit fields)
+    si = _BitWriter()
+    si.put(block_size, 16)  # min block size
+    si.put(block_size, 16)  # max block size
+    si.put(0, 24)  # min frame size unknown
+    si.put(0, 24)  # max frame size unknown
+    si.put(sample_rate, 20)
+    si.put(0, 3)  # channels - 1 (mono)
+    si.put(15, 5)  # bps - 1 (16-bit)
+    si.put(n, 36)
+    out = bytearray(MAGIC)
+    out += bytes([0x80, 0, 0, 34])  # last-metadata, STREAMINFO, len 34
+    out += si.bytes() + md5
+
+    for f, lo in enumerate(range(0, n, block_size)):
+        blk = samples[lo : lo + block_size]
+        order = min(fixed_order, max(len(blk) - 1, 0))
+        hdr = _BitWriter()
+        hdr.put(0b11111111111110, 14)  # sync
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed blocking strategy (frame number)
+        hdr.put(0b0111, 4)  # block size: 16-bit (value-1) at end
+        hdr.put(0, 4)  # sample rate: from STREAMINFO
+        hdr.put(0, 4)  # channels: mono
+        hdr.put(0b100, 3)  # bps: 16
+        hdr.put(0, 1)  # reserved
+        hdr.align()
+        head = bytearray(hdr.bytes())
+        head += _utf8_frame_number(f)
+        head += struct.pack(">H", len(blk) - 1)
+        head.append(_crc8(bytes(head)))
+
+        body = _BitWriter()
+        body.put(0, 1)  # subframe padding bit
+        body.put(0b001000 | order, 6)  # FIXED, order
+        body.put(0, 1)  # no wasted bits
+        for s in blk[:order]:  # warmup, signed 16-bit
+            body.put(s & 0xFFFF, 16)
+        coef = _FIXED[order]
+        resid = [
+            blk[t]
+            - sum(c * blk[t - 1 - j] for j, c in enumerate(coef))
+            for t in range(order, len(blk))
+        ]
+        body.put(0, 2)  # residual method: 4-bit rice
+        body.put(0, 4)  # partition order 0 (one partition)
+        _rice_write(body, resid)
+        body.align()
+        frame = bytes(head) + body.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def decode(payload: bytes):
+    """Decode a subset FLAC stream to (sample_rate, n_samples,
+    samples). Verifies the frame-header CRC-8, the frame CRC-16, and
+    the STREAMINFO MD5 of the decoded PCM — a corrupted bit anywhere
+    fails loudly. Raises ValueError outside the mono/16-bit/
+    fixed-predictor envelope."""
+    if payload[:4] != MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = payload[pos : pos + 4]
+        last = hdr[0] & 0x80
+        btype = hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC without STREAMINFO")
+    br = _BitReader(streaminfo)
+    br.bits(16)  # min block size
+    br.bits(16)  # max block size
+    br.bits(24)
+    br.bits(24)
+    sample_rate = br.bits(20)
+    channels = br.bits(3) + 1
+    bps = br.bits(5) + 1
+    n_total = br.bits(36)
+    want_md5 = streaminfo[18:34]
+    if channels != 1 or bps != 16:
+        raise ValueError(
+            f"FLAC subset decodes mono/16-bit only "
+            f"(stream: {channels}ch/{bps}bit)"
+        )
+
+    samples: list[int] = []
+    while len(samples) < n_total:
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.bits(1)
+        br.bits(1)  # blocking strategy
+        bs_code = br.bits(4)
+        sr_code = br.bits(4)
+        ch_code = br.bits(4)
+        bps_code = br.bits(3)
+        br.bits(1)
+        if ch_code != 0 or bps_code != 0b100:
+            raise ValueError("subset is mono/16-bit frames")
+        _read_utf8_frame_number(br)
+        if bs_code == 0b0110:
+            block_size = br.bits(8) + 1
+        elif bs_code == 0b0111:
+            block_size = br.bits(16) + 1
+        elif 2 <= bs_code <= 5:
+            block_size = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            block_size = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"block size code {bs_code} unsupported")
+        if sr_code not in (0,):
+            raise ValueError("subset reads sample rate from STREAMINFO")
+        br.align()
+        if _crc8(payload[frame_start : br.pos]) != payload[br.pos]:
+            raise ValueError("frame header CRC-8 mismatch")
+        br.bits(8)  # consume the CRC-8 byte
+
+        # one subframe (mono)
+        if br.bits(1) != 0:
+            raise ValueError("subframe padding bit set")
+        sf_type = br.bits(6)
+        if br.bits(1) != 0:
+            raise ValueError("wasted bits unsupported in subset")
+        if sf_type == 0:  # CONSTANT
+            v = br.sbits(16)
+            blk = [v] * block_size
+        elif sf_type == 1:  # VERBATIM
+            blk = [br.sbits(16) for _ in range(block_size)]
+        elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0..4
+            order = sf_type & 0x07
+            blk = [br.sbits(16) for _ in range(order)]
+            if br.bits(2) != 0:
+                raise ValueError("5-bit rice unsupported in subset")
+            part_order = br.bits(4)
+            coef = _FIXED[order]
+            n_res = block_size - order
+            resid: list[int] = []
+            for p in range(1 << part_order):
+                cnt = (
+                    (block_size >> part_order) - order
+                    if p == 0
+                    else block_size >> part_order
+                )
+                resid.extend(_rice_read(br, cnt))
+            assert len(resid) == n_res
+            for t in range(order, block_size):
+                pred = sum(
+                    c * blk[t - 1 - j] for j, c in enumerate(coef)
+                )
+                blk.append(resid[t - order] + pred)
+        else:
+            raise ValueError(
+                f"subframe type {sf_type:#08b} outside subset (LPC?)"
+            )
+        br.align()
+        body_end = br.pos
+        if _crc16(payload[frame_start:body_end]) != int.from_bytes(
+            payload[body_end : body_end + 2], "big"
+        ):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = body_end + 2
+        samples.extend(blk)
+
+    samples = samples[: int(n_total)]
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    if hashlib.md5(pcm).digest() != want_md5:
+        raise ValueError("STREAMINFO MD5 mismatch on decoded PCM")
+    return sample_rate, len(samples), samples

@@ -2921,8 +2921,8 @@ def q_multimodal_audio_energy(spark, sf_dir):
     "pixel sums. The oracle replays the deterministic pixel signal "
     "directly — a hash match proves the inflate and every filter "
     "reconstruction byte for byte, the WAV/Y4M playbook applied to "
-    "a real web format. JPEG/FLAC (lossy/entropy-coded) remain the "
-    "documented NotImplementedError gates.",
+    "a real web format. JPEG and FLAC joined the family in r8 "
+    "(multimodal_jpeg_meta, multimodal_flac_meta).",
 )
 def q_multimodal_png_meta(spark, sf_dir):
     from pyspark_scd_spark.operators import multimodal
@@ -2964,8 +2964,9 @@ def q_multimodal_png_meta(spark, sf_dir):
     "replays the deterministic index/palette signal — a hash match "
     "proves the LZW decode and the color-table parse byte for byte. "
     "With PNG (zlib) and GIF (LZW) real, the remaining codec gates "
-    "are JPEG/FLAC — lossy-DCT/LPC, genuinely out of vendoring "
-    "scope.",
+    "were JPEG/FLAC, both closed in r8 (multimodal_jpeg_meta, "
+    "multimodal_flac_meta); LPC/stereo FLAC and progressive JPEG "
+    "stay the documented out-of-envelope gates.",
 )
 def q_multimodal_gif_meta(spark, sf_dir):
     from pyspark_scd_spark.operators import multimodal
@@ -3034,6 +3035,50 @@ def q_multimodal_jpeg_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return multimodal.jpeg_component_stats(
         multimodal.with_jpeg_payload(d)
+    )
+
+
+@register(
+    "multimodal_flac_meta",
+    """
+    WITH d AS (SELECT doc_id,
+                      300 + (doc_id % 5) * 50 AS n,
+                      8000 + (doc_id % 3) * 4000 AS sr
+               FROM documents),
+    s AS (SELECT doc_id, sr, n,
+                 ((doc_id*37 + t.t*13) % 4001) - 2000 AS v
+          FROM d, LATERAL (SELECT unnest(range(0, n)) AS t) t)
+    SELECT doc_id,
+           CAST(MAX(sr) AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(SUM(v*v) AS BIGINT) AS sumsq_s,
+           CAST(MIN(v) AS INTEGER) AS min_s,
+           CAST(MAX(v) AS INTEGER) AS max_s
+    FROM s GROUP BY doc_id
+    """,
+    doc="FLAC modality — compressed LOSSLESS audio, closing the last "
+    "codec gate the multimodal family documented "
+    "(operators/multimodal.py with_flac_payload / flac_sample_stats; "
+    "functions/flaccodec.py): synthesize real FLAC streams "
+    "(STREAMINFO with the PCM md5, fixed-predictor subframes, "
+    "rice-coded residual partitions, CRC-8 headers + CRC-16 frames) "
+    "from a sawtooth whose order-2 residuals are zero between wraps "
+    "and spike at them — the shape rice coding is built for (the "
+    "smooth-signal payload compresses ~4x) — then decode them back "
+    "through the real entropy layer: frame sync, unary/rice decode, "
+    "prediction reconstruction, both CRCs verified, STREAMINFO md5 "
+    "checked over the decoded PCM. Lossless, so the oracle replays "
+    "the sample formula directly with no rounding story (contrast "
+    "multimodal_jpeg_meta's rational-basis trick). LPC subframes and "
+    "stereo decorrelation stay outside the documented envelope.",
+)
+def q_multimodal_flac_meta(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.flac_sample_stats(
+        multimodal.with_flac_payload(d)
     )
 
 
