@@ -841,7 +841,14 @@ def with_jpeg_payload(
                 payloads.append(jpegcodec.encode_jpeg(w, h, comp))
             yield pd.DataFrame({id_col: ids, out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    # the documents scan is 1-2 parquet files at these SFs, and
+    # pure-python entropy coding at ~0.5ms/doc serializes on one task
+    # without an explicit exchange; the shuffle moves ids only. The
+    # partition COUNT is pinned: a bare repartition(col) is ~40 KB of
+    # ids here and AQE coalesces it straight back to ONE partition —
+    # byte-light but compute-heavy stages must opt out of coalescing.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(par, id_col).mapInPandas(
         _synth,
         schema=T.StructType(
             [
@@ -953,7 +960,11 @@ def with_flac_payload(
                 )
             yield pd.DataFrame({id_col: ids, out_col: payloads})
 
-    return df.select(id_col).mapInPandas(
+    # rice coding is ~2ms/doc of pure python — exchange the ids so
+    # the work spreads, with the count PINNED (AQE would coalesce the
+    # 40 KB id shuffle back to one partition; see with_jpeg_payload)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(par, id_col).mapInPandas(
         _synth,
         schema=T.StructType(
             [

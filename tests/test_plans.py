@@ -233,6 +233,16 @@ _SINGLE_PARTITION_ALLOWED = {
     "hybrid_search_rrf": 1,      # BM25 N/avgdl stats row
     "scd_schema_evolution": 1,   # global-max stamp (1-row agg),
                                  # same as every SCD pipeline entry
+    "dedup_exact_substrings": 1,  # Spark's own runtime bloom-filter
+                                 # join pruning (bloom_filter_agg
+                                 # subquery, bounded 8 MB buffer) —
+                                 # injected by the optimizer on the
+                                 # rank-join's small side, not a
+                                 # data funnel
+    "corpus_release": 9,         # nine manifest rows, each a
+                                 # partial-agg → 1-row final global
+                                 # aggregate (the agg+broadcast
+                                 # scalar pattern, one per stage)
 }
 
 
