@@ -284,10 +284,14 @@ def decode(payload: bytes):
     streaminfo = None
     while True:
         hdr = payload[pos : pos + 4]
+        if len(hdr) < 4:
+            raise ValueError("truncated FLAC stream (metadata header)")
         last = hdr[0] & 0x80
         btype = hdr[0] & 0x7F
         blen = int.from_bytes(hdr[1:4], "big")
         body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated FLAC stream (metadata body)")
         if btype == 0:
             streaminfo = body
         pos += 4 + blen

@@ -225,6 +225,11 @@ def encode_jpeg(
                 diff = dc - pred[ci]
                 pred[ci] = dc
                 t = _category(diff)
+                if t not in dc_enc:
+                    raise ValueError(
+                        "DC diff category %d outside the default "
+                        "table range; pass a wider dc_table" % t
+                    )
                 bw.put(*dc_enc[t])
                 if t:
                     v = diff if diff >= 0 else diff + (1 << t) - 1
@@ -240,6 +245,12 @@ def encode_jpeg(
                         bw.put(*ac_enc[0xF0])  # ZRL
                         run -= 16
                     s = _category(c)
+                    if (run << 4) | s not in ac_enc:
+                        raise ValueError(
+                            "AC (run=%d, size=%d) outside the default "
+                            "table range; pass a wider ac_table"
+                            % (run, s)
+                        )
                     bw.put(*ac_enc[(run << 4) | s])
                     v = c if c >= 0 else c + (1 << s) - 1
                     bw.put(v, s)
@@ -350,9 +361,21 @@ def decode(payload: bytes):
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # Spec-legal 0xFF fill bytes may pad between segments
+        # (ITU T.81 B.1.1.2); skip them so the padding byte is never
+        # misread as a marker with a bogus length.
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # Standalone markers (TEM, RSTn) carry no length segment;
+            # none are legal between header segments in baseline.
+            raise ValueError(
+                "standalone marker 0x%02X outside entropy-coded data"
+                % marker
+            )
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -2037,6 +2037,21 @@ def corpus_release(
     ``localCheckpoint(eager=False)``-pinned so stage N+1 and stage N's
     manifest row share one execution instead of re-running the
     prefix chain (9 stages would otherwise cost O(k²) scans).
+
+    ORACLE-PARITY PRECONDITION (stage 3): the operator generates
+    near-dup candidates with banded MinHash (default 21 bands × 3
+    rows) while the DuckDB oracle computes exact all-pairs Jaccard,
+    so bit-parity rests on the CORPUS-SPECIFIC recall margin: a pair
+    at jaccard j is missed with probability (1−j³)^bands — <3e-7 at
+    j=0.8 but ≈6% at j=0.5. Parity is guaranteed only when every
+    qualifying pair (j ≥ ``jaccard_threshold``) sits comfortably
+    above the band curve's knee (measured min qualifying jaccard on
+    the test corpora: ≥0.8). A corpus with a pair just above the
+    threshold can make the manifest diverge from the oracle
+    probabilistically — ``tests/test_corpus.py::
+    test_corpus_release_recall_margin_precondition`` measures the
+    margin on the shipped corpora and fails loudly if a data change
+    ever invalidates it.
     """
     from pyspark_scd_spark.operators import dedup as DD
 

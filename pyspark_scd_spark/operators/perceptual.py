@@ -1,0 +1,342 @@
+"""Perceptual-hash image dedup: integer-DCT pHash + multi-index
+Hamming join.
+
+The near-dup-image analogue of MinHash text dedup — the operator a
+training-data pipeline runs to drop re-encoded / lightly-edited
+copies of the same picture before training a vision model. Classic
+pHash (Zauner 2010, and the pHash.org implementation): downscale,
+2-D DCT, keep the low-frequency block, threshold each coefficient at
+the median → a 64-bit fingerprint whose Hamming distance tracks
+perceptual similarity. Candidate generation is multi-index hashing
+(Norouzi, Punjani & Fleet, CVPR 2012): split the 64-bit hash into
+``bands`` disjoint 16-bit substrings; by pigeonhole any pair within
+Hamming distance d < bands agrees EXACTLY on at least one substring,
+so an equi-join per band finds every qualifying pair — recall 1 by
+construction, not probabilistically (contrast MinHash LSH's
+(1-j^r)^b miss curve). Verification is exact: bit_count(xor) on the
+candidate set only.
+
+Cross-engine bit-parity: the DCT uses an INTEGER cosine table
+(round(cos(pi*(2k+1)u/32) * 10000) — every entry is >= 0.09 away
+from a .5 rounding boundary, so any correctly-rounded double cos
+produces the same integers). Pixels, coefficients, median (the 32nd
+smallest of the 63 non-DC coefficients — rank-based, no
+median-definition drift) and the packed hash are all exact int64
+arithmetic, replayable term-for-term by a SQL oracle. Bit 63 is
+never used (the DC coefficient is dropped and bit indices run
+0..62), so the hash stays non-negative BIGINT in every engine.
+
+Scale shape (100 TB): the signature pass is an Arrow ``mapInPandas``
+stream (decode + two 8x16 @ 16x16 integer GEMMs per image — no
+Python row loop over pixels); bands multiply rows only at doc
+granularity (x4); candidates come from a band-key equi-join that
+shuffles (band_no, band_val) — the same bucketed-candidates shape as
+minhash_lsh_pairs, never an all-pairs cross join. Duplicate-heavy
+corpora concentrate identical hashes in one band bucket; collapse
+identical phash values first (groupBy phash) when verbatim copies
+dominate, exactly like the identical-set collapse in text dedup.
+
+Reference scope note: the reference engine (see SURVEY.md) has no
+image operators at all — this extends the §2c multimodal family
+(operators/multimodal.py) with the dedup capability the survey's
+north-star list mandates.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PHASH_IMG = 16  # synthetic grayscale image side (N x N)
+PHASH_FREQ = 8  # low-frequency DCT block kept (top-left F x F)
+PHASH_SCALE = 10000  # integer cosine fixed-point scale
+PHASH_GROUPS = 40  # docs sharing doc_id % GROUPS share a base image
+
+
+def phash_cos_table() -> list[list[int]]:
+    """ct[u][k] = round(cos(pi*(2k+1)*u / (2*PHASH_IMG)) * SCALE),
+    u in [0, PHASH_FREQ), k in [0, PHASH_IMG). Verified: every value
+    sits >= 0.09 from a .5 boundary at SCALE=10000, so Python and any
+    SQL engine rounding a correctly-rounded double cos agree exactly.
+    The registry interpolates these integers as LITERALS into the
+    oracle SQL — the oracle never recomputes a cosine."""
+    n = PHASH_IMG
+    return [
+        [
+            round(math.cos(math.pi * (2 * k + 1) * u / (2 * n)) * PHASH_SCALE)
+            for k in range(n)
+        ]
+        for u in range(PHASH_FREQ)
+    ]
+
+
+def phash_pixel_expr_sql(doc: str = "doc_id", y: str = "y", x: str = "x") -> str:
+    """The synthetic grayscale pixel closed form as SQL text — ONE
+    definition shared by the operator (via ``_pixel``) and the DuckDB
+    oracle (interpolated by the registry). Group base pattern plus an
+    eps-scaled per-doc perturbation: docs in one group differ by a
+    small high-frequency field whose magnitude grows with
+    (doc // GROUPS) % 4, so the corpus holds pairs at Hamming 0, a
+    few bits, and far apart — the operator is exercised, not vacuous.
+    Max value 240 + 3*2 = 246 < 256: no clamp, no wraparound."""
+    g = f"({doc} % {PHASH_GROUPS})"
+    eps = f"(({doc} // {PHASH_GROUPS}) % 4)"
+    return (
+        f"(({g}*37 + {y}*13 + {x}*5 + (({y}*{x}) % 7)*9) % 241"
+        f" + {eps} * (({y} + 2*{x} + {doc}) % 3))"
+    )
+
+
+def _pixel(doc: int, y: int, x: int) -> int:
+    g = doc % PHASH_GROUPS
+    eps = (doc // PHASH_GROUPS) % 4
+    return ((g * 37 + y * 13 + x * 5 + ((y * x) % 7) * 9) % 241
+            + eps * ((y + 2 * x + doc) % 3))
+
+
+def with_grayscale_payload(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Synthesize a REAL grayscale PNG binary column (vendored
+    encoder: colortype 0, zlib scanlines, all five filters in
+    rotation) from the deterministic pixel closed form. Downstream
+    consumers exercise a genuine decode, same playbook as
+    multimodal.with_png_payload."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark_scd_spark.functions import imagecodec
+
+        n = PHASH_IMG
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                px = [
+                    _pixel(i, y, x) for y in range(n) for x in range(n)
+                ]
+                payloads.append(imagecodec.encode_png(n, n, 1, px))
+            yield pd.DataFrame({id_col: ids, out_col: payloads})
+
+    return df.select(id_col).mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField(out_col, T.BinaryType()),
+            ]
+        ),
+    )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(doc_id, width, height, phash): decode the image payload
+    (vendored PNG/PNM/BMP codec), integer 2-D DCT via two int64 GEMMs
+    (C = CT @ P @ CT^T, CT the 8x16 fixed-point cosine table), drop
+    the DC term, threshold the 63 low-frequency coefficients at their
+    rank-32 value (strict >), pack into bits 0..62 of an int64.
+
+    Every step is exact integer arithmetic (max |coef| < 2^43), so
+    the hash is bit-identical across engines and platforms — the
+    property the oracle pins."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import imagecodec
+
+        ct = np.asarray(phash_cos_table(), dtype=np.int64)
+        weights = (np.int64(1) << np.arange(63, dtype=np.int64))
+        for pdf in batches:
+            out = {k.name: [] for k in PHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = imagecodec.decode(bytes(payload))
+                if (w, h) != (PHASH_IMG, PHASH_IMG):
+                    # the fixed-point cosine table is N=16-specific;
+                    # real pipelines resize to N x N first (the
+                    # downscale step of canonical pHash) — out of
+                    # scope for the deterministic synthetic family
+                    raise ValueError(
+                        "image_phash expects a "
+                        f"{PHASH_IMG}x{PHASH_IMG} input, got {w}x{h}"
+                    )
+                p = np.asarray(px, dtype=np.int64).reshape(h, w, c)[
+                    :, :, 0
+                ]
+                coefs = (ct @ p @ ct.T).ravel()
+                rest = coefs[1:]  # row-major index 0 is (u=0, v=0)
+                med = np.sort(rest)[31]
+                bits = (rest > med).astype(np.int64)
+                phash = int((bits * weights).sum())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema=PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    ph: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair with Hamming distance
+    <= max_hamming, doc_a < doc_b. Multi-index hashing: band i is
+    bits [16i, 16i+16) of the hash; a pair within distance d <
+    ``bands`` has < bands differing-bit "budget" spread over
+    ``bands`` disjoint substrings, so at least one substring matches
+    exactly (pigeonhole) — the band equi-join has RECALL 1, then
+    bit_count(xor) verifies candidates exactly. No cross join
+    anywhere; the only exchange is the (band_no, band_val) shuffle.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = ph.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__h", "__b.band_no", "__b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def phash_neardup_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Daily-ingest image near-dup: candidates ONLY between the NEW
+    batch and the existing store — the O(batch)/day shape of
+    ``minhash_lsh_pairs_incremental`` applied to the pHash index.
+    The store side is the persistable artifact (its banded table is
+    a pure projection of the (id, phash) store — cheap to rebuild or
+    persist); each day's work is one band equi-join of the batch's
+    4·|batch| band rows against the store index, never a history
+    re-scan. Pigeonhole recall 1 at max_hamming < bands, exact
+    bit_count verify — same guarantees as the batch form.
+
+    Returns (store_id, batch_id, hamming <= max_hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def _banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.col(hash_col).alias("__h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_no"),
+                            F.shiftright(F.col(hash_col), i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select("__id", "__h", "__b.band_no", "__b.band_val")
+
+    s = _banded(store).alias("s")
+    b = _banded(batch).alias("b")
+    cand = (
+        s.join(
+            b,
+            (F.col("s.band_no") == F.col("b.band_no"))
+            & (F.col("s.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("s.__id").alias("store_id"),
+            F.col("b.__id").alias("batch_id"),
+            F.col("s.__h").alias("__hs"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("__hs").bitwiseXOR(F.col("__hb"))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("store_id", "batch_id", "hamming")
+    )

@@ -46,6 +46,12 @@ _PID = "__rank_pid"
 # and NaN != NaN would give every null row its own dense rank; all
 # null keys normalize to this one identity-equal object instead.
 _NULL = object()
+# Sentinel for a REAL float NaN (distinct from SQL NULL): Spark's
+# grouping normalization treats all NaNs as ONE key but a separate
+# key from NULL, so the Arrow pass must keep them apart too — pass
+# 1's count_distinct counts two keys, and merging them here would
+# shift every later partition's rank offset (ADVICE r8).
+_NAN = object()
 
 
 def _norm_key_part(v):
@@ -90,12 +96,12 @@ def global_dense_rank(
     NULL order keys are supported: distinct counts use a struct (a
     struct with null fields is non-null, so null-bearing tuples
     count) and the Arrow pass normalizes NaN-encoded nulls to one
-    shared sentinel. One documented conflation remains: for FLOAT/
-    DOUBLE order columns that contain BOTH real NaN values and
-    NULLs, pandas represents both as NaN, so the two groups merge
-    if they ever land adjacent in one partition (Spark sorts NULLS
-    FIRST and NaN last, so they meet only in degenerate tiny
-    partitions). Integer/string/date keys are exact.
+    shared sentinel. FLOAT/DOUBLE order columns carry an explicit
+    is-null companion column through the Arrow pass so a real NaN
+    and a SQL NULL stay DISTINCT keys (matching Spark's grouping
+    normalization: all NaNs one key, NULL another) — conflating
+    them would disagree with pass 1's distinct count and shift
+    every later partition's offset. All key types are exact.
     """
     cols = list(order_cols)
     ranged = (
@@ -115,6 +121,20 @@ def global_dense_rank(
         if h is not None:
             _cleanup.append(h)
     staged = pinned.withColumn(_PID, F.spark_partition_id())
+    # Float/double keys: Arrow materializes SQL NULL and real NaN
+    # both as pandas NaN, so carry an explicit is-null flag per such
+    # column (projection only — partitioning untouched). The Arrow
+    # pass maps flag→_NULL, NaN-with-flag-false→_NAN, keeping the
+    # two groups distinct exactly as pass 1's count_distinct does.
+    null_flags = {
+        c: f"__rank_isnull_{i}"
+        for i, c in enumerate(cols)
+        if isinstance(
+            df.schema[c].dataType, (T.FloatType, T.DoubleType)
+        )
+    }
+    for c, flag in null_flags.items():
+        staged = staged.withColumn(flag, F.isnull(F.col(c)))
 
     # Pass 1: bounded per-partition stats. The distinct-tuple count
     # rides the same grouped aggregate; re-running this lineage in
@@ -147,6 +167,22 @@ def global_dense_rank(
         + [T.StructField(rank_col, T.LongType())]
     )
 
+    def _norm_col(pdf: pd.DataFrame, c: str) -> list:
+        if c in null_flags:
+            flags = pdf[null_flags[c]]
+            out = []
+            for v, is_null in zip(pdf[c], flags):
+                if is_null:
+                    out.append(_NULL)
+                elif pd.isna(v):
+                    out.append(_NAN)
+                else:
+                    out.append(v)
+            return out
+        return [_norm_key_part(v) for v in pdf[c]]
+
+    helper_cols = [_PID, *null_flags.values()]
+
     def _rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
         prev_key = None
@@ -158,8 +194,7 @@ def global_dense_rank(
             base = offsets.get(pid, 0)
             ranks = []
             if dense:
-                for raw in zip(*[pdf[c] for c in cols]):
-                    key = tuple(_norm_key_part(v) for v in raw)
+                for key in zip(*[_norm_col(pdf, c) for c in cols]):
                     if key != prev_key:
                         local += 1
                         prev_key = key
@@ -169,7 +204,18 @@ def global_dense_rank(
                     range(base + seen + 1, base + seen + len(pdf) + 1)
                 )
                 seen += len(pdf)
-            out = pdf.drop(columns=[_PID])
+            out = pdf.drop(columns=helper_cols)
+            # Output fidelity: plain float64 columns hand NaN to
+            # Arrow as NULL (pandas' NaN-is-missing convention), so
+            # a real-NaN key would come back as SQL NULL. Rebuild
+            # the float key columns as MASKED arrays — the mask is
+            # the true is-null flag, NaN stays a value.
+            for c, flag in null_flags.items():
+                import numpy as np
+
+                vals = out[c].to_numpy(dtype="float64", na_value=np.nan)
+                mask = pdf[flag].to_numpy(dtype=bool)
+                out[c] = pd.arrays.FloatingArray(vals, mask)
             out[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
             yield out
 

@@ -11030,3 +11030,156 @@ def q_corpus_zipf_slope(spark, sf_dir):
             4,
         ).alias("r2"),
     )
+
+
+# ----------------------------------------------------------------------
+# Perceptual-hash image dedup (operators/perceptual.py): integer-DCT
+# pHash + multi-index Hamming join. The cosine table is interpolated
+# into the oracle as INTEGER LITERALS (the oracle never recomputes a
+# cosine) and every downstream step is exact int64 arithmetic, so the
+# 64-bit fingerprint is bit-identical across engines — recall of the
+# band join is 1 by pigeonhole (max_hamming < bands), making the
+# all-pairs oracle an EXACT twin, not a probabilistic one.
+# ----------------------------------------------------------------------
+
+from pyspark_scd_spark.operators.perceptual import (  # noqa: E402
+    phash_cos_table as _phash_ct,
+    phash_pixel_expr_sql as _phash_px,
+)
+
+_PHASH_CT_VALUES = ", ".join(
+    f"({u}, {k}, {c})"
+    for u, row in enumerate(_phash_ct())
+    for k, c in enumerate(row)
+)
+
+# Shared oracle prefix: pixels -> integer DCT -> rank-32 median ->
+# packed 63-bit hash, one row per document.
+_PHASH_BITS_CTES = f"""
+    ct(u, k, c) AS (VALUES {_PHASH_CT_VALUES}),
+    yy AS (SELECT UNNEST(range(0, 16)) AS y),
+    xx AS (SELECT UNNEST(range(0, 16)) AS x),
+    px AS (SELECT doc_id, y, x,
+                  CAST({_phash_px("doc_id", "y", "x")} AS BIGINT) AS p
+           FROM documents, yy, xx),
+    dct AS (SELECT px.doc_id, cu.u AS u, cv.u AS v,
+                   SUM(px.p * cu.c * cv.c) AS coef
+            FROM px JOIN ct cu ON cu.k = px.y
+                    JOIN ct cv ON cv.k = px.x
+            GROUP BY 1, 2, 3),
+    nondc AS (SELECT doc_id, u, v, coef FROM dct
+              WHERE NOT (u = 0 AND v = 0)),
+    med AS (SELECT doc_id, coef AS m FROM (
+              SELECT doc_id, coef,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY coef) AS rk
+              FROM nondc)
+            WHERE rk = 32),
+    bits AS (SELECT n.doc_id,
+                    CAST(SUM(CASE WHEN n.coef > med.m
+                         THEN (CAST(1 AS BIGINT) << (n.u*8 + n.v - 1))
+                         ELSE 0 END) AS BIGINT) AS phash
+             FROM nondc n JOIN med ON n.doc_id = med.doc_id
+             GROUP BY 1)
+"""
+
+
+@register(
+    "image_phash",
+    f"""
+    WITH {_PHASH_BITS_CTES}
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           phash
+    FROM bits
+    """,
+    doc="Perceptual image hash (operators/perceptual.py image_phash): "
+    "synthesize real grayscale PNGs (vendored encoder, all five "
+    "scanline filters), decode them back, integer 2-D DCT via two "
+    "int64 GEMMs against a fixed-point cosine table, threshold the "
+    "63 low-frequency coefficients at their rank-32 value, pack into "
+    "bits 0..62. Every step is exact integer arithmetic; the oracle "
+    "replays it term-for-term with the cosine table as literals — a "
+    "hash match proves the PNG decode AND the DCT bit for bit. The "
+    "Arrow stage is two small GEMMs per image, no per-pixel Python.",
+)
+def q_image_phash(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual.image_phash(
+        perceptual.with_grayscale_payload(d)
+    )
+
+
+@register(
+    "image_phash_neardup",
+    f"""
+    WITH {_PHASH_BITS_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
+             AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    doc="Near-dup image pairs at Hamming distance <= 3 over the "
+    "64-bit pHash (operators/perceptual.py phash_neardup_pairs): "
+    "multi-index hashing (Norouzi et al., CVPR 2012) — four disjoint "
+    "16-bit substrings, a pair within distance 3 < 4 bands agrees "
+    "exactly on at least one substring by PIGEONHOLE, so the band "
+    "equi-join has recall 1 deterministically (contrast MinHash's "
+    "probabilistic band curve; no corpus-specific margin needed) and "
+    "bit_count(xor) verifies candidates exactly. The oracle brute- "
+    "forces all pairs; the operator's only exchange is the "
+    "(band_no, band_val) shuffle — the image-dedup twin of "
+    "dedup_minhash_lsh, scale shape identical.",
+)
+def q_image_phash_neardup(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    ph = perceptual.image_phash(
+        perceptual.with_grayscale_payload(d)
+    )
+    return perceptual.phash_neardup_pairs(ph)
+
+
+@register(
+    "image_phash_incremental",
+    f"""
+    WITH {_PHASH_BITS_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(s.phash, b.phash)) AS INTEGER)
+             AS hamming
+    FROM bits s JOIN bits b
+      ON s.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+    WHERE bit_count(xor(s.phash, b.phash)) <= 3
+    """,
+    doc="Daily-ingest image near-dup (operators/perceptual.py "
+    "phash_neardup_incremental): candidates ONLY between the new "
+    "batch (doc_id % 10 >= 8) and the standing store — the "
+    "O(batch)/day lifecycle shape of minhash_lsh_pairs_incremental "
+    "applied to the pHash index. The store's banded table is a pure "
+    "projection of the persisted (id, phash) store; each day costs "
+    "one band equi-join, never a history re-scan. Pigeonhole recall "
+    "1 at hamming <= 3 over 4 bands, exact bit_count verify; the "
+    "oracle brute-forces the store x batch cross product.",
+)
+def q_image_phash_incremental(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _ph(pred):
+        # filter BEFORE the Arrow stage: mapInPandas is a pushdown
+        # barrier, so filtering the hashed output would synth+hash
+        # the full corpus on both branches
+        return perceptual.image_phash(
+            perceptual.with_grayscale_payload(d.filter(pred))
+        )
+
+    return perceptual.phash_neardup_incremental(
+        _ph(F.col("doc_id") % 10 < 8),
+        _ph(F.col("doc_id") % 10 >= 8),
+    )

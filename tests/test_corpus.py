@@ -925,3 +925,44 @@ def test_corpus_release_manifest_matches_python_model(spark):
     # whose lexical diversity (9/16) no longer clears the gate. The
     # composite exposes interactions the per-stage entries can't.
     assert got["6_quality_gate"][0] == got["5_decontaminate"][0] - 2
+
+
+def test_corpus_release_recall_margin_precondition(spark):
+    """corpus_release stage 3 uses banded MinHash (21 bands x 3 rows)
+    while its oracle computes exact all-pairs Jaccard; parity rests on
+    the corpus-specific recall margin (miss prob (1-j^3)^21 is <3e-7
+    at j=0.8 but ~6% at j=0.5). This measures the margin on the
+    SHIPPED corpora at the correctness-harness SFs and fails loudly if
+    a data change ever drops a qualifying pair near the threshold —
+    see the PRECONDITION paragraph in corpus_release's docstring."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from pyspark_scd_spark.functions import text as TXT
+    from pyspark_scd_spark.operators import dedup
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
+            continue
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # stage-3 input = stage-2 output: training pool (eval rows
+        # out) after exact dedup, exactly as q_corpus_release builds
+        pool = docs.filter(~(F.col("doc_id") % 10 == 0))
+        fp = pool.withColumn("__fp", TXT.fingerprint("text"))
+        s2 = fp.withColumn(
+            "__cmin", F.min("doc_id").over(W.partitionBy("__fp"))
+        ).filter(F.col("doc_id") == F.col("__cmin"))
+        qualifying = dedup.ngram_jaccard_pairs(
+            s2.select("doc_id", "text"), n=3, threshold=0.5
+        ).agg(
+            F.min("jaccard").alias("mn"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert qualifying["n"] > 0, (
+            f"{sf_dir}: corpus must exercise stage 3 with real pairs"
+        )
+        assert qualifying["mn"] >= 0.8, (
+            f"{sf_dir}: min qualifying jaccard {qualifying['mn']} is "
+            "inside the MinHash band curve's miss region — "
+            "corpus_release's oracle parity margin is invalidated"
+        )

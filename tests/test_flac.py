@@ -105,3 +105,15 @@ def test_flac_spark_stats_match_closed_form(spark):
         assert r["sum_s"] == sum(s)
         assert r["sumsq_s"] == sum(x * x for x in s)
         assert (r["min_s"], r["max_s"]) == (min(s), max(s))
+
+
+def test_flac_truncated_stream_gates_with_valueerror():
+    """ADVICE r8: the metadata-block walk must raise ValueError (the
+    documented envelope contract), never IndexError, on truncation."""
+    full = fc.encode_flac([1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated"):
+        fc.decode(b"fLaC")  # magic alone
+    with pytest.raises(ValueError, match="truncated"):
+        fc.decode(full[:8])  # header cut mid-STREAMINFO-header
+    with pytest.raises(ValueError, match="truncated"):
+        fc.decode(full[:20])  # STREAMINFO body cut short

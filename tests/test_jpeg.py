@@ -202,3 +202,35 @@ def test_jpeg_spark_stats_match_reference(spark):
         w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
         assert (feats[i]["width"], feats[i]["height"]) == (w, h)
         assert feats[i]["channels"] == 3
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """ADVICE r8: spec-legal 0xFF fill bytes between header segments
+    (ITU T.81 B.1.1.2) must be skipped, and standalone markers (TEM,
+    RSTn) between segments must gate with a clear ValueError."""
+    i = 3
+    comp = [_blocks(i, c, 2, 1) for c in range(1)]
+    p = bytearray(jc.encode_jpeg(16, 8, comp))
+    # inject two fill bytes before the first DQT marker
+    dqt = p.find(b"\xff\xdb")
+    padded = bytes(p[:dqt]) + b"\xff\xff" + bytes(p[dqt:])
+    w, h, ncomp, planes = jc.decode(padded)
+    assert (w, h, ncomp) == (16, 8, 1)
+    assert planes == jc.decode(bytes(p))[3]
+    # a standalone TEM marker in header position must gate loudly
+    tem = bytes(p[:dqt]) + b"\xff\x01" + bytes(p[dqt:])
+    with pytest.raises(ValueError, match="standalone marker"):
+        jc.decode(tem)
+
+
+def test_jpeg_encode_out_of_table_range_is_valueerror():
+    """ADVICE r8: coefficients outside the default Huffman tables'
+    envelope gate with ValueError naming the table, not KeyError."""
+    # |AC| = 1100 has category 11 > 10 (max AC size in Annex K)
+    blocks = [{0: 0, 1: 1100}]
+    with pytest.raises(ValueError, match="ac_table"):
+        jc.encode_jpeg(8, 8, [blocks])
+    # DC diff category 12+ needs |diff| >= 2048 (table covers 0..11)
+    blocks2 = [{0: 5000}]
+    with pytest.raises(ValueError, match="dc_table"):
+        jc.encode_jpeg(8, 8, [blocks2])

@@ -1,0 +1,111 @@
+"""Perceptual-hash image dedup (operators/perceptual.py): integer
+cosine-table safety, pigeonhole exactness of the multi-index band
+join vs brute force, distance-spectrum non-vacuity, envelope gates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_scd_spark.operators import perceptual
+
+
+def test_cos_table_far_from_rounding_boundaries():
+    """Every fixed-point cosine value must sit far from a .5 rounding
+    boundary so Python round() and any SQL ROUND over a correctly-
+    rounded double cos agree — the cross-engine bit-parity premise."""
+    n = perceptual.PHASH_IMG
+    s = perceptual.PHASH_SCALE
+    worst = 1.0
+    for u in range(perceptual.PHASH_FREQ):
+        for k in range(n):
+            v = math.cos(math.pi * (2 * k + 1) * u / (2 * n)) * s
+            worst = min(worst, abs(v - math.floor(v) - 0.5))
+    assert worst > 1e-3, f"cosine value within {worst} of a boundary"
+    tbl = perceptual.phash_cos_table()
+    assert len(tbl) == perceptual.PHASH_FREQ
+    assert all(len(r) == n for r in tbl)
+    assert tbl[0] == [s] * n  # u=0 row is all cos(0)
+
+
+def test_pixel_closed_form_in_byte_range():
+    n = perceptual.PHASH_IMG
+    vals = [
+        perceptual._pixel(d, y, x)
+        for d in (0, 1, 39, 40, 79, 120, 159, 4999)
+        for y in range(n)
+        for x in range(n)
+    ]
+    assert min(vals) >= 0 and max(vals) <= 255
+
+
+def test_band_join_equals_brute_force(spark, sf_dir):
+    """Pigeonhole recall = 1: the banded join must find EXACTLY the
+    pairs the all-pairs Hamming filter finds — no misses (recall) and
+    no extras (the verify filter)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    ph = perceptual.image_phash(
+        perceptual.with_grayscale_payload(docs)
+    ).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perceptual.phash_neardup_pairs(ph).collect()
+    }
+    rows = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    ph.unpersist()
+    want = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(rows[a] ^ rows[b]).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want and want, "band join must equal brute force"
+
+
+def test_distance_spectrum_non_vacuous(spark, sf_dir):
+    """The synthetic family must exercise the operator: identical
+    pairs (hamming 0), near pairs (1..3), and pairs beyond the
+    threshold — otherwise the entry proves nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = perceptual.image_phash(
+        perceptual.with_grayscale_payload(docs)
+    ).cache()
+    pairs = perceptual.phash_neardup_pairs(ph, max_hamming=3)
+    hist = {
+        r["hamming"]: r["n"]
+        for r in pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_docs = ph.count()
+    n_hashes = ph.select("phash").distinct().count()
+    ph.unpersist()
+    assert hist.get(0, 0) > 0, "no identical-hash pairs"
+    assert sum(v for k, v in hist.items() if k > 0) > 0, (
+        "no near-but-not-identical pairs"
+    )
+    # far pairs exist: distinct hashes exceed what a <=3-ball cover
+    # of one representative would allow if everything were near
+    assert n_hashes > 1
+    total_near = sum(hist.values())
+    assert total_near < n_docs * (n_docs - 1) // 2, (
+        "every pair qualified — spectrum is vacuous"
+    )
+
+
+def test_phash_envelope_gates(spark):
+    from pyspark_scd_spark.functions import imagecodec
+
+    df = spark.createDataFrame(
+        [(1, imagecodec.encode_png(8, 8, 1, [0] * 64))],
+        "doc_id: long, payload: binary",
+    )
+    with pytest.raises(Exception, match="16x16"):
+        perceptual.image_phash(df).collect()
+    ph = spark.createDataFrame([(1, 5)], "doc_id: long, phash: long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        perceptual.phash_neardup_pairs(ph, max_hamming=4, bands=4)

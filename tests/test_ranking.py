@@ -251,3 +251,37 @@ def test_dense_rank_many_partitions_with_duplicates(spark):
     bad = got.filter(F.col("r") != F.col("v") + 1).count()
     assert bad == 0
     assert got.count() == 50_000
+
+
+def test_dense_rank_nan_vs_null_float_keys(spark):
+    """ADVICE r8: a float order column holding BOTH real NaNs and
+    NULLs. Spark's grouping normalization makes all NaNs ONE key
+    DISTINCT from NULL (pass 1 counts two keys), and asc sorts
+    NULLS FIRST / NaN LAST — the Arrow pass must keep the two
+    groups apart too (pandas shows both as NaN) or every later
+    partition's offset shifts globally."""
+    nan = float("nan")
+    rows = [(None,), (nan,), (1.0,), (None,), (nan,), (2.0,), (1.0,)]
+    df = spark.createDataFrame(rows, "v: double")
+    out = ranking.global_dense_rank(
+        df, ["v"], rank_col="r", num_partitions=3
+    ).collect()
+    by_rank = {}
+    for r in out:
+        v = r["v"]
+        key = (
+            "null" if v is None
+            else "nan" if v != v
+            else v
+        )
+        by_rank.setdefault(key, set()).add(r["r"])
+    assert by_rank == {
+        "null": {1}, 1.0: {2}, 2.0: {3}, "nan": {4}
+    }
+    # and in ONE partition (num_partitions=1): adjacency is where the
+    # pre-fix conflation actually merged the two groups
+    out1 = ranking.global_dense_rank(
+        df, ["v"], rank_col="r", num_partitions=1
+    ).collect()
+    ranks = sorted({r["r"] for r in out1})
+    assert ranks == [1, 2, 3, 4]
