@@ -1594,7 +1594,14 @@ def dedup_exact_substrings(
     Per doc: (id, n_dup_windows, cut_bytes, kept_len, kept_md5) —
     the md5 pins every byte of the cut corpus for the oracle.
 
-    Scale design — why ranks instead of grouping the raw L-grams:
+    Two physical strategies behind one semantics, chosen by wire
+    width: at ``min_len <= 32`` the raw L-gram is grouped DIRECTLY
+    (it costs no more shuffled than a 16-byte rank pair, and skips
+    every doubling round); above that the rank-pair path runs.
+
+    Scale design — why ranks instead of grouping the raw L-grams
+    (the large-L regime; the paper's window is 50 tokens, hundreds
+    of bytes):
 
     - a window start ``i`` holds a duplicated L-gram iff the pair
       ``(rank_h(i), rank_h(i+L−h))`` with ``h = 2^⌊log₂L⌋`` repeats
@@ -1661,44 +1668,77 @@ def dedup_exact_substrings(
         # checkpoint materializes a corpus-positions table for nothing
         return _trivial()
 
-    ranks, stride, mx = _prefix_pos_ranks(
-        nonempty, id_col, text_col, upto=h
-    )
+    if L <= 32:
+        # Direct-gram fast path: the rank-pair construction earns its
+        # keep by shuffling 16 bytes per position INSTEAD of L raw
+        # bytes — at L <= 32 the raw gram costs no more on the wire
+        # than the rank pair, so grouping the grams directly is exact
+        # and strictly cheaper (one projection + one aggregate + one
+        # join vs ceil(log2 h) checkpointed doubling rounds + two
+        # rank joins). The rank path below stays the scale form for
+        # the paper's L (50 tokens, hundreds of bytes).
+        grams = nonempty.filter(F.length(text_col) >= L).select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length({text_col}) - {L}),"
+                    f" i -> struct(i AS s,"
+                    f" substring({text_col}, i + 1, {L}) AS g))"
+                )
+            ).alias("__w"),
+        ).select(
+            id_col,
+            F.col("__w.s").alias("__s"),
+            F.col("__w.g").alias("__g"),
+        )
+        # agg+join (not a window): the heavy side stays a plain hash
+        # exchange AQE can skew-split
+        dup_keys = (
+            grams.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("__g")
+        )
+        dup_starts = grams.join(dup_keys, "__g").select(id_col, "__s")
+    else:
+        ranks, stride, mx = _prefix_pos_ranks(
+            nonempty, id_col, text_col, upto=h
+        )
 
-    # valid window starts (0-based), straight from the docs table
-    starts = nonempty.filter(F.length(text_col) >= L).select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.lit(0), F.length(text_col) - F.lit(L))
-        ).alias("__s"),
-    )
-    keyed = starts.select(
-        id_col,
-        "__s",
-        (F.col(id_col) * stride + F.col("__s")).alias("__p1"),
-        (F.col(id_col) * stride + F.col("__s") + F.lit(L - h)).alias(
-            "__p2"
-        ),
-    )
-    r1 = ranks.select(
-        F.col("__pos").alias("__p1"), F.col("__r").alias("__r1")
-    )
-    r2 = ranks.select(
-        F.col("__pos").alias("__p2"), F.col("__r").alias("__r2")
-    )
-    keyed = keyed.join(r1, "__p1").join(r2, "__p2")
-    # duplicated L-gram keys: bounded 16-byte key per position; the
-    # agg+join (not a window) keeps the heavy side a plain hash
-    # exchange AQE can skew-split
-    dup_keys = (
-        keyed.groupBy("__r1", "__r2")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("__r1", "__r2")
-    )
-    dup_starts = keyed.join(dup_keys, ["__r1", "__r2"]).select(
-        id_col, "__s"
-    )
+        # valid window starts (0-based), straight from the docs table
+        starts = nonempty.filter(F.length(text_col) >= L).select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - F.lit(L))
+            ).alias("__s"),
+        )
+        keyed = starts.select(
+            id_col,
+            "__s",
+            (F.col(id_col) * stride + F.col("__s")).alias("__p1"),
+            (
+                F.col(id_col) * stride + F.col("__s") + F.lit(L - h)
+            ).alias("__p2"),
+        )
+        r1 = ranks.select(
+            F.col("__pos").alias("__p1"), F.col("__r").alias("__r1")
+        )
+        r2 = ranks.select(
+            F.col("__pos").alias("__p2"), F.col("__r").alias("__r2")
+        )
+        keyed = keyed.join(r1, "__p1").join(r2, "__p2")
+        # duplicated L-gram keys: bounded 16-byte key per position;
+        # the agg+join (not a window) keeps the heavy side a plain
+        # hash exchange AQE can skew-split
+        dup_keys = (
+            keyed.groupBy("__r1", "__r2")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("__r1", "__r2")
+        )
+        dup_starts = keyed.join(dup_keys, ["__r1", "__r2"]).select(
+            id_col, "__s"
+        )
     per_doc = dup_starts.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__s")).alias("__starts")
     )

@@ -285,3 +285,51 @@ def test_dense_rank_nan_vs_null_float_keys(spark):
     ).collect()
     ranks = sorted({r["r"] for r in out1})
     assert ranks == [1, 2, 3, 4]
+
+
+def test_exact_substrings_rank_path_matches_brute_force(spark):
+    """min_len > 32 takes the rank-pair (prefix-doubling) physical
+    path — same semantics as the direct-gram fast path, asserted
+    against the same brute-force Counter."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark_scd_spark.operators import dedup
+
+    base = "The quick brown fox jumps over the lazy dog near the bank"
+    docs = [
+        (1, "A" + base + "B"),
+        (2, "CC" + base + "DD"),  # shares a 58-char run with doc 1
+        (3, "totally different content that repeats nothing at all"),
+        (4, "x" * 50),  # overlapping self-repeats
+        (5, base[:30]),  # shorter than L
+    ]
+    L = 40
+    got = {
+        r["doc_id"]: (
+            r["n_dup_windows"], r["cut_bytes"], r["kept_len"],
+            r["kept_md5"],
+        )
+        for r in dedup.dedup_exact_substrings(
+            spark.createDataFrame(docs, ["doc_id", "text"]), min_len=L
+        ).collect()
+    }
+    grams = Counter(
+        t[i : i + L] for _, t in docs for i in range(len(t) - L + 1)
+    )
+    for d, t in docs:
+        starts = [
+            i for i in range(len(t) - L + 1)
+            if grams[t[i : i + L]] >= 2
+        ]
+        mask = [False] * len(t)
+        for s in starts:
+            for j in range(s, s + L):
+                mask[j] = True
+        kept = "".join(c for c, m in zip(t, mask) if not m)
+        assert got[d] == (
+            len(starts),
+            len(t) - len(kept),
+            len(kept),
+            hashlib.md5(kept.encode()).hexdigest(),
+        ), f"doc {d}"
