@@ -366,9 +366,21 @@ def decode(payload: bytes):
         # misread as a marker with a bogus length.
         while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        # The fill-byte skip can consume the loop guard's headroom: a
+        # payload tail of 0xFF bytes leaves pos+1 == n (no marker byte
+        # at all), and a skip that leaves <4 bytes would make the
+        # struct.unpack_from below raise struct.error — both must stay
+        # inside the ValueError envelope (same contract as flaccodec's
+        # truncated-stream gate). EOI is checked before the 4-byte
+        # guard because `.. FF FF D9` (fill byte + EOI) is spec-legal
+        # at the very end of the stream.
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG stream")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG stream")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # Standalone markers (TEM, RSTn) carry no length segment;
             # none are legal between header segments in baseline.

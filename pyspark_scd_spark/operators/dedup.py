@@ -1671,12 +1671,15 @@ def dedup_exact_substrings(
     if L <= 32:
         # Direct-gram fast path: the rank-pair construction earns its
         # keep by shuffling 16 bytes per position INSTEAD of L raw
-        # bytes — at L <= 32 the raw gram costs no more on the wire
-        # than the rank pair, so grouping the grams directly is exact
-        # and strictly cheaper (one projection + one aggregate + one
-        # join vs ceil(log2 h) checkpointed doubling rounds + two
-        # rank joins). The rank path below stays the scale form for
-        # the paper's L (50 tokens, hundreds of bytes).
+        # bytes — at L <= 32 the raw gram's wire cost is COMPARABLE
+        # to the rank pair (exactly 32 bytes for ASCII; substring/
+        # length are character-based, so a fully non-ASCII gram can
+        # reach 4x that in UTF-8 — still a small constant, and the
+        # fast path trades it for skipping ceil(log2 h) checkpointed
+        # doubling rounds + two rank joins, which dominates at any
+        # byte width). Grouping the grams directly stays exact. The
+        # rank path below is the scale form for the paper's L
+        # (50 tokens, hundreds of bytes).
         grams = nonempty.filter(F.length(text_col) >= L).select(
             F.col(id_col),
             F.explode(

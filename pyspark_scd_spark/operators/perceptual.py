@@ -76,9 +76,12 @@ def phash_cos_table() -> list[list[int]]:
 
 
 def phash_pixel_expr_sql(doc: str = "doc_id", y: str = "y", x: str = "x") -> str:
-    """The synthetic grayscale pixel closed form as SQL text — ONE
-    definition shared by the operator (via ``_pixel``) and the DuckDB
-    oracle (interpolated by the registry). Group base pattern plus an
+    """The synthetic grayscale pixel closed form as SQL text for the
+    DuckDB oracle (interpolated by the registry). ``_pixel`` below is
+    a hand-transcribed Python twin of the same formula — the two are
+    pinned equal over an exhaustive (doc, y, x) grid by
+    tests/test_perceptual.py::test_pixel_sql_python_parity, so any
+    drift between them fails loudly. Group base pattern plus an
     eps-scaled per-doc perturbation: docs in one group differ by a
     small high-frequency field whose magnitude grows with
     (doc // GROUPS) % 4, so the corpus holds pairs at Hamming 0, a
@@ -132,6 +135,35 @@ def with_grayscale_payload(
             ]
         ),
     )
+
+
+def _banded(
+    df: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """Multi-index banding projection shared by the batch and
+    incremental near-dup forms: explode each (id, hash) row into
+    ``bands`` (band_no, band_val) rows where band i is bits
+    [width*i, width*(i+1)) of the hash. ONE definition so the band
+    layout can never drift between the two join shapes."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__h", "__b.band_no", "__b.band_val")
 
 
 PHASH_SCHEMA = T.StructType(
@@ -219,25 +251,7 @@ def phash_neardup_pairs(
             "pigeonhole recall guarantee needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    banded = ph.select(
-        F.col(id_col).alias("__id"),
-        F.col(hash_col).alias("__h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_no"),
-                        F.shiftright(F.col(hash_col), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select("__id", "__h", "__b.band_no", "__b.band_val")
+    banded = _banded(ph, id_col, hash_col, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -292,30 +306,8 @@ def phash_neardup_incremental(
             "pigeonhole recall guarantee needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-
-    def _banded(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("__id"),
-            F.col(hash_col).alias("__h"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_no"),
-                            F.shiftright(F.col(hash_col), i * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("__b"),
-        ).select("__id", "__h", "__b.band_no", "__b.band_val")
-
-    s = _banded(store).alias("s")
-    b = _banded(batch).alias("b")
+    s = _banded(store, id_col, hash_col, bands).alias("s")
+    b = _banded(batch, id_col, hash_col, bands).alias("b")
     cand = (
         s.join(
             b,

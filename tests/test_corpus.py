@@ -942,9 +942,11 @@ def test_corpus_release_recall_margin_precondition(spark):
     from pyspark_scd_spark.functions import text as TXT
     from pyspark_scd_spark.operators import dedup
 
+    checked = 0
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         if not os.path.exists(f"{sf_dir}/documents.parquet"):
             continue
+        checked += 1
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         # stage-3 input = stage-2 output: training pool (eval rows
         # out) after exact dedup, exactly as q_corpus_release builds
@@ -966,3 +968,9 @@ def test_corpus_release_recall_margin_precondition(spark):
             "inside the MinHash band curve's miss region — "
             "corpus_release's oracle parity margin is invalidated"
         )
+    # A vacuous pass (no corpora found at all) would defeat this
+    # test's fail-loudly-on-data-change purpose.
+    assert checked > 0, (
+        "no testdata corpora found — recall-margin precondition "
+        "was not actually checked"
+    )

@@ -234,3 +234,30 @@ def test_jpeg_encode_out_of_table_range_is_valueerror():
     blocks2 = [{0: 5000}]
     with pytest.raises(ValueError, match="dc_table"):
         jc.encode_jpeg(8, 8, [blocks2])
+
+
+def test_jpeg_truncated_after_fill_bytes_is_valueerror():
+    """ADVICE r9: a payload whose tail is 0xFF fill bytes (no marker
+    byte after the skip), or whose skip leaves <4 bytes before a
+    non-EOI marker's length field, must raise ValueError — never
+    IndexError / struct.error. `FF FF D9` (fill byte + EOI) at the
+    very end stays legal."""
+    i = 3
+    comp = [_blocks(i, c, 2, 1) for c in range(1)]
+    p = bytearray(jc.encode_jpeg(16, 8, comp))
+    dqt = p.find(b"\xff\xdb")
+    head = bytes(p[:dqt])
+    # tail of pure 0xFF bytes long enough for the outer loop guard
+    # (pos+4 <= n) to admit the position: the skip runs to pos+1 == n
+    with pytest.raises(ValueError, match="truncated"):
+        jc.decode(head + b"\xff" * 5)
+    # skip leaves a marker byte but <4 bytes for the length field
+    with pytest.raises(ValueError, match="truncated"):
+        jc.decode(head + b"\xff\xff\xdb\x00")
+    # fill byte + EOI at end-of-stream is spec-legal: must NOT raise
+    # the truncation gate (decode fails later for lack of SOS/SOF,
+    # but inside the ValueError envelope)
+    try:
+        jc.decode(head + b"\xff\xff\xd9")
+    except ValueError:
+        pass

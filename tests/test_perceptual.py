@@ -109,3 +109,32 @@ def test_phash_envelope_gates(spark):
     ph = spark.createDataFrame([(1, 5)], "doc_id: long, phash: long")
     with pytest.raises(ValueError, match="pigeonhole"):
         perceptual.phash_neardup_pairs(ph, max_hamming=4, bands=4)
+
+
+def test_pixel_sql_python_parity():
+    """_pixel (Python) and phash_pixel_expr_sql (DuckDB oracle text)
+    are two transcriptions of one formula; pin them equal over the
+    full exhaustive grid the operator ever evaluates — every (y, x)
+    in the 16x16 image for docs covering all PHASH_GROUPS groups and
+    all 4 eps magnitudes — so silent drift between the operator's
+    synthetic pixels and the oracle's is impossible."""
+    import duckdb
+
+    n = perceptual.PHASH_IMG
+    docs = list(range(perceptual.PHASH_GROUPS * 4))
+    expr = perceptual.phash_pixel_expr_sql("d.doc", "g.y", "g.x")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE d AS SELECT unnest(?) AS doc", [docs]
+    )
+    con.execute(
+        f"CREATE TEMP TABLE g AS SELECT y, x FROM range({n}) t1(y),"
+        f" range({n}) t2(x)"
+    )
+    rows = con.execute(
+        f"SELECT d.doc, g.y, g.x, {expr} AS px FROM d, g"
+        " ORDER BY d.doc, g.y, g.x"
+    ).fetchall()
+    assert len(rows) == len(docs) * n * n
+    for doc, y, x, px in rows:
+        assert px == perceptual._pixel(doc, y, x), (doc, y, x)
