@@ -158,6 +158,11 @@ X10_HEAVY = [
     # full-width global ranking: the no-single-partition shape must
     # hold its ~linear growth as rows x10
     "global_dense_rank",
+    # round 10: dangling-mass PageRank (does the per-pass 1-row
+    # dangling aggregate change the decade vs graph_pagerank_topk?)
+    # and the deliberate-hot-key salted aggregation
+    "graph_pagerank_dangling",
+    "agg_salted_hotkey",
 ]
 # The two deliberate exact-quadratic ground-truth twins: their answers
 # are pinned by parity tests and their x10 runs burned ~31s of the
@@ -286,43 +291,66 @@ def main() -> None:
 
     # Scale tiers (only when benching the standard sf0.1 dir — a custom
     # SPARK_GRAFT_SF_DIR means the caller wants that tier alone).
-    # SCALING.md's steady-state protocol: report the SECOND run —
-    # single-shot scale readings carry the previous heavy query's
-    # GC/memory-pressure wake (measured: 15.3s for a query whose
-    # steady state is 4.5s).
-    def _tier(names: list, fixture_dir: str) -> dict:
-        # Always one untimed full-tier warm pass first (r7 driver
-        # rerun: knn_label_vote_ivf recorded 12.5s where steady state
-        # is ~4s). Measured convergence at x10 in a fresh process is
-        # 14.9 / 5.3 / 4.6 / 4.3s — the tier-scale cogroup+GEMM paths
-        # JIT over the first TWO executions, so the second-of-2
-        # protocol alone lands mid-curve whenever the process is
-        # fresh (every driver run is). Warm + 2 timed = the third
-        # execution is the recorded one, on the curve's flat.
+    # Variance-bounded protocol (round 10): the x10 tier publishes the
+    # MEDIAN of 3 timed runs plus the run spread (max-min) per query.
+    # Two consecutive rounds of single-reading wobble in the pinned-k
+    # IVF family (r7: 12.5s vs 3.6s committed; r9: 3.2s -> 10.4s with
+    # zero code change) showed one steady-state reading per query is
+    # too thin to distinguish plan regressions from GC/scheduler
+    # weather on seconds-long queries.
+    def _tier(
+        names: list, fixture_dir: str, n_runs: int = 3
+    ) -> tuple[dict, dict]:
+        # TWO untimed full-tier warm passes first. Round-10 probe of
+        # the volatile family (6 back-to-back runs, idle machine):
+        # embedding_neardup_pairs_ann 17.3/5.1/4.8/3.3/3.5/2.9s —
+        # the cogroup+GEMM paths converge over ~4-5 executions, not
+        # 2, so the old warm+second-of-2 protocol sampled the
+        # convergence curve's knee and round-over-round deltas there
+        # were protocol position, not plan changes (r9's
+        # embedding_neardup_pairs_ivf "3.2->10.4 regression"
+        # reproduced back to ~3.0s once warm). Two warm passes put
+        # the 3 timed runs on the flat; the published min/spread
+        # expose any reading that still is not.
         for name in names:
             if name in queries:
-                _consume(queries[name](spark, fixture_dir))
-                spark.catalog.clearCache()
+                for _ in range(2):
+                    _consume(queries[name](spark, fixture_dir))
+                    spark.catalog.clearCache()
         res: dict[str, float] = {}
+        spread: dict[str, float] = {}
+        lo: dict[str, float] = {}
         for name in names:
             if name not in queries:
                 continue
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 _consume(queries[name](spark, fixture_dir))
                 runs.append(time.time() - t0)
                 spark.catalog.clearCache()
-            res[name] = round(runs[-1], 3)
-        return res
+            runs.sort()
+            # median for odd n; faster-of-2 for the x3 tier (its two
+            # exact-quadratic queries are post-warm, so the lower
+            # reading is the steady state, matching the old protocol).
+            res[name] = round(runs[(len(runs) - 1) // 2], 3)
+            spread[name] = round(runs[-1] - runs[0], 3)
+            # the min is the cleanest steady-state estimator under
+            # one-sided contamination (GC pauses and neighbors only
+            # ever ADD time); published beside the median so a fat
+            # median with a slim min reads as weather, not regression
+            lo[name] = round(runs[0], 3)
+        return res, spread, lo
 
     x10: dict[str, float] = {}
+    x10_spread: dict[str, float] = {}
+    x10_min: dict[str, float] = {}
     x3: dict[str, float] = {}
     if sf == 0.1:
         if _ensure_scale(spark, 10, X10_DIR)[0]:
-            x10 = _tier(X10_HEAVY, X10_DIR)
+            x10, x10_spread, x10_min = _tier(X10_HEAVY, X10_DIR)
         if _ensure_scale(spark, 3, X3_DIR)[0]:
-            x3 = _tier(X3_EXACT, X3_DIR)
+            x3, _, _ = _tier(X3_EXACT, X3_DIR, n_runs=2)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -334,6 +362,10 @@ def main() -> None:
     if x10:
         out["queries_x10"] = x10
         out["value_x10"] = round(sum(x10.values()), 3)
+        # per-query max-min across the 3 timed runs: a reading whose
+        # spread rivals its median is weather, not a plan delta.
+        out["spread_x10"] = x10_spread
+        out["min_x10"] = x10_min
     if x3:
         out["queries_x3"] = x3
         out["value_x3"] = round(sum(x3.values()), 3)
@@ -353,6 +385,8 @@ def main() -> None:
     final = dict(out)
     final.pop("queries_x10", None)
     final.pop("queries_x3", None)
+    final.pop("spread_x10", None)
+    final.pop("min_x10", None)
     sys.stdout.flush()
     print(_final_line(final))
 

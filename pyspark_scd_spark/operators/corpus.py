@@ -1996,6 +1996,7 @@ def corpus_release(
     n_shards: int = 32,
     lsh_num_hashes: int = 63,
     lsh_bands: int = 21,
+    upto: int | None = None,
 ) -> DataFrame:
     """End-to-end "corpus release" composite — the pipeline a training-
     data team actually ships, as ONE operator with ONE hash-checked
@@ -2229,24 +2230,33 @@ def corpus_release(
         ).cast("long"),
     )
 
-    return (
-        _row("0_input", s0, _text_payload())
-        .unionByName(_row("1_eval_holdout", s1, _text_payload()))
-        .unionByName(_row("2_exact_dedup", s2, _text_payload()))
-        .unionByName(_row("3_near_dedup", s3, _text_payload()))
-        .unionByName(_row("4_para_dedup", s4, _text_payload()))
-        .unionByName(_row("5_decontaminate", s5, _text_payload()))
-        .unionByName(_row("6_quality_gate", s6, _text_payload()))
-        .unionByName(_row("7_temperature_mix", s7, _text_payload()))
-        .unionByName(
-            _row(
-                "8_pack",
-                s8,
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.col("__bin").cast("string"),
-                ),
-            )
-        )
-    )
+    # ``upto`` truncates the manifest to stages <= upto — the
+    # stage-timing instrument (tools/stage_timings.py) times the
+    # manifest prefix at each k and differences consecutive walls to
+    # attribute marginal cost per stage. Production callers leave it
+    # None (full 9-row manifest).
+    rows = [
+        _row("0_input", s0, _text_payload()),
+        _row("1_eval_holdout", s1, _text_payload()),
+        _row("2_exact_dedup", s2, _text_payload()),
+        _row("3_near_dedup", s3, _text_payload()),
+        _row("4_para_dedup", s4, _text_payload()),
+        _row("5_decontaminate", s5, _text_payload()),
+        _row("6_quality_gate", s6, _text_payload()),
+        _row("7_temperature_mix", s7, _text_payload()),
+        _row(
+            "8_pack",
+            s8,
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("__bin").cast("string"),
+            ),
+        ),
+    ]
+    if upto is not None:
+        rows = rows[: upto + 1]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -38,13 +38,22 @@ def pagerank(
     checkpoint_every: int = 5,
     edges_distinct: bool = False,
     edges_materialized: bool = False,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an (src, dst) edge list.
 
     pr'(v) = (1-d)/N + d * sum over incoming edges (u,v) of
-    pr(u)/outdeg(u). Dangling mass is not redistributed (nodes
-    without out-edges leak rank — standard simplified form; document
-    the choice rather than hide a second global aggregate).
+    pr(u)/outdeg(u). By default dangling mass is not redistributed
+    (nodes without out-edges leak rank — standard simplified form).
+    With ``redistribute_dangling=True`` the classic correction is
+    applied: each iteration adds d * D/N to every node, where D is
+    the summed rank of nodes with no out-edges, so total rank mass
+    is conserved (sums to 1 every iteration). Cost: ONE extra global
+    aggregate per iteration — a 1-row DataFrame over the (|nodes|-
+    sized) rank table, attached via crossJoin exactly like the
+    global_max_broadcast pattern (scd.py), never a driver collect:
+    the scalar stays JVM-side and AQE turns the crossJoin into a
+    broadcast of the single row.
     Returns (node, pr) for all nodes, unrounded.
     """
     # Materialize the canonical edge set ONCE: nodes, degrees, and the
@@ -76,6 +85,15 @@ def pagerank(
     out_edges = edges.join(deg, "src").cache()
     n = nodes.count()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    # The dangling node set is FIXED across iterations (out-degree
+    # never changes), so build it once: nodes minus edge sources.
+    # Left-anti on the (already cached) degree table — |nodes|-sized,
+    # one exchange, reused every pass.
+    dangling = None
+    if redistribute_dangling:
+        dangling = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).cache()
     # No broadcast hints inside the loop: on a billion-node graph the
     # ranks/mass tables are |nodes|-sized, and an explicit broadcast
     # would ship the full rank vector to every executor every
@@ -84,6 +102,13 @@ def pagerank(
     # and a partitioned hash join when it doesn't — same results,
     # scale-safe plan.
     for i in range(iters):
+        if dangling is not None:
+            # The dangling aggregate references ranks a SECOND time
+            # per iteration; unpinned, that doubles the rank subtree
+            # per pass (2^iters growth). A LAZY localCheckpoint dedups
+            # both references onto one cached block set without
+            # spending an extra eager job.
+            ranks = ranks.localCheckpoint(eager=False)
         mass = (
             out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select(
@@ -93,11 +118,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__mass"))
         )
-        ranks = nodes.join(mass, "node", "left").select(
+        base = nodes.join(mass, "node", "left")
+        if dangling is not None:
+            # D = sum of current rank over dangling nodes: a 1-row
+            # aggregate crossJoined onto the update (broadcast of one
+            # row under AQE — the global_max_broadcast pattern), NOT
+            # a collect: the loop stays a pure DataFrame program and
+            # the scalar never round-trips through the driver.
+            dmass = (
+                ranks.join(dangling, "node", "semi")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dm"))
+            )
+            base = base.crossJoin(F.broadcast(dmass))
+            extra = damping * F.col("__dm") / n
+        else:
+            extra = F.lit(0.0)
+        ranks = base.select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
                 + damping * F.coalesce(F.col("__mass"), F.lit(0.0))
+                + extra
             ).alias("pr"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:

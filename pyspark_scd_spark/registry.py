@@ -2291,6 +2291,49 @@ def q_salted_agg_skew(spark, sf_dir):
 
 
 @register(
+    "agg_salted_hotkey",
+    """
+    SELECT CASE WHEN l_linenumber >= 2 THEN 'hot'
+                ELSE 'cold-' || CAST(l_suppkey AS VARCHAR) END AS skew_key,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS revenue,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Salted aggregation under a DELIBERATE hot key: ~6/7 of all "
+    "lineitem rows collapse onto one derived key ('hot'), the shape "
+    "that pins a naive groupBy's final stage on a single task once "
+    "per-key state outgrows the map-side hash (distinct-heavy aggs, "
+    "collect_list, huge groups). The salted form's first exchange "
+    "spreads the hot key across 32 salt partitions; the second "
+    "merges 32 partial rows per key. Result is EQUAL to the plain "
+    "groupBy — the oracle states exactly that; integer-cents sums "
+    "keep it order-independent, so the equality is hash-exact "
+    "(operators/skew.py salted_sum_count; SCALING.md hot-key study).",
+)
+def q_agg_salted_hotkey(spark, sf_dir):
+    from pyspark_scd_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 2, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), F.col("l_suppkey").cast("string")))
+        .alias("skew_key"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("rev_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = skew.salted_sum_count(
+        li, ["skew_key"], ["rev_cents", "qty"], n_salts=32
+    )
+    return out.select(
+        "skew_key",
+        (F.col("sum_rev_cents") / 100.0).alias("revenue"),
+        F.col("sum_qty").alias("sum_qty"),
+        "n_rows",
+    )
+
+
+@register(
     "doc_winnow_fingerprint",
     r"""
     WITH n AS (SELECT doc_id,
@@ -5869,6 +5912,109 @@ def q_graph_pagerank(spark, sf_dir):
         damping=0.85,
         edges_distinct=True,
         edges_materialized=True,
+    )
+    out = ranks.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, "S").otherwise("C"),
+            (F.col("node") / 2).cast("long").cast("string"),
+        ).alias("node"),
+        F.round("pr", 6).alias("pagerank"),
+    )
+    return out.orderBy(F.col("pagerank").desc(), F.col("node").asc()).limit(20)
+
+
+@register(
+    "graph_pagerank_dangling",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT 'S' || CAST(s AS VARCHAR) AS src,
+             'C' || CAST(c AS VARCHAR) AS dst FROM pairs),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY 1),
+    p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    d0 AS (
+      SELECT COALESCE(SUM(pr), 0.0) AS dm FROM p0
+      WHERE node NOT IN (SELECT src FROM edges)),
+    p1 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0)
+             + 0.85 * ANY_VALUE(d0.dm) / ANY_VALUE(nn.n) AS pr
+      FROM nodes n0 CROSS JOIN nn CROSS JOIN d0
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p0 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node),
+    d1 AS (
+      SELECT COALESCE(SUM(pr), 0.0) AS dm FROM p1
+      WHERE node NOT IN (SELECT src FROM edges)),
+    p2 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0)
+             + 0.85 * ANY_VALUE(d1.dm) / ANY_VALUE(nn.n) AS pr
+      FROM nodes n0 CROSS JOIN nn CROSS JOIN d1
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p1 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node),
+    d2 AS (
+      SELECT COALESCE(SUM(pr), 0.0) AS dm FROM p2
+      WHERE node NOT IN (SELECT src FROM edges)),
+    p3 AS (
+      SELECT n0.node,
+             0.15 / ANY_VALUE(nn.n)
+             + 0.85 * COALESCE(SUM(p.pr / d.outdeg), 0.0)
+             + 0.85 * ANY_VALUE(d2.dm) / ANY_VALUE(nn.n) AS pr
+      FROM nodes n0 CROSS JOIN nn CROSS JOIN d2
+      LEFT JOIN edges e ON e.dst = n0.node
+      LEFT JOIN p2 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY n0.node)
+    SELECT node, ROUND(pr, 6) AS pagerank
+    FROM p3 ORDER BY pagerank DESC, node ASC LIMIT 20
+    """,
+    doc="Top-20 PageRank WITH dangling-mass redistribution over the "
+    "DIRECTED supplier->customer trade graph (customers have no "
+    "out-edges, so without the correction ~half the rank mass leaks "
+    "every pass). Each iteration adds one |nodes|-sized semi-join + "
+    "1-row global aggregate, crossJoined back in broadcast form — "
+    "never a driver collect; rank mass is conserved (sums to 1). "
+    "Oracle is the identical recurrence unrolled with per-level "
+    "dangling scalars (operators/graph.py pagerank, "
+    "redistribute_dangling=True).",
+)
+def q_graph_pagerank_dangling(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Same long-keyed bipartite encoding as graph_pagerank_topk, but
+    # the edge set is the DIRECTED half only: suppliers point at the
+    # customers they ship to, customers point nowhere — the canonical
+    # dangling-node workload.
+    o_side = F.broadcast(o) if o.count() <= 5_000_000 else o
+    edges = (
+        li.join(o_side, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = _graph.pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        edges_distinct=True,
+        edges_materialized=True,
+        redistribute_dangling=True,
     )
     out = ranks.select(
         F.concat(

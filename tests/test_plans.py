@@ -333,3 +333,29 @@ def test_gif_meta_is_pure_map(spark, sf_dir):
     plan = explain.physical_plan(df)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_salted_hotkey_two_phase(spark, sf_dir):
+    """agg_salted_hotkey commits to the two-exchange salted shape:
+    partial aggregate keyed on (skew_key, __salt) — the hot key spread
+    over 32 salt partitions — then the key-level merge. No
+    SinglePartition anywhere: a global hot key must never serialize
+    the final stage either."""
+    df = REGISTRY["agg_salted_hotkey"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 2, plan
+    assert any("__salt" in e for e in exchanges), plan
+    salted = [e for e in exchanges if "__salt" in e]
+    assert all("skew_key" in e for e in salted), plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_session_aqe_skew_join_enabled(spark, sf_dir):
+    """AQE skew-join splitting is the engine's standing answer for
+    skewed JOIN keys (salting covers aggregations); pin the session
+    contract so a config regression can't silently disable it."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    )

@@ -60,6 +60,52 @@ def test_pagerank_star_center_wins(spark):
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_dangling_mass_conserved(spark):
+    # a -> b with b dangling: the simplified form leaks b's share of
+    # the mass every pass; the redistributed form conserves sum(pr)=1.
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    leaky = {
+        r["node"]: r["pr"] for r in graph.pagerank(edges, iters=3).collect()
+    }
+    assert sum(leaky.values()) < 0.999  # documented leak
+    fixed = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            edges, iters=3, redistribute_dangling=True
+        ).collect()
+    }
+    assert sum(fixed.values()) == pytest.approx(1.0, abs=1e-9)
+    # hand-computed first iteration on this 2-node graph:
+    # pr(a) = 0.15/2 + 0.85*0.5/2            = 0.2875
+    # pr(b) = 0.15/2 + 0.85*0.5 + 0.85*0.5/2 = 0.7125
+    one = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            edges, iters=1, redistribute_dangling=True
+        ).collect()
+    }
+    assert one["a"] == pytest.approx(0.2875, abs=1e-12)
+    assert one["b"] == pytest.approx(0.7125, abs=1e-12)
+
+
+def test_pagerank_dangling_noop_when_no_dangling_nodes(spark):
+    # 3-cycle has no dangling nodes: both forms agree exactly.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    plain = {
+        r["node"]: r["pr"] for r in graph.pagerank(edges, iters=4).collect()
+    }
+    redis = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(
+            edges, iters=4, redistribute_dangling=True
+        ).collect()
+    }
+    for k in plain:
+        assert redis[k] == pytest.approx(plain[k], abs=1e-12)
+
+
 def test_pagerank_checkpoint_path(spark):
     # iters > checkpoint_every exercises the lineage-truncation branch
     edges = spark.createDataFrame(
