@@ -243,42 +243,88 @@ def phash_neardup_pairs(
     ``bands`` has < bands differing-bit "budget" spread over
     ``bands`` disjoint substrings, so at least one substring matches
     exactly (pigeonhole) — the band equi-join has RECALL 1, then
-    bit_count(xor) verifies candidates exactly. No cross join
-    anywhere; the only exchange is the (band_no, band_val) shuffle.
+    bit_count(xor) verifies candidates exactly.
+
+    DISTINCT-HASH COLLAPSE (round-10 decade-study finding): image
+    corpora carry exact-duplicate cliques — many docs sharing one
+    phash (verbatim copies; the synthetic registry corpus by
+    construction). Banding the raw (id, hash) table makes every band
+    self-join do O(|clique|²) work PER BAND, measured 195s at 150k
+    docs where hashing itself took 2.3s. So the band join here runs
+    over DISTINCT hashes only (volume ∝ hash diversity, never doc
+    count); doc pairs are then recovered by two hash->ids joins
+    (cross-clique, hamming >= 1) plus one hash-keyed self-join
+    (intra-clique, hamming 0 — AQE skew-join splits a hot hash).
+    The pair OUTPUT is still Σ|A|·|B| — inherent to the list-pairs
+    contract — but no shuffle JOIN is quadratic anymore. Measured at
+    the same 150k tier: 195s -> ~9s.
     """
     if max_hamming >= bands:
         raise ValueError(
             "pigeonhole recall guarantee needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    banded = _banded(ph, id_col, hash_col, bands)
+    # the (id, hash) projection is referenced four times below (hash
+    # universe, two expansion joins, the hamming-0 self-join); a LAZY
+    # localCheckpoint pins it so the upstream Arrow decode+DCT stage
+    # runs once, not four times.
+    ids = ph.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    ).localCheckpoint(eager=False)
+    hs = ids.select("__h").distinct()
+    banded = _banded(hs, "__h", "__h", bands)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    hp = (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__h") < F.col("b.__h")),
         )
         .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
-            F.col("a.__h").alias("__ha"),
-            F.col("b.__h").alias("__hb"),
+            F.col("a.__h").alias("__ha"), F.col("b.__h").alias("__hb")
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming",
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast(
                 "int"
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    cross = (
+        hp.join(
+            ids.select(
+                F.col("__id").alias("__ida"), F.col("__h").alias("__ha")
+            ),
+            "__ha",
+        )
+        .join(
+            ids.select(
+                F.col("__id").alias("__idb"), F.col("__h").alias("__hb")
+            ),
+            "__hb",
+        )
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x = ids.alias("x")
+    y = ids.alias("y")
+    zero = x.join(
+        y,
+        (F.col("x.__h") == F.col("y.__h"))
+        & (F.col("x.__id") < F.col("y.__id")),
+    ).select(
+        F.col("x.__id").alias("doc_a"),
+        F.col("y.__id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(zero)
 
 
 def phash_neardup_incremental(
@@ -306,29 +352,48 @@ def phash_neardup_incremental(
             "pigeonhole recall guarantee needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    s = _banded(store, id_col, hash_col, bands).alias("s")
-    b = _banded(batch, id_col, hash_col, bands).alias("b")
-    cand = (
+    # Distinct-hash collapse, same as phash_neardup_pairs (see its
+    # docstring for the measured quadratic-clique finding): the band
+    # join runs store-hash x batch-hash, then two hash->ids joins
+    # expand to (store_id, batch_id). Equal hashes across the two
+    # sides band-match trivially, so hamming-0 pairs need no separate
+    # branch here (the sides are disjoint id spaces).
+    s_ids = store.select(
+        F.col(id_col).alias("store_id"), F.col(hash_col).alias("__hs")
+    ).localCheckpoint(eager=False)
+    b_ids = batch.select(
+        F.col(id_col).alias("batch_id"), F.col(hash_col).alias("__hb")
+    ).localCheckpoint(eager=False)
+    s = _banded(s_ids.select("__hs").distinct(), "__hs", "__hs", bands).alias(
+        "s"
+    )
+    b = _banded(b_ids.select("__hb").distinct(), "__hb", "__hb", bands).alias(
+        "b"
+    )
+    hp = (
         s.join(
             b,
             (F.col("s.band_no") == F.col("b.band_no"))
             & (F.col("s.band_val") == F.col("b.band_val")),
         )
         .select(
-            F.col("s.__id").alias("store_id"),
-            F.col("b.__id").alias("batch_id"),
-            F.col("s.__h").alias("__hs"),
-            F.col("b.__h").alias("__hb"),
+            F.col("s.__h").alias("__hs"), F.col("b.__h").alias("__hb")
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming",
             F.bit_count(F.col("__hs").bitwiseXOR(F.col("__hb"))).cast(
                 "int"
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+    # expand the (typically much smaller) batch side FIRST so the
+    # store expansion — the output-sized blowup on clique-heavy
+    # corpora — happens in the last join instead of being shuffled
+    # again through a second one.
+    return (
+        hp.join(b_ids, "__hb")
+        .join(s_ids, "__hs")
         .select("store_id", "batch_id", "hamming")
     )
