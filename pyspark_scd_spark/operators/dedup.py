@@ -159,9 +159,18 @@ def _identical_set_groups(sh: DataFrame):
         .localCheckpoint()
     )
     members = sig.join(groups, "__sig").localCheckpoint()
-    # checkpointed: every caller consumes the rep shingles 3-4x
-    # (sizes, both join legs, signature build) and the comments in
-    # those callers stress the shingle pass must be paid once
+    # EAGER checkpoints, deliberately — round-10 audit (NOTES.md item
+    # 9): these four layers feed each other and EVERY caller consumes
+    # all four, so the sequential eager materialization is the
+    # optimal schedule. The two alternatives were measured worse or
+    # no better: localCheckpoint(eager=False) still executes all
+    # upstream query stages at call time under AQE (lazy-in-name-
+    # only), and cache() — genuinely lazy — loses the sequencing, so
+    # AQE's PARALLEL query stages race the shared shingle scan and
+    # compute it twice (18.3s -> 32s cold at sf0.1). The visible cost
+    # is that building this plan runs jobs (~12s of honest stage-3
+    # work at sf0.1), charged at construction rather than first
+    # consumption.
     rep_sh = sh.join(
         groups.select(F.col("__rep").alias("__id")), "__id"
     ).localCheckpoint()
