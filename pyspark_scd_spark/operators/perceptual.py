@@ -397,3 +397,155 @@ def phash_neardup_incremental(
         .join(s_ids, "__hs")
         .select("store_id", "batch_id", "hamming")
     )
+
+
+# ======================================================================
+# Video perceptual near-dup: per-frame luma fingerprints + the same
+# distinct-hash multi-index Hamming machinery as the image family.
+# ======================================================================
+
+VIDEO_FHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """63-bit perceptual fingerprint per decoded video FRAME: bit k is
+    set iff the luma sample at position (k % h, (k*7) % w) exceeds the
+    frame's mean — compared exactly as ``lum * (w*h) > sum(luma)`` so
+    there is no division and the hash is bit-identical across engines
+    (the image-pHash exactness discipline applied to video; the frame
+    planes come from a REAL Y4M parse, functions/videocodec.py).
+
+    Returns (id, frame_idx, fhash) — the index a frame-voting video
+    dedup builds on. The Arrow stage is a pure map (1 video in,
+    n_frames rows out); at 100 TB it scales with frames/core and
+    nothing exchanges.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import videocodec
+
+        ks = np.arange(63, dtype=np.int64)
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta, frames = videocodec.decode_y4m(bytes(payload))
+                w, h = meta["width"], meta["height"]
+                idx = (ks % h) * w + (ks * 7) % w
+                weights = np.left_shift(
+                    np.int64(1), ks, dtype=np.int64
+                )
+                for f, (y, _u, _v) in enumerate(frames):
+                    ya = np.frombuffer(y, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    s = int(ya.sum())
+                    bits = (ya[idx] * (w * h) > s).astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["fhash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=VIDEO_FHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    fh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    max_hamming: int = 3,
+    min_matches: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """(video_a, video_b, n_matched) for every cross-video pair whose
+    frames match at least ``min_matches`` times, where a frame match
+    is Hamming(fhash_a, fhash_b) <= max_hamming. Frame-vote dedup is
+    the standard shape for near-duplicate video detection: clips
+    survive re-encoding with most frame fingerprints intact, so a
+    handful of matched frames identifies a duplicate without any
+    temporal alignment.
+
+    Same scale architecture as phash_neardup_pairs: the band join
+    runs over DISTINCT frame hashes (pigeonhole recall 1 at
+    max_hamming < bands), doc-level pairs are recovered by expansion
+    joins, and equal-hash frame matches come from one hash-keyed
+    self-join (AQE skew-join splits a hot fingerprint). The only
+    corpus-sized exchanges are hash-keyed.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    frames = fh.select(
+        F.col(id_col).alias("__vid"), F.col(hash_col).alias("__h")
+    ).localCheckpoint(eager=False)
+    hs = frames.select("__h").distinct()
+    banded = _banded(hs, "__h", "__h", bands)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hp = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__h") < F.col("b.__h")),
+        )
+        .select(
+            F.col("a.__h").alias("__ha"), F.col("b.__h").alias("__hb")
+        )
+        .distinct()
+        .filter(
+            F.bit_count(
+                F.col("__ha").bitwiseXOR(F.col("__hb"))
+            ) <= max_hamming
+        )
+    )
+    cross = (
+        hp.join(
+            frames.select(
+                F.col("__vid").alias("__va"), F.col("__h").alias("__ha")
+            ),
+            "__ha",
+        )
+        .join(
+            frames.select(
+                F.col("__vid").alias("__vb"), F.col("__h").alias("__hb")
+            ),
+            "__hb",
+        )
+        .filter(F.col("__va") != F.col("__vb"))
+        .select(
+            F.least("__va", "__vb").alias("video_a"),
+            F.greatest("__va", "__vb").alias("video_b"),
+        )
+    )
+    x = frames.alias("x")
+    y = frames.alias("y")
+    equal = x.join(
+        y,
+        (F.col("x.__h") == F.col("y.__h"))
+        & (F.col("x.__vid") < F.col("y.__vid")),
+    ).select(
+        F.col("x.__vid").alias("video_a"),
+        F.col("y.__vid").alias("video_b"),
+    )
+    return (
+        cross.unionByName(equal)
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
+    )

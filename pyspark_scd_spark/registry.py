@@ -11329,3 +11329,99 @@ def q_image_phash_incremental(spark, sf_dir):
         _ph(F.col("doc_id") % 10 < 8),
         _ph(F.col("doc_id") % 10 >= 8),
     )
+
+
+# ----------------------------------------------------------------------
+# Video perceptual near-dup (operators/perceptual.py video_*): the
+# pHash playbook applied to video — per-frame 63-bit luma fingerprints
+# from a REAL Y4M decode, exact integer mean-compare (lum*(w*h) > sum,
+# no division), frame-vote pairing over the distinct-hash multi-index
+# Hamming join. The oracle replays the deterministic plane signal
+# (multimodal.with_video_payload: luma(doc,f,y,x) = (doc*31 + f*97 +
+# y*13 + x*7) % 256, dims from doc_id) pixel-for-pixel, so a hash
+# match proves the Y4M container parse, the plane split, AND the
+# fingerprint arithmetic bit-for-bit.
+# ----------------------------------------------------------------------
+
+_VIDEO_FHASH_CTES = """
+    dims AS (SELECT doc_id,
+                    8 + (doc_id % 5) * 2 AS w,
+                    6 + (doc_id % 3) * 2 AS h,
+                    2 + doc_id % 4 AS n
+             FROM documents),
+    fr AS (SELECT doc_id, w, h, CAST(f.f AS BIGINT) AS f
+           FROM dims, LATERAL (SELECT UNNEST(range(n)) AS f) f),
+    sums AS (SELECT fr.doc_id, fr.f,
+                    ANY_VALUE(fr.w) AS w, ANY_VALUE(fr.h) AS h,
+                    SUM((fr.doc_id*31 + fr.f*97 + y.y*13 + x.x*7) % 256)
+                      AS s
+             FROM fr,
+                  LATERAL (SELECT UNNEST(range(h)) AS y) y,
+                  LATERAL (SELECT UNNEST(range(w)) AS x) x
+             GROUP BY 1, 2),
+    fbits AS (SELECT doc_id, f,
+                     CAST(SUM(CASE WHEN
+                       ((doc_id*31 + f*97 + (k.k % h)*13
+                         + ((k.k*7) % w)*7) % 256) * w * h > s
+                       THEN (CAST(1 AS BIGINT) << k.k) ELSE 0 END)
+                       AS BIGINT) AS fhash
+              FROM sums, LATERAL (SELECT UNNEST(range(63)) AS k) k
+              GROUP BY 1, 2)
+"""
+
+
+@register(
+    "video_phash_frames",
+    f"""
+    WITH {_VIDEO_FHASH_CTES}
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, fhash
+    FROM fbits
+    """,
+    doc="Per-frame 63-bit luma fingerprint over REAL Y4M streams "
+    "(operators/perceptual.py video_frame_hashes): decode the "
+    "vendored YUV4MPEG2 container, and for each frame set bit k iff "
+    "the luma sample at (k % h, (k*7) % w) exceeds the frame mean — "
+    "compared exactly as lum*(w*h) > sum(luma), no division, so the "
+    "hash is bit-identical across engines. The oracle replays the "
+    "deterministic plane signal pixel-for-pixel: a hash match proves "
+    "the container parse, plane split, and fingerprint arithmetic. "
+    "Pure Arrow map, one video in / n_frames rows out.",
+)
+def q_video_phash_frames(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual.video_frame_hashes(MM.with_video_payload(d))
+
+
+@register(
+    "video_phash_neardup",
+    f"""
+    WITH {_VIDEO_FHASH_CTES}
+    SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM fbits a JOIN fbits b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.fhash, b.fhash)) <= 3
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Near-duplicate video pairs by frame voting (operators/"
+    "perceptual.py video_neardup_pairs): a frame match is Hamming "
+    "(fhash_a, fhash_b) <= 3 over the 63-bit per-frame luma "
+    "fingerprint; a video pair qualifies with >= 2 matched frame "
+    "combinations — the standard no-temporal-alignment shape for "
+    "re-encoded-clip dedup. Scale architecture is the image family's "
+    "distinct-hash collapse: the multi-index band join (pigeonhole "
+    "recall 1) runs over DISTINCT frame hashes, video pairs come "
+    "from expansion joins plus one hash-keyed self-join for "
+    "equal-hash frames (AQE skew-split). The oracle brute-forces all "
+    "cross-video frame combinations.",
+)
+def q_video_phash_neardup(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual.video_neardup_pairs(
+        perceptual.video_frame_hashes(MM.with_video_payload(d))
+    )

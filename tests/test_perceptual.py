@@ -138,3 +138,75 @@ def test_pixel_sql_python_parity():
     assert len(rows) == len(docs) * n * n
     for doc, y, x, px in rows:
         assert px == perceptual._pixel(doc, y, x), (doc, y, x)
+
+
+def test_video_frame_hashes_match_python_reference(spark):
+    """Spark's Arrow-side frame fingerprint equals a direct Python
+    recomputation from the deterministic plane signal, for dims
+    covering every (w, h, n) combination the synth produces."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["fhash"]
+        for r in perceptual.video_frame_hashes(
+            MM.with_video_payload(docs)
+        ).collect()
+    }
+    for i in range(60):
+        w, h, n = MM._vid_dims(i)
+        for f in range(n):
+            lum = [
+                (i * 31 + f * 97 + y * 13 + x * 7) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            s = sum(lum)
+            expect = sum(
+                (1 << k)
+                for k in range(63)
+                if lum[(k % h) * w + (k * 7) % w] * (w * h) > s
+            )
+            assert got[(i, f)] == expect, (i, f)
+
+
+def test_video_neardup_identical_and_disjoint(spark):
+    """Byte-identical videos match on every frame combination at
+    hamming 0; a video with no matching frames produces no pair."""
+    from pyspark.sql import Row
+
+    # two identical 2-frame videos + one with disjoint hashes
+    fh = spark.createDataFrame(
+        [
+            Row(doc_id=1, frame_idx=0, fhash=10),
+            Row(doc_id=1, frame_idx=1, fhash=99),
+            Row(doc_id=2, frame_idx=0, fhash=10),
+            Row(doc_id=2, frame_idx=1, fhash=99),
+            Row(doc_id=3, frame_idx=0, fhash=(1 << 40) | (1 << 20)),
+        ]
+    )
+    out = {
+        (r["video_a"], r["video_b"]): r["n_matched"]
+        for r in perceptual.video_neardup_pairs(fh).collect()
+    }
+    # frames 10 and 99 differ by more than 3 bits (10^99 = 105 ->
+    # popcount 4), so only the two aligned matches count
+    assert out == {(1, 2): 2}
+
+
+def test_video_neardup_counts_cross_frame_combinations(spark):
+    """A frame hash within hamming 3 of TWO frames of another video
+    contributes two matched combinations; min_matches filters."""
+    from pyspark.sql import Row
+
+    fh = spark.createDataFrame(
+        [
+            Row(doc_id=1, frame_idx=0, fhash=0b1000),
+            Row(doc_id=2, frame_idx=0, fhash=0b1001),
+            Row(doc_id=2, frame_idx=1, fhash=0b1010),
+        ]
+    )
+    out = perceptual.video_neardup_pairs(fh, min_matches=2).collect()
+    assert len(out) == 1 and out[0]["n_matched"] == 2
+    none = perceptual.video_neardup_pairs(fh, min_matches=3).collect()
+    assert none == []
