@@ -302,26 +302,51 @@ def _synth_samples(doc_id: int):
 
 
 def with_audio_payload(
-    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    phase_boost: int = 0,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Synthesize a REAL WAV binary column (vendored RIFF/PCM encoder)
     from the deterministic signal above. Stands in for reading real
-    audio blobs; every byte downstream is a genuine WAV container."""
+    audio blobs; every byte downstream is a genuine WAV container.
+
+    ``phase_boost``/``id_offset`` synthesize "re-encoded copy" twins
+    for the fingerprint dedup entries: samples j < 2 get the boost
+    added INSIDE the modulo (so the int16 range is preserved by
+    construction) and the emitted id is shifted — a deterministic
+    near-duplicate whose window-0 energy differs while every other
+    window is byte-identical."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark_scd_spark.functions import audiocodec
 
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 64 + i % 193
+                samples = [
+                    (
+                        (
+                            i * 7919
+                            + j * 104729
+                            + (phase_boost if j < 2 else 0)
+                        )
+                        % 65536
+                    )
+                    - 32768
+                    for j in range(n)
+                ]
+                payloads.append(
+                    audiocodec.encode_wav(samples, AUDIO_RATE)
+                )
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    out_col: [
-                        audiocodec.encode_wav(
-                            _synth_samples(int(i)), AUDIO_RATE
-                        )
-                        for i in ids
-                    ],
+                    id_col: (ids + id_offset),
+                    out_col: payloads,
                 }
             )
 

@@ -549,3 +549,68 @@ def video_neardup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_matches)
     )
+
+
+# ======================================================================
+# Audio perceptual fingerprint: window-energy delta bits — the third
+# leg of the multimodal dedup triple (image pHash, video frame votes,
+# audio energy-transition fingerprints).
+# ======================================================================
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 4,
+) -> DataFrame:
+    """63-bit audio fingerprint from a REAL WAV decode: split the PCM
+    stream into ``window``-sample windows, compute each window's
+    integer energy (sum of squares), and set bit k iff
+    energy[k+1] > energy[k] (k <= 62). Energy-TRANSITION signs are
+    the Haitsma-Kalker (2002) robust-hash derivation reduced to one
+    band: invariant under volume scaling and phase shifts, which is
+    why re-encoded copies keep most bits. All int64 arithmetic — the
+    oracle replays sample values, window energies, and the packed
+    bits exactly.
+
+    Returns (id, n_windows, afp). Pure Arrow map; pairs come from
+    ``phash_neardup_pairs`` unchanged (the band machinery is
+    hash-generic).
+    """
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import audiocodec
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_windows": [], "afp": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = audiocodec.decode_wav(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                n_win = (len(s) + window - 1) // window
+                e = [
+                    int((s[w * window : (w + 1) * window] ** 2).sum())
+                    for w in range(n_win)
+                ]
+                afp = 0
+                for k in range(min(n_win - 1, 63)):
+                    if e[k + 1] > e[k]:
+                        afp |= 1 << k
+                out["doc_id"].append(int(doc_id))
+                out["n_windows"].append(n_win)
+                out["afp"].append(afp)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _fp, schema=AUDIO_FP_SCHEMA
+    )

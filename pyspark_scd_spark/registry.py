@@ -11425,3 +11425,102 @@ def q_video_phash_neardup(spark, sf_dir):
     return perceptual.video_neardup_pairs(
         perceptual.video_frame_hashes(MM.with_video_payload(d))
     )
+
+
+# ----------------------------------------------------------------------
+# Audio perceptual fingerprint (operators/perceptual.py
+# audio_fingerprint): the third leg of the multimodal dedup triple.
+# Corpus = every document's deterministic PCM clip plus a planted
+# "re-encoded copy" twin for doc_id % 13 == 0 (+333 phase on samples
+# j < 2, id shifted +10M): only window 0's energy changes, so the twin
+# differs in at most bit 0 — hamming <= 1 by construction, a
+# guaranteed-detectable near-dup population.
+# ----------------------------------------------------------------------
+
+_AUDIO_FP_CTES = """
+    aud AS (SELECT doc_id AS out_id, doc_id AS base, 0 AS boost
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, doc_id, 333
+            FROM documents WHERE doc_id % 13 = 0),
+    smp AS (SELECT out_id, j.j AS j,
+                   ((base*7919 + j.j*104729
+                     + CASE WHEN j.j < 2 THEN boost ELSE 0 END)
+                    % 65536) - 32768 AS v
+            FROM aud,
+                 LATERAL (SELECT UNNEST(range(64 + base % 193)) AS j) j),
+    wins AS (SELECT out_id, j // 4 AS w, SUM(v*v) AS e
+             FROM smp GROUP BY 1, 2),
+    wl AS (SELECT out_id, w, e,
+                  LEAD(e) OVER (PARTITION BY out_id ORDER BY w) AS e2
+           FROM wins),
+    afp AS (SELECT out_id AS doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_windows,
+                   CAST(COALESCE(SUM(CASE WHEN e2 > e AND w <= 62
+                     THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+                     ELSE 0 END), 0) AS BIGINT) AS afp
+            FROM wl GROUP BY 1)
+"""
+
+
+@register(
+    "audio_fingerprint",
+    f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT doc_id, n_windows, afp FROM afp
+    """,
+    doc="63-bit audio fingerprint over REAL WAV payloads (operators/"
+    "perceptual.py audio_fingerprint): decode the vendored RIFF/PCM "
+    "container, 4-sample window energies, bit k = energy[k+1] > "
+    "energy[k] — the Haitsma-Kalker energy-transition derivation, "
+    "all int64 so the oracle replays samples, energies, and packed "
+    "bits exactly. Corpus includes planted re-encode twins "
+    "(doc_id%13==0, +333 phase on 2 samples, id+10M). Pure Arrow "
+    "map; a hash match proves the WAV parse AND the fingerprint "
+    "arithmetic.",
+)
+def q_audio_fingerprint(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    clips = MM.with_audio_payload(d).unionByName(
+        MM.with_audio_payload(
+            d.filter(F.col("doc_id") % 13 == 0),
+            phase_boost=333,
+            id_offset=10_000_000,
+        )
+    )
+    return perceptual.audio_fingerprint(clips)
+
+
+@register(
+    "audio_fingerprint_neardup",
+    f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """,
+    doc="Near-duplicate audio pairs at hamming <= 3 over the 63-bit "
+    "energy-transition fingerprint — same distinct-hash multi-index "
+    "band machinery as the image family (phash_neardup_pairs is "
+    "hash-generic: pigeonhole recall 1, exact bit_count verify, "
+    "hamming-0 clique self-join). The planted twins are found at "
+    "hamming <= 1 by construction; the oracle brute-forces all "
+    "pairs.",
+)
+def q_audio_fingerprint_neardup(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    clips = MM.with_audio_payload(d).unionByName(
+        MM.with_audio_payload(
+            d.filter(F.col("doc_id") % 13 == 0),
+            phase_boost=333,
+            id_offset=10_000_000,
+        )
+    )
+    return perceptual.phash_neardup_pairs(
+        perceptual.audio_fingerprint(clips), hash_col="afp"
+    )

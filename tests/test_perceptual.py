@@ -210,3 +210,55 @@ def test_video_neardup_counts_cross_frame_combinations(spark):
     assert len(out) == 1 and out[0]["n_matched"] == 2
     none = perceptual.video_neardup_pairs(fh, min_matches=3).collect()
     assert none == []
+
+
+def test_audio_fingerprint_matches_python_reference(spark):
+    """Spark's Arrow-side fingerprint equals a direct Python
+    recomputation from the deterministic PCM signal."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["afp"])
+        for r in perceptual.audio_fingerprint(
+            MM.with_audio_payload(docs)
+        ).collect()
+    }
+    for i in range(40):
+        n = 64 + i % 193
+        s = [((i * 7919 + j * 104729) % 65536) - 32768 for j in range(n)]
+        n_win = (n + 3) // 4
+        e = [
+            sum(v * v for v in s[w * 4 : (w + 1) * 4])
+            for w in range(n_win)
+        ]
+        afp = sum(
+            (1 << k)
+            for k in range(min(n_win - 1, 63))
+            if e[k + 1] > e[k]
+        )
+        assert got[i] == (n_win, afp), i
+
+
+def test_audio_twin_is_near_duplicate(spark):
+    """The planted re-encode twin (+333 phase on samples j < 2)
+    changes only window 0's energy, so its fingerprint is within
+    hamming 1 of the original — and the pair machinery finds it."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 13).withColumnRenamed("id", "doc_id")
+    clips = MM.with_audio_payload(docs).unionByName(
+        MM.with_audio_payload(
+            docs, phase_boost=333, id_offset=10_000_000
+        )
+    )
+    fp = perceptual.audio_fingerprint(clips)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in perceptual.phash_neardup_pairs(
+            fp, hash_col="afp"
+        ).collect()
+    }
+    for i in range(13):
+        assert (i, i + 10_000_000) in pairs
+        assert pairs[(i, i + 10_000_000)] <= 1
