@@ -11524,3 +11524,91 @@ def q_audio_fingerprint_neardup(spark, sf_dir):
     return perceptual.phash_neardup_pairs(
         perceptual.audio_fingerprint(clips), hash_col="afp"
     )
+
+
+# ----------------------------------------------------------------------
+# Deterministic HyperLogLog (operators/sketches.py): mergeable
+# cardinality sketch whose ENTIRE register table — not just the
+# estimate — is hash-checked cross-engine (60-bit md5 hash + the
+# or-shift bit-smear rank, both exact int64 in Spark and DuckDB).
+# ----------------------------------------------------------------------
+
+_HLL_REG_CTES = """
+    hv AS (SELECT CAST(CAST(('0x' || substring(md5(CAST(l_orderkey
+                  AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+           FROM lineitem),
+    w0 AS (SELECT h % 1024 AS bucket, h >> 10 AS w FROM hv),
+    s1 AS (SELECT bucket, w | (w >> 1) AS w FROM w0),
+    s2 AS (SELECT bucket, w | (w >> 2) AS w FROM s1),
+    s4 AS (SELECT bucket, w | (w >> 4) AS w FROM s2),
+    s8 AS (SELECT bucket, w | (w >> 8) AS w FROM s4),
+    s16 AS (SELECT bucket, w | (w >> 16) AS w FROM s8),
+    s32 AS (SELECT bucket, w | (w >> 32) AS w FROM s16),
+    regs AS (SELECT bucket,
+                    CAST(MAX(51 - bit_count(w)) AS INTEGER) AS register
+             FROM s32 GROUP BY 1)
+"""
+
+
+@register(
+    "hll_registers",
+    f"""
+    WITH {_HLL_REG_CTES}
+    SELECT bucket, register FROM regs
+    """,
+    doc="HyperLogLog register table over lineitem.l_orderkey "
+    "(operators/sketches.py hll_registers, p=10): 60-bit md5 hash, "
+    "bucket = h % 1024, rank of the remaining 50 bits via the "
+    "or-shift bit-smear (rank = 51 - bit_count(smeared w)) — exact "
+    "int64 ops both engines evaluate identically, so all 1024 "
+    "registers hash-check, proving the hash routing, the rank "
+    "derivation, AND the max-merge. Plan: one map-side-combined "
+    "groupBy; shuffle bounded by m rows per partition at any scale "
+    "- the mergeability that makes COUNT(DISTINCT) affordable at "
+    "100 TB.",
+)
+def q_hll_registers(spark, sf_dir):
+    from pyspark_scd_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.hll_registers(li, F.col("l_orderkey"), p=10)
+
+
+@register(
+    "hll_cardinality_report",
+    f"""
+    WITH {_HLL_REG_CTES},
+    rep AS (SELECT CAST(COUNT(*) AS BIGINT) AS observed_buckets,
+                   SUM(POWER(2.0, -register)) AS hs
+            FROM regs),
+    est AS (SELECT CAST(1024 AS BIGINT) AS m,
+                   observed_buckets,
+                   CAST(1024 - observed_buckets AS BIGINT)
+                     AS zero_buckets,
+                   ROUND(hs + (1024 - observed_buckets), 6)
+                     AS harmonic_sum,
+                   ROUND(((0.7213 / (1.0 + 1.079 / 1024)) * 1024)
+                         * 1024 / (hs + (1024 - observed_buckets)), 2)
+                     AS hll_estimate
+            FROM rep),
+    ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                    AS exact_distinct FROM lineitem)
+    SELECT est.*, ex.exact_distinct,
+           ROUND(ABS(est.hll_estimate - ex.exact_distinct)
+                 / ex.exact_distinct, 4) AS rel_error
+    FROM est, ex
+    """,
+    doc="HLL cardinality report (operators/sketches.py hll_distinct, "
+    "p=10, raw-regime estimator): alpha_m*m^2 / (sum 2^-reg + "
+    "zero_buckets), exact COUNT(DISTINCT) carried beside the sketch "
+    "as a self-auditing accuracy column. The linear-counting branch "
+    "is deliberately absent (ln() is libm-dependent and would break "
+    "bit-parity; this corpus sits in the raw regime). The harmonic "
+    "sum is dyadic (2^-k terms), so cross-engine float agreement "
+    "survives ROUND(6).",
+)
+def q_hll_cardinality_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.hll_distinct(li, F.col("l_orderkey"), p=10)
