@@ -614,3 +614,66 @@ def audio_fingerprint(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _fp, schema=AUDIO_FP_SCHEMA
     )
+
+
+def video_neardup_incremental(
+    store_fh: DataFrame,
+    batch_fh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    max_hamming: int = 3,
+    min_matches: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """Daily-ingest video near-dup: frame-vote pairs ONLY between the
+    NEW batch's videos and the standing store — the O(batch)/day
+    lifecycle shape of phash_neardup_incremental lifted to frame
+    voting. Same distinct-hash collapse: the band join runs over
+    store-hash x batch-hash (equal hashes band-match trivially, so
+    hamming-0 frame matches need no separate branch — the sides are
+    disjoint id spaces), then two expansion joins recover (store
+    video, batch video, matched frame combination) rows and the
+    frame vote aggregates them.
+
+    Returns (store_id, batch_id, n_matched >= min_matches).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole recall guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    s_ids = store_fh.select(
+        F.col(id_col).alias("store_id"), F.col(hash_col).alias("__hs")
+    ).localCheckpoint(eager=False)
+    b_ids = batch_fh.select(
+        F.col(id_col).alias("batch_id"), F.col(hash_col).alias("__hb")
+    ).localCheckpoint(eager=False)
+    s = _banded(s_ids.select("__hs").distinct(), "__hs", "__hs", bands).alias(
+        "s"
+    )
+    b = _banded(b_ids.select("__hb").distinct(), "__hb", "__hb", bands).alias(
+        "b"
+    )
+    hp = (
+        s.join(
+            b,
+            (F.col("s.band_no") == F.col("b.band_no"))
+            & (F.col("s.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("s.__h").alias("__hs"), F.col("b.__h").alias("__hb")
+        )
+        .distinct()
+        .filter(
+            F.bit_count(
+                F.col("__hs").bitwiseXOR(F.col("__hb"))
+            ) <= max_hamming
+        )
+    )
+    return (
+        hp.join(b_ids, "__hb")
+        .join(s_ids, "__hs")
+        .groupBy("store_id", "batch_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
+    )

@@ -11612,3 +11612,83 @@ def q_hll_cardinality_report(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return sketches.hll_distinct(li, F.col("l_orderkey"), p=10)
+
+
+@register(
+    "video_phash_incremental",
+    f"""
+    WITH {_VIDEO_FHASH_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM fbits s JOIN fbits b
+      ON s.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+     AND bit_count(xor(s.fhash, b.fhash)) <= 3
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Daily-ingest video near-dup (operators/perceptual.py "
+    "video_neardup_incremental): frame-vote pairs ONLY between the "
+    "new batch (doc_id % 10 >= 8) and the standing store — the "
+    "O(batch)/day lifecycle shape of the image family lifted to "
+    "frame voting. Distinct-hash collapse on both sides; equal "
+    "hashes band-match trivially so hamming-0 needs no separate "
+    "branch. The oracle brute-forces the store x batch frame cross "
+    "product.",
+)
+def q_video_phash_incremental(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _fh(pred):
+        # filter BEFORE the Arrow stage (mapInPandas is a pushdown
+        # barrier — the image incremental's documented trap)
+        return perceptual.video_frame_hashes(
+            MM.with_video_payload(d.filter(pred))
+        )
+
+    return perceptual.video_neardup_incremental(
+        _fh(F.col("doc_id") % 10 < 8),
+        _fh(F.col("doc_id") % 10 >= 8),
+    )
+
+
+@register(
+    "audio_fingerprint_incremental",
+    f"""
+    WITH {_AUDIO_FP_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(s.afp, b.afp)) AS INTEGER) AS hamming
+    FROM afp s JOIN afp b
+      ON s.doc_id < 10000000 AND b.doc_id >= 10000000
+    WHERE bit_count(xor(s.afp, b.afp)) <= 3
+    """,
+    doc="Daily-ingest audio near-dup: the hash-generic "
+    "phash_neardup_incremental applied to the 63-bit energy-"
+    "transition fingerprint. Store = the original corpus (ids < "
+    "10M), batch = today's re-encoded uploads (the planted twins, "
+    "ids >= 10M) — so every twin is guaranteed to pair with its "
+    "base at hamming <= 1 across the store/batch boundary, plus "
+    "natural transition-pattern collisions. O(batch)/day: the "
+    "store's banded table is a pure projection of the persisted "
+    "(id, afp) store. Oracle brute-forces store x batch.",
+)
+def q_audio_fingerprint_incremental(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM, perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    clips = MM.with_audio_payload(d).unionByName(
+        MM.with_audio_payload(
+            d.filter(F.col("doc_id") % 13 == 0),
+            phase_boost=333,
+            id_offset=10_000_000,
+        )
+    )
+    fp = perceptual.audio_fingerprint(clips).localCheckpoint(
+        eager=False
+    )
+    return perceptual.phash_neardup_incremental(
+        fp.filter(F.col("doc_id") < 10_000_000),
+        fp.filter(F.col("doc_id") >= 10_000_000),
+        hash_col="afp",
+    )

@@ -262,3 +262,62 @@ def test_audio_twin_is_near_duplicate(spark):
     for i in range(13):
         assert (i, i + 10_000_000) in pairs
         assert pairs[(i, i + 10_000_000)] <= 1
+
+
+def test_video_neardup_incremental_batch_only(spark):
+    """Candidates only cross the store/batch boundary; an exact-dup
+    video in the batch matches its store twin on every frame."""
+    from pyspark.sql import Row
+
+    store = spark.createDataFrame(
+        [
+            Row(doc_id=1, frame_idx=0, fhash=10),
+            Row(doc_id=1, frame_idx=1, fhash=99),
+            Row(doc_id=2, frame_idx=0, fhash=10),
+            Row(doc_id=2, frame_idx=1, fhash=99),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=7, frame_idx=0, fhash=10),
+            Row(doc_id=7, frame_idx=1, fhash=99),
+            Row(doc_id=8, frame_idx=0, fhash=(1 << 40)),
+        ]
+    )
+    out = {
+        (r["store_id"], r["batch_id"]): r["n_matched"]
+        for r in perceptual.video_neardup_incremental(
+            store, batch
+        ).collect()
+    }
+    # store videos 1 and 2 are identical to each other, but store-
+    # internal pairs must NOT appear; both match batch video 7
+    assert out == {(1, 7): 2, (2, 7): 2}
+
+
+def test_audio_incremental_twins_cross_boundary(spark):
+    """Every planted re-encode twin pairs with its base across the
+    store (<10M) / batch (>=10M) split at hamming <= 1."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 26).withColumnRenamed("id", "doc_id")
+    fp = perceptual.audio_fingerprint(
+        MM.with_audio_payload(docs).unionByName(
+            MM.with_audio_payload(
+                docs.filter(F.col("doc_id") % 13 == 0),
+                phase_boost=333,
+                id_offset=10_000_000,
+            )
+        )
+    )
+    pairs = {
+        (r["store_id"], r["batch_id"]): r["hamming"]
+        for r in perceptual.phash_neardup_incremental(
+            fp.filter(F.col("doc_id") < 10_000_000),
+            fp.filter(F.col("doc_id") >= 10_000_000),
+            hash_col="afp",
+        ).collect()
+    }
+    for base in (0, 13):
+        assert (base, base + 10_000_000) in pairs
+        assert pairs[(base, base + 10_000_000)] <= 1
