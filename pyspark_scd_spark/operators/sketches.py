@@ -117,3 +117,24 @@ def hll_distinct(
             4,
         ),
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, p: int = 10, out_col: str = "estimate"
+) -> DataFrame:
+    """1-row raw-regime estimate from a (bucket, register) table —
+    the consumer of MERGED registers (elementwise max of any number
+    of per-source sketches), which is what makes HLL useful for join
+    planning: |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B) with the union sketch
+    costing one groupBy-max over already-tiny register tables."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return regs.agg(
+        F.count(F.lit(1)).alias("__obs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__hs"),
+    ).select(
+        (
+            F.lit(alpha * m * m)
+            / (F.col("__hs") + (F.lit(m) - F.col("__obs")))
+        ).alias(out_col)
+    )

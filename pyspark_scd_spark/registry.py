@@ -11692,3 +11692,198 @@ def q_audio_fingerprint_incremental(spark, sf_dir):
         fp.filter(F.col("doc_id") >= 10_000_000),
         hash_col="afp",
     )
+
+
+def _hll_reg_sql(name: str, where: str, p: int = 6) -> str:
+    """CTE chain text for one side's HLL registers (bucket, register)
+    over lineitem.l_orderkey rows matching ``where`` — the DuckDB
+    replay of sketches.hll_registers at 2^p buckets, smear chain
+    generated instead of hand-written."""
+    m = 1 << p
+    parts = [
+        f"h{name} AS (SELECT CAST(CAST(('0x' || substring(md5(CAST("
+        f"l_orderkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h"
+        f" FROM lineitem WHERE {where})",
+        f"w{name}0 AS (SELECT h % {m} AS bucket, h >> {p} AS w"
+        f" FROM h{name})",
+    ]
+    prev = f"w{name}0"
+    for i, k in enumerate((1, 2, 4, 8, 16, 32), start=1):
+        parts.append(
+            f"w{name}{i} AS (SELECT bucket, w | (w >> {k}) AS w"
+            f" FROM {prev})"
+        )
+        prev = f"w{name}{i}"
+    parts.append(
+        f"r{name} AS (SELECT bucket, CAST(MAX({60 - p + 1} - "
+        f"bit_count(w)) AS INTEGER) AS register FROM {prev}"
+        f" GROUP BY 1)"
+    )
+    return ",\n    ".join(parts)
+
+
+_HLL_EST64 = (
+    "((0.7213 / (1.0 + 1.079 / 64)) * 64) * 64"
+    " / (SUM(POWER(2.0, -register)) + (64 - COUNT(*)))"
+)
+
+
+@register(
+    "hll_set_cardinality",
+    f"""
+    WITH {_hll_reg_sql("a", "l_shipdate < TIMESTAMP '1996-01-01'")},
+    {_hll_reg_sql("b", "l_shipdate >= TIMESTAMP '1996-01-01'")},
+    ru AS (SELECT bucket, MAX(register) AS register
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+           GROUP BY 1),
+    ea AS (SELECT {_HLL_EST64} AS e FROM ra),
+    eb AS (SELECT {_HLL_EST64} AS e FROM rb),
+    eu AS (SELECT {_HLL_EST64} AS e FROM ru),
+    xa AS (SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+    xb AS (SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'),
+    xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+           FROM xa JOIN xb USING (l_orderkey))
+    SELECT ROUND(ea.e, 2) AS est_first_half,
+           ROUND(eb.e, 2) AS est_second_half,
+           ROUND(eu.e, 2) AS est_union,
+           ROUND(ea.e + eb.e - eu.e, 2) AS est_intersection,
+           xi.exact_intersection
+    FROM ea, eb, eu, xi
+    """,
+    doc="HLL set-operation cardinality (operators/sketches.py "
+    "hll_estimate_from_registers, p=6): orders shipping before vs "
+    "from 1996, |A intersect B| estimated by inclusion-exclusion "
+    "over MERGED registers (union sketch = one groupBy-max over two "
+    "64-row tables) beside the exact intersection — the sketch "
+    "pattern a join planner uses to size A-join-B without touching "
+    "either side twice. Register replay + estimate arithmetic both "
+    "hash-checked; raw-regime only (both sides >> 2.5m).",
+)
+def q_hll_set_cardinality(spark, sf_dir):
+    from pyspark_scd_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = "l_shipdate < TIMESTAMP '1996-01-01'"
+    a = sketches.hll_registers(
+        li.filter(F.expr(cut)), F.col("l_orderkey"), p=6
+    ).localCheckpoint(eager=False)
+    b = sketches.hll_registers(
+        li.filter(~F.expr(cut)), F.col("l_orderkey"), p=6
+    ).localCheckpoint(eager=False)
+    u = (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    ea = sketches.hll_estimate_from_registers(a, 6, "__ea")
+    eb = sketches.hll_estimate_from_registers(b, 6, "__eb")
+    eu = sketches.hll_estimate_from_registers(u, 6, "__eu")
+    xa = li.filter(F.expr(cut)).select("l_orderkey").distinct()
+    xb = li.filter(~F.expr(cut)).select("l_orderkey").distinct()
+    xi = (
+        xa.join(xb, "l_orderkey", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(xi))
+        .select(
+            F.round("__ea", 2).alias("est_first_half"),
+            F.round("__eb", 2).alias("est_second_half"),
+            F.round("__eu", 2).alias("est_union"),
+            F.round(
+                F.col("__ea") + F.col("__eb") - F.col("__eu"), 2
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
+@register(
+    "quantile_sampled_report",
+    """
+    WITH s AS (
+      SELECT l_extendedprice FROM lineitem
+      WHERE CAST(CAST(('0x' || substring(md5(
+              CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR) || '-' ||
+              CAST(l_partkey AS VARCHAR) || '-' ||
+              CAST(l_suppkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+            AS BIGINT) / 4294967296.0 < 0.1),
+    samp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_s,
+                    ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_s,
+                    ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_s
+             FROM s),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_e,
+                  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_e,
+                  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_e
+           FROM lineitem)
+    SELECT n_total, n_sampled,
+           p50_s AS p50_sample, p50_e AS p50_exact,
+           ROUND(ABS(p50_s - p50_e), 4) AS p50_abs_err,
+           p90_s AS p90_sample, p90_e AS p90_exact,
+           ROUND(ABS(p90_s - p90_e), 4) AS p90_abs_err,
+           p99_s AS p99_sample, p99_e AS p99_exact,
+           ROUND(ABS(p99_s - p99_e), 4) AS p99_abs_err
+    FROM samp, ex
+    """,
+    doc="Approximate quantiles by DETERMINISTIC sampling: a 10% "
+    "md5-fraction sample (keyed on the 4-col row identity — the "
+    "(l_orderkey, l_linenumber) non-uniqueness trap) feeds the same "
+    "interpolated percentile as the exact twin, emitted side by side "
+    "with absolute errors. The scale story: exact percentiles need a "
+    "per-group sort of everything, the sampled form sorts ~10% — and "
+    "because membership is a pure hash predicate, the sample is "
+    "reproducible across engines, runs, and cluster sizes (no "
+    "TABLESAMPLE nondeterminism), so even the approximation is "
+    "hash-checked exactly.",
+)
+def q_quantile_sampled_report(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    samp = li.filter(frac < 0.1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_s"),
+    )
+    ex = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_e"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_e"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_e"),
+    )
+    return samp.crossJoin(F.broadcast(ex)).select(
+        "n_total",
+        "n_sampled",
+        F.col("p50_s").alias("p50_sample"),
+        F.col("p50_e").alias("p50_exact"),
+        F.round(F.abs(F.col("p50_s") - F.col("p50_e")), 4).alias(
+            "p50_abs_err"
+        ),
+        F.col("p90_s").alias("p90_sample"),
+        F.col("p90_e").alias("p90_exact"),
+        F.round(F.abs(F.col("p90_s") - F.col("p90_e")), 4).alias(
+            "p90_abs_err"
+        ),
+        F.col("p99_s").alias("p99_sample"),
+        F.col("p99_e").alias("p99_exact"),
+        F.round(F.abs(F.col("p99_s") - F.col("p99_e")), 4).alias(
+            "p99_abs_err"
+        ),
+    )
