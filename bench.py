@@ -107,6 +107,13 @@ HEADLINE = [
     "multimodal_flac_meta",
     "dedup_exact_substrings",
     "corpus_release",
+    # round 10: the multimodal perceptual-dedup triple + the
+    # deterministic sketches
+    "image_phash_neardup",
+    "video_phash_neardup",
+    "audio_fingerprint_neardup",
+    "hll_cardinality_report",
+    "quantile_sampled_report",
 ]
 
 

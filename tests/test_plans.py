@@ -243,6 +243,19 @@ _SINGLE_PARTITION_ALLOWED = {
                                  # partial-agg → 1-row final global
                                  # aggregate (the agg+broadcast
                                  # scalar pattern, one per stage)
+    "hll_cardinality_report": 2,  # register-table finalization
+                                 # (<= m=1024 rows) + the exact
+                                 # COUNT(DISTINCT) audit column's
+                                 # 1-row final — the audit branch is
+                                 # the documented expensive baseline
+                                 # the sketch exists to replace
+    "quantile_sampled_report": 2,  # two 1-row percentile finals:
+                                 # the sampled side merges ~10% of
+                                 # values, the exact side is the
+                                 # deliberately-carried full-sort
+                                 # baseline the entry measures the
+                                 # sample AGAINST (percentiles_exact
+                                 # doc: exact needs the sort)
 }
 
 
