@@ -372,3 +372,24 @@ def test_session_aqe_skew_join_enabled(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     )
+
+
+def test_hll_registers_single_bucket_exchange(spark, sf_dir):
+    """The sketch's scale contract: ONE hash exchange keyed on the
+    bucket, with map-side partial aggregation upstream (the shuffle
+    carries at most m rows per map task, whatever the input size)."""
+    from pyspark_scd_spark.operators import sketches
+
+    df = sketches.hll_registers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        F.col("l_orderkey"),
+        p=10,
+    )
+    plan = explain.physical_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1, plan
+    assert "bucket" in exchanges[0], plan
+    assert "SinglePartition" not in plan, plan
+    # partial_ prefix in the aggregate functions marks the map-side
+    # combine that bounds the shuffle to m rows per task
+    assert "partial_max" in plan, plan
