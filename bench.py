@@ -114,6 +114,11 @@ HEADLINE = [
     "audio_fingerprint_neardup",
     "hll_cardinality_report",
     "quantile_sampled_report",
+    # round 11: the mergeable-quantile replacement for the sampled
+    # report's exact percentile(), and the state-heavy two-phase
+    # distinct aggregation under the deliberate hot key
+    "quantile_sketch_report",
+    "agg_hotkey_distinct",
 ]
 
 
@@ -296,6 +301,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Round-over-round comparability (VERDICT r10 item 8): the
+    # headline set gains/loses queries between rounds, so the raw
+    # total conflates plan changes with set changes. Read the PRIOR
+    # round's full record (committed BENCH_FULL.json, about to be
+    # overwritten below) and publish the subtotal over the common
+    # query set as a first-class metric — no more hand set
+    # reconciliation to compare rounds.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    common_fields: dict = {}
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+        pq = prev.get("queries") or {}
+        common = sorted(set(pq) & set(timings))
+        if common and prev.get("sf") == sf:
+            common_fields = {
+                "common_n": len(common),
+                "common_prev_total": round(
+                    sum(pq[k] for k in common), 3
+                ),
+                "common_now_total": round(
+                    sum(timings[k] for k in common), 3
+                ),
+            }
+    except Exception:
+        pass
+
     # Scale tiers (only when benching the standard sf0.1 dir — a custom
     # SPARK_GRAFT_SF_DIR means the caller wants that tier alone).
     # Variance-bounded protocol (round 10): the x10 tier publishes the
@@ -307,7 +341,7 @@ def main() -> None:
     # weather on seconds-long queries.
     def _tier(
         names: list, fixture_dir: str, n_runs: int = 3
-    ) -> tuple[dict, dict]:
+    ) -> tuple[dict, dict, dict]:
         # TWO untimed full-tier warm passes first. Round-10 probe of
         # the volatile family (6 back-to-back runs, idle machine):
         # embedding_neardup_pairs_ann 17.3/5.1/4.8/3.3/3.5/2.9s —
@@ -366,6 +400,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    out.update(common_fields)
     if x10:
         out["queries_x10"] = x10
         out["value_x10"] = round(sum(x10.values()), 3)
@@ -379,9 +414,6 @@ def main() -> None:
 
     # Full-detail record: file + an early stdout line (human tail
     # inspection); neither needs to fit any window.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

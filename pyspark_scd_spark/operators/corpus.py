@@ -2054,6 +2054,13 @@ def corpus_release(
     margin on the shipped corpora and fails loudly if a data change
     ever invalidates it.
     """
+    if upto is not None and not 0 <= upto <= 8:
+        # Out-of-range values would otherwise fail obscurely: -1
+        # slices the manifest to [] (IndexError on rows[0]); >8
+        # silently behaves like None.
+        raise ValueError(
+            f"upto must be in [0, 8] (stage index), got {upto!r}"
+        )
     from pyspark_scd_spark.operators import dedup as DD
 
     def _sig(payload: Column) -> Column:

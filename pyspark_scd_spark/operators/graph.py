@@ -101,14 +101,43 @@ def pagerank(
     # actually fits (so small graphs keep the one-shuffle iteration)
     # and a partitioned hash join when it doesn't — same results,
     # scale-safe plan.
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            return {int(k) for k in jmap.keySet().toArray()}
+        except Exception:
+            return set()
+
+    prev_cp_ids: set = set()
     for i in range(iters):
         if dangling is not None:
             # The dangling aggregate references ranks a SECOND time
             # per iteration; unpinned, that doubles the rank subtree
-            # per pass (2^iters growth). A LAZY localCheckpoint dedups
-            # both references onto one cached block set without
-            # spending an extra eager job.
-            ranks = ranks.localCheckpoint(eager=False)
+            # per pass (2^iters growth). The checkpoint dedups both
+            # references onto one block set. eager=True is honest
+            # labeling, not extra cost: under AQE a "lazy"
+            # localCheckpoint materializes its upstream stages at
+            # plan-construction time anyway (NOTES.md item 9) — and
+            # the materialization guarantee makes it safe to free
+            # the PREVIOUS iteration's checkpoint blocks below
+            # (lineage is truncated onto the new blocks; stale ones
+            # would otherwise accumulate for the whole loop).
+            before = _persistent_ids()
+            ranks = ranks.localCheckpoint(eager=True)
+            new_ids = _persistent_ids() - before
+            try:
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in prev_cp_ids:
+                    jrdd = jmap.get(rid)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
+            except Exception:
+                # best-effort cleanup: on failure the loop degrades
+                # to the old accumulate-until-GC behavior.
+                pass
+            prev_cp_ids = new_ids
         mass = (
             out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select(

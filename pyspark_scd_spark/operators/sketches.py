@@ -21,8 +21,15 @@ empty registers contributing 2^0 each. The linear-counting
 small-range branch (E ≤ 2.5m) is deliberately NOT implemented — it
 needs ln(), whose last-ulp behavior is libm-specific and would break
 bit-parity; callers counting < 2.5·2^p distincts should lower p or
-count exactly. The registry entry runs in the raw regime and the
-oracle recomputes registers AND estimate from scratch.
+count exactly. That contract is ENFORCED, not just documented: every
+estimate row carries a ``small_range_unreliable`` flag (raw estimate
+≤ 2.5·m — the regime where standard HLL would switch to linear
+counting and the raw formula is biased high), so a production caller
+who lands in the unimplemented regime gets a machine-checkable
+signal instead of a silently biased number. The registry entry runs
+in the raw regime (flag asserted false at all three SFs in
+tests/test_sketches.py) and the oracle recomputes registers AND
+estimate from scratch.
 
 Reference scope: the reference engine has no sketches (SURVEY.md §2);
 this extends the same family as cms_vocab_topk (corpus.py), which
@@ -35,15 +42,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _smear(w: Column) -> Column:
+    """Propagate the highest set bit downward (6 or-shift steps) —
+    the exact-int64 building block for bit_length without log2."""
+    s = w
+    for k in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, k))
+    return s
+
+
 def _rank_expr(w: Column, width: int) -> Column:
     """Position of the highest set bit, as rank = width − bit_length(w)
     + 1 (w == 0 → width + 1): smear the MSB downward with 6 or-shift
     steps, then bit_length = bit_count(smeared). Exact int64 ops that
     evaluate identically in Spark and DuckDB — no log2, no UDF."""
-    s = w
-    for k in (1, 2, 4, 8, 16, 32):
-        s = s.bitwiseOR(F.shiftright(s, k))
-    return F.lit(width + 1) - F.bit_count(s)
+    return F.lit(width + 1) - F.bit_count(_smear(w))
 
 
 def hll_registers(
@@ -78,15 +91,29 @@ def hll_distinct(
 ) -> DataFrame:
     """One-row HLL cardinality report: (m, observed_buckets,
     zero_buckets, harmonic_sum, hll_estimate, exact_distinct,
-    rel_error). Keeps the exact COUNT(DISTINCT) beside the sketch so
-    the entry is its own accuracy audit; production callers at 100 TB
-    drop the exact branch and keep the two-exchange sketch."""
+    rel_error, small_range_unreliable). Keeps the exact
+    COUNT(DISTINCT) beside the sketch so the entry is its own
+    accuracy audit; production callers at 100 TB drop the exact
+    branch and keep the two-exchange sketch, and gate on the
+    ``small_range_unreliable`` flag (module docstring: the raw
+    formula is biased in the E ≤ 2.5·m regime where linear counting
+    is deliberately unimplemented).
+
+    Empty-input contract: an empty ``df`` yields one well-defined
+    row — zero observed buckets, harmonic_sum = m, the raw-formula
+    floor estimate (≈ 0.72·m, flagged unreliable), exact_distinct =
+    0, and rel_error NULL (the exact-vs-estimate ratio is undefined
+    at zero), instead of a division-by-zero null cascade."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     regs = hll_registers(df, value, p)
     sketch = regs.agg(
         F.count(F.lit(1)).cast("long").alias("observed_buckets"),
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__hs_obs"),
+        # coalesce: SUM over zero rows (empty input) is NULL; the
+        # empty sketch's harmonic sum over observed buckets is 0.
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("register"))), F.lit(0.0)
+        ).alias("__hs_obs"),
     ).select(
         F.lit(m).cast("long").alias("m"),
         "observed_buckets",
@@ -109,32 +136,182 @@ def hll_distinct(
     exact = df.agg(
         F.countDistinct(value).cast("long").alias("exact_distinct")
     )
-    return sketch.crossJoin(F.broadcast(exact)).withColumn(
-        "rel_error",
-        F.round(
-            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            4,
-        ),
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "rel_error",
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    F.abs(
+                        F.col("hll_estimate") - F.col("exact_distinct")
+                    )
+                    / F.col("exact_distinct"),
+                    4,
+                ),
+            ),
+        )
+        .withColumn(
+            "small_range_unreliable",
+            F.col("hll_estimate") <= F.lit(2.5 * m),
+        )
     )
 
 
 def hll_estimate_from_registers(
-    regs: DataFrame, p: int = 10, out_col: str = "estimate"
+    regs: DataFrame,
+    p: int = 10,
+    out_col: str = "estimate",
+    with_flag: bool = False,
 ) -> DataFrame:
     """1-row raw-regime estimate from a (bucket, register) table —
     the consumer of MERGED registers (elementwise max of any number
     of per-source sketches), which is what makes HLL useful for join
     planning: |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B) with the union sketch
-    costing one groupBy-max over already-tiny register tables."""
+    costing one groupBy-max over already-tiny register tables.
+
+    ``with_flag=True`` appends ``{out_col}_small_range`` (estimate ≤
+    2.5·m), the same unimplemented-linear-counting-regime guard as
+    ``hll_distinct`` — pass it whenever the merged cardinality could
+    be small relative to 2^p."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    return regs.agg(
+    est = regs.agg(
         F.count(F.lit(1)).alias("__obs"),
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__hs"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("register"))), F.lit(0.0)
+        ).alias("__hs"),
     ).select(
         (
             F.lit(alpha * m * m)
             / (F.col("__hs") + (F.lit(m) - F.col("__obs")))
         ).alias(out_col)
     )
+    if with_flag:
+        est = est.withColumn(
+            f"{out_col}_small_range", F.col(out_col) <= F.lit(2.5 * m)
+        )
+    return est
+
+
+# ----------------------------------------------------------------------
+# Mergeable quantiles: deterministic log-bucket histogram
+# (VERDICT r10 item 2 — replaces the exact percentile() memory wall:
+# Spark's exact percentile buffers EVERY value into one aggregation
+# state, a multi-TB single-buffer at 100 TB; this sketch's state is a
+# bounded histogram that merges by bucket-count addition, so the plan
+# is one map-side-combinable exchange carrying at most a few thousand
+# rows per partition regardless of input size.)
+# ----------------------------------------------------------------------
+
+
+def _bit_length(x: Column) -> Column:
+    """bit_length of a non-negative int64 via smear + bit_count —
+    exact integer ops both engines evaluate identically (0 → 0)."""
+    return F.bit_count(_smear(x))
+
+
+def quantile_histogram(
+    df: DataFrame, value: Column, sub_bits: int = 7
+) -> DataFrame:
+    """(bucket_lo, bucket_hi, cnt) log-bucket histogram over a
+    NON-NEGATIVE INTEGER column (fixed-point: callers scale floats to
+    integer cents/micros first — exact bucketing needs exact values).
+
+    HDR-histogram bucketing, integer-exact in both engines: values
+    below 2^sub_bits get exact unit buckets [v, v+1); larger values
+    keep their top (sub_bits+1) bits — bucket width 2^(e−sub_bits)
+    for e = floor(log2 v) — so RELATIVE bucket width, hence the
+    quantile estimate's relative error, is bounded by 2^−sub_bits
+    (0.78% at the default 7). floor(log2) is the bit-smear
+    (no libm log2, whose last-ulp behavior would flip bucket
+    boundaries between engines), and 2^k goes through POWER(2.0, k)
+    — exact in ieee754 doubles for k ≤ 52.
+
+    Bucket count is bounded by 2^sub_bits · (64 − sub_bits) ≈ 7.3k
+    at sub_bits=7 INDEPENDENT OF INPUT SIZE, and the groupBy is
+    map-side combinable — the whole point: histograms from any
+    number of partitions/days/sources MERGE by adding counts, unlike
+    an exact percentile's value buffer."""
+    c = value.cast("long")
+    e = _bit_length(c) - F.lit(1)  # floor(log2 c); -1 for c == 0
+    ws = F.greatest(e - F.lit(sub_bits), F.lit(0))
+    width = F.pow(F.lit(2.0), ws).cast("long")
+    lo = c - F.pmod(c, width)
+    return (
+        df.select(
+            lo.alias("bucket_lo"), (lo + width).alias("bucket_hi")
+        )
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value: Column,
+    quantiles: dict[str, float],
+    sub_bits: int = 7,
+    scale: float = 1.0,
+) -> DataFrame:
+    """One-row quantile report (n_total, n_buckets, <name> per
+    requested quantile) from the mergeable log-bucket histogram.
+
+    Estimator (percentile_cont's fractional-rank convention): target
+    rank t = 1 + p·(n−1); the answer bucket is the first with
+    cumulative count ≥ t; within it, linear interpolation
+    est = lo + (hi − lo) · (t − cum_before) / cnt. Every input to
+    that expression is an exact integer, so the float arithmetic is
+    the same IEEE evaluation in Spark and DuckDB — the estimate
+    hash-checks cross-engine, unlike approx_percentile's opaque
+    digest. ``scale`` divides the estimate back into original units
+    (cents → currency).
+
+    Plan shape: ONE full-data exchange (the map-side-combined
+    histogram groupBy, ≤ ~7.3k distinct keys); everything after —
+    the cumulative/total windows, the final pick-and-interpolate
+    aggregate — runs on the bounded histogram, so the
+    single-partition window is over sketch rows, never data rows.
+    The totals come from a whole-frame window over the SAME sort as
+    the cumulative sum (one window exec), not a separate aggregate
+    branch: a crossJoined 1-row total would duplicate the histogram
+    subtree and scan the data twice (pinned in
+    tests/test_plans.py)."""
+    from pyspark.sql import Window
+
+    hist = quantile_histogram(df, value, sub_bits)
+    w = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n_total", F.sum("cnt").over(wt))
+        .withColumn(
+            "n_buckets", F.count(F.lit(1)).over(wt).cast("long")
+        )
+    )
+    aggs = [
+        F.first("n_total").alias("n_total"),
+        F.first("n_buckets").alias("n_buckets"),
+    ]
+    for name, p in quantiles.items():
+        t = F.lit(1.0) + F.lit(p) * (F.col("n_total") - F.lit(1))
+        est = F.col("bucket_lo") + (
+            F.col("bucket_hi") - F.col("bucket_lo")
+        ) * ((t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+        aggs.append(
+            F.round(
+                F.max(
+                    F.when(
+                        ((F.col("cum") - F.col("cnt")) < t)
+                        & (t <= F.col("cum")),
+                        est / F.lit(scale),
+                    )
+                ),
+                4,
+            ).alias(name)
+        )
+    return h.agg(*aggs)

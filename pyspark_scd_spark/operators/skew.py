@@ -64,6 +64,61 @@ def salted_sum_count(
     )
 
 
+def two_phase_distinct_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    member_col: str,
+    sample_k: int | None = None,
+) -> DataFrame:
+    """Distinct-member aggregation with BOUNDED per-task state: the
+    state-heavy form the round-10 hot-key study proved out
+    (SCALING.md: a naive ``collect_set`` held a 5.1M-member set in
+    ONE task's aggregation buffer; the two-phase form won ~30% and —
+    the point at 100 TB — bounded every task's state).
+
+    Phase 1 deduplicates on (key, member): the shuffle key includes
+    the member, so a hot key's rows spread across the full member
+    diversity instead of collapsing onto one task, and map-side
+    partial aggregation caps what any partition ships at its count
+    of distinct pairs. Phase 2 groups the deduplicated pairs by key;
+    its per-key state is TWO COUNTERS (distinct count via COUNT(*),
+    row count via SUM of phase-1 duplicate counts), never a member
+    set. Returns (``*key_cols``, ``n_distinct``, ``n_rows``).
+
+    ``sample_k`` optionally adds ``member_sample`` — the k smallest
+    distinct members per key as a sorted array. The sample comes from
+    a rank-filtered window over the phase-1 pairs (Spark's group-limit
+    pushdown keeps per-partition state at k rows per key), so even the
+    "show me some members" use case never materializes an unbounded
+    set in one task.
+    """
+    pairs = df.groupBy(*key_cols, member_col).agg(
+        F.count(F.lit(1)).alias("__dup")
+    )
+    out = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("__dup").cast("long").alias("n_rows"),
+    )
+    if sample_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+            member_col
+        )
+        samp = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= sample_k)
+            .groupBy(*key_cols)
+            .agg(
+                F.sort_array(F.collect_list(member_col)).alias(
+                    "member_sample"
+                )
+            )
+        )
+        out = out.join(samp, list(key_cols))
+    return out
+
+
 def top_frequent_keys(
     df: DataFrame, key_cols: Sequence[str], k: int = 20
 ) -> DataFrame:

@@ -2334,6 +2334,38 @@ def q_agg_salted_hotkey(spark, sf_dir):
 
 
 @register(
+    "agg_hotkey_distinct",
+    """
+    SELECT CASE WHEN l_linenumber >= 2 THEN 'hot'
+                ELSE 'cold-' || CAST(l_suppkey AS VARCHAR) END AS skew_key,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+    doc="STATE-HEAVY aggregation under the same deliberate hot key "
+    "as agg_salted_hotkey (~6/7 of lineitem on one derived key): "
+    "distinct l_partkey count per key via the two-phase form the "
+    "round-10 hot-key study proved out (operators/skew.py "
+    "two_phase_distinct_agg; SCALING.md: naive collect_set held a "
+    "5.1M-member set in ONE task). Phase 1 dedups on (key, member) "
+    "— the hot key spreads across the member diversity and map-side "
+    "combine caps shipped rows at distinct pairs per partition; "
+    "phase 2's per-key state is two counters, never a member set. "
+    "The oracle states the equivalence to plain COUNT(DISTINCT).",
+)
+def q_agg_hotkey_distinct(spark, sf_dir):
+    from pyspark_scd_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") >= 2, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), F.col("l_suppkey").cast("string")))
+        .alias("skew_key"),
+        "l_partkey",
+    )
+    return skew.two_phase_distinct_agg(li, ["skew_key"], "l_partkey")
+
+
+@register(
     "doc_winnow_fingerprint",
     r"""
     WITH n AS (SELECT doc_id,
@@ -11533,11 +11565,17 @@ def q_audio_fingerprint_neardup(spark, sf_dir):
 # or-shift bit-smear rank, both exact int64 in Spark and DuckDB).
 # ----------------------------------------------------------------------
 
-_HLL_REG_CTES = """
+def _hll_lineitem_cte(p: int) -> str:
+    """DuckDB CTE chain replaying sketches.hll_registers over
+    lineitem.l_orderkey at 2^p buckets: 60-bit md5 prefix, bucket =
+    h % 2^p, rank of the remaining (60-p) bits via the or-shift
+    bit-smear — exact int64 ops both engines evaluate identically."""
+    m = 1 << p
+    return f"""
     hv AS (SELECT CAST(CAST(('0x' || substring(md5(CAST(l_orderkey
                   AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
            FROM lineitem),
-    w0 AS (SELECT h % 1024 AS bucket, h >> 10 AS w FROM hv),
+    w0 AS (SELECT h % {m} AS bucket, h >> {p} AS w FROM hv),
     s1 AS (SELECT bucket, w | (w >> 1) AS w FROM w0),
     s2 AS (SELECT bucket, w | (w >> 2) AS w FROM s1),
     s4 AS (SELECT bucket, w | (w >> 4) AS w FROM s2),
@@ -11545,9 +11583,13 @@ _HLL_REG_CTES = """
     s16 AS (SELECT bucket, w | (w >> 16) AS w FROM s8),
     s32 AS (SELECT bucket, w | (w >> 32) AS w FROM s16),
     regs AS (SELECT bucket,
-                    CAST(MAX(51 - bit_count(w)) AS INTEGER) AS register
+                    CAST(MAX({60 - p + 1} - bit_count(w)) AS INTEGER)
+                      AS register
              FROM s32 GROUP BY 1)
 """
+
+
+_HLL_REG_CTES = _hll_lineitem_cte(10)
 
 
 @register(
@@ -11577,41 +11619,48 @@ def q_hll_registers(spark, sf_dir):
 @register(
     "hll_cardinality_report",
     f"""
-    WITH {_HLL_REG_CTES},
+    WITH {_hll_lineitem_cte(8)},
     rep AS (SELECT CAST(COUNT(*) AS BIGINT) AS observed_buckets,
                    SUM(POWER(2.0, -register)) AS hs
             FROM regs),
-    est AS (SELECT CAST(1024 AS BIGINT) AS m,
+    est AS (SELECT CAST(256 AS BIGINT) AS m,
                    observed_buckets,
-                   CAST(1024 - observed_buckets AS BIGINT)
+                   CAST(256 - observed_buckets AS BIGINT)
                      AS zero_buckets,
-                   ROUND(hs + (1024 - observed_buckets), 6)
+                   ROUND(hs + (256 - observed_buckets), 6)
                      AS harmonic_sum,
-                   ROUND(((0.7213 / (1.0 + 1.079 / 1024)) * 1024)
-                         * 1024 / (hs + (1024 - observed_buckets)), 2)
+                   ROUND(((0.7213 / (1.0 + 1.079 / 256)) * 256)
+                         * 256 / (hs + (256 - observed_buckets)), 2)
                      AS hll_estimate
             FROM rep),
     ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
                     AS exact_distinct FROM lineitem)
     SELECT est.*, ex.exact_distinct,
            ROUND(ABS(est.hll_estimate - ex.exact_distinct)
-                 / ex.exact_distinct, 4) AS rel_error
+                 / ex.exact_distinct, 4) AS rel_error,
+           est.hll_estimate <= 2.5 * 256 AS small_range_unreliable
     FROM est, ex
     """,
     doc="HLL cardinality report (operators/sketches.py hll_distinct, "
-    "p=10, raw-regime estimator): alpha_m*m^2 / (sum 2^-reg + "
+    "p=8, raw-regime estimator): alpha_m*m^2 / (sum 2^-reg + "
     "zero_buckets), exact COUNT(DISTINCT) carried beside the sketch "
     "as a self-auditing accuracy column. The linear-counting branch "
     "is deliberately absent (ln() is libm-dependent and would break "
-    "bit-parity; this corpus sits in the raw regime). The harmonic "
-    "sum is dyadic (2^-k terms), so cross-engine float agreement "
-    "survives ROUND(6).",
+    "bit-parity), and the small_range_unreliable guard column "
+    "(estimate <= 2.5*m) makes that regime contract "
+    "machine-checkable: the oracle recomputes the flag, and p=8 is "
+    "chosen so the entry sits in the raw regime at EVERY shipped SF "
+    "(sf0.001's 1473 distinct orderkeys vs threshold 2.5*256=640; "
+    "p=10's threshold 2560 would trip there — asserted across all "
+    "three SFs in tests/test_sketches.py). The harmonic sum is "
+    "dyadic (2^-k terms), so cross-engine float agreement survives "
+    "ROUND(6).",
 )
 def q_hll_cardinality_report(spark, sf_dir):
     from pyspark_scd_spark.operators import sketches
 
     li = _t(spark, sf_dir, "lineitem")
-    return sketches.hll_distinct(li, F.col("l_orderkey"), p=10)
+    return sketches.hll_distinct(li, F.col("l_orderkey"), p=8)
 
 
 @register(
@@ -11836,12 +11885,17 @@ def q_hll_set_cardinality(spark, sf_dir):
     "md5-fraction sample (keyed on the 4-col row identity — the "
     "(l_orderkey, l_linenumber) non-uniqueness trap) feeds the same "
     "interpolated percentile as the exact twin, emitted side by side "
-    "with absolute errors. The scale story: exact percentiles need a "
-    "per-group sort of everything, the sampled form sorts ~10% — and "
-    "because membership is a pure hash predicate, the sample is "
-    "reproducible across engines, runs, and cluster sizes (no "
-    "TABLESAMPLE nondeterminism), so even the approximation is "
-    "hash-checked exactly.",
+    "with absolute errors. Because membership is a pure hash "
+    "predicate, the sample is reproducible across engines, runs, and "
+    "cluster sizes (no TABLESAMPLE nondeterminism), so even the "
+    "approximation is hash-checked exactly. 100 TB NOTE: this entry "
+    "is the sampling AUDIT form — BOTH branches call Spark's exact "
+    "percentile(), a value-buffering aggregate whose single "
+    "aggregation state is a memory wall at scale even on the 10% "
+    "sample. Production callers use quantile_sketch_report: its "
+    "log-bucket histogram state is bounded (~7.3k buckets) and "
+    "merges by count addition (mirroring the exact-branch language "
+    "of operators/sketches.py hll_distinct).",
 )
 def q_quantile_sampled_report(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -11886,4 +11940,83 @@ def q_quantile_sampled_report(spark, sf_dir):
         F.round(F.abs(F.col("p99_s") - F.col("p99_e")), 4).alias(
             "p99_abs_err"
         ),
+    )
+
+
+_QSKETCH_CTES = """
+    v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem),
+    m1 AS (SELECT c, c | (c >> 1) AS s FROM v),
+    m2 AS (SELECT c, s | (s >> 2) AS s FROM m1),
+    m4 AS (SELECT c, s | (s >> 4) AS s FROM m2),
+    m8 AS (SELECT c, s | (s >> 8) AS s FROM m4),
+    m16 AS (SELECT c, s | (s >> 16) AS s FROM m8),
+    m32 AS (SELECT c, s | (s >> 32) AS s FROM m16),
+    bw AS (SELECT c, CAST(POWER(2.0,
+                CASE WHEN bit_count(s) - 1 > 7
+                     THEN bit_count(s) - 1 - 7 ELSE 0 END)
+              AS BIGINT) AS w
+           FROM m32),
+    hist AS (SELECT c - (c % w) AS lo, c - (c % w) + w AS hi,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bw GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM hist),
+    ch AS (SELECT lo, hi, cnt,
+                  CAST(SUM(cnt) OVER (ORDER BY lo) AS BIGINT) AS cum
+           FROM hist)
+"""
+
+
+def _qsketch_pick_sql(p: float, name: str) -> str:
+    t = f"(1.0 + {p} * (n_total - 1))"
+    return (
+        f"ROUND(MAX(CASE WHEN (cum - cnt) < {t} AND {t} <= cum "
+        f"THEN (lo + (hi - lo) * (({t} - (cum - cnt)) / cnt)) / 100.0 "
+        f"END), 4) AS {name}"
+    )
+
+
+@register(
+    "quantile_sketch_report",
+    f"""
+    WITH {_QSKETCH_CTES}
+    SELECT n_total, n_buckets,
+           {_qsketch_pick_sql(0.5, "p50_sketch")},
+           {_qsketch_pick_sql(0.9, "p90_sketch")},
+           {_qsketch_pick_sql(0.99, "p99_sketch")}
+    FROM ch, tot
+    GROUP BY n_total, n_buckets
+    """,
+    doc="MERGEABLE quantiles (operators/sketches.py quantile_sketch; "
+    "VERDICT r10 item 2 — the 100 TB replacement for exact "
+    "percentile()'s value-buffering single aggregation state): "
+    "l_extendedprice is scaled to exact integer cents, bucketed into "
+    "a deterministic HDR-style log histogram (top-8-bits buckets, "
+    "relative width <= 2^-7 = 0.78%; floor(log2) via the HLL bit-"
+    "smear, POWER(2,k) exact in doubles — no libm log whose last-ulp "
+    "would flip boundaries between engines), and p50/p90/p99 are "
+    "interpolated inside the answer bucket at percentile_cont's "
+    "fractional rank. Histogram state is bounded (~7.3k buckets "
+    "INDEPENDENT of input size) and merges by count addition, so "
+    "the plan is one map-side-combinable exchange; the cumulative "
+    "window runs over sketch rows, never data rows (pinned in "
+    "tests/test_plans.py). The oracle replays bucketing AND "
+    "interpolation from scratch, so the approximate answer itself "
+    "hash-checks cross-engine — unlike approx_percentile's opaque "
+    "digest. Accuracy vs the exact percentile is asserted <= 2^-7 "
+    "relative in tests/test_sketches.py.",
+)
+def q_quantile_sketch_report(spark, sf_dir):
+    from pyspark_scd_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return sketches.quantile_sketch(
+        li,
+        cents,
+        {"p50_sketch": 0.5, "p90_sketch": 0.9, "p99_sketch": 0.99},
+        sub_bits=7,
+        scale=100.0,
     )

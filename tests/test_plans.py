@@ -393,3 +393,41 @@ def test_hll_registers_single_bucket_exchange(spark, sf_dir):
     # partial_ prefix in the aggregate functions marks the map-side
     # combine that bounds the shuffle to m rows per task
     assert "partial_max" in plan, plan
+
+
+def test_quantile_sketch_single_data_exchange(spark, sf_dir):
+    """quantile_sketch_report's scale contract (VERDICT r10 item 2):
+    exactly ONE hashpartitioning exchange touches data rows — the
+    map-side-combined histogram groupBy keyed on the bucket bounds —
+    and every SinglePartition stage downstream operates on the
+    bounded (~7.3k-row max) histogram, never on data rows. The scan
+    reads only the value column."""
+    df = REGISTRY["quantile_sketch_report"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1, plan
+    assert "bucket_lo" in exchanges[0], plan
+    # map-side combine on the histogram build: the shuffle carries at
+    # most |buckets| rows per task regardless of input size
+    assert "partial_count" in plan, plan
+    # column pruning: the lineitem scan reads exactly the one value
+    # column the sketch needs
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("l_extendedprice"), plan
+    assert m.group(1).count(",") == 0, plan
+
+
+def test_hotkey_distinct_two_phase(spark, sf_dir):
+    """agg_hotkey_distinct commits to the state-bounded two-phase
+    shape: phase 1's exchange is keyed on (skew_key, member) — the
+    hot key spreads across the member diversity, with map-side
+    partial dedup — and phase 2 re-keys on skew_key with per-key
+    state of two counters. No SinglePartition final stage."""
+    df = REGISTRY["agg_hotkey_distinct"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 2, plan
+    pair_phase = [e for e in exchanges if "l_partkey" in e]
+    assert len(pair_phase) == 1 and "skew_key" in pair_phase[0], plan
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan

@@ -82,3 +82,110 @@ def test_hll_intersection_inclusion_exclusion(spark):
     # over a 50k union vs a 10k intersection -> allow a wide but
     # still-meaningful band
     assert 10000 * 0.3 < inter < 10000 * 1.9
+
+
+def test_hll_small_range_flag_trips_on_low_cardinality(spark):
+    """The unimplemented-linear-counting-regime guard (VERDICT r10
+    item 6): a caller counting < 2.5*2^p distincts gets a flagged
+    row, not a silently biased raw estimate."""
+    low = spark.range(0, 100).withColumnRenamed("id", "v")
+    r = sketches.hll_distinct(low, F.col("v"), p=10).collect()[0]
+    assert r["small_range_unreliable"] is True
+    high = spark.range(0, 50000).withColumnRenamed("id", "v")
+    r2 = sketches.hll_distinct(high, F.col("v"), p=10).collect()[0]
+    assert r2["small_range_unreliable"] is False
+    # merged-register consumer: the same guard, opt-in
+    regs = sketches.hll_registers(low, F.col("v"), p=10)
+    e = sketches.hll_estimate_from_registers(
+        regs, 10, "est", with_flag=True
+    ).collect()[0]
+    assert e["est_small_range"] is True
+
+
+def test_hll_empty_input_well_defined(spark):
+    """Empty-input contract (ADVICE r10): one defined row — zero
+    observed buckets, harmonic_sum = m, flagged unreliable, NULL
+    rel_error — instead of a division-by-zero null cascade."""
+    empty = spark.range(0, 0).withColumnRenamed("id", "v")
+    r = sketches.hll_distinct(empty, F.col("v"), p=8).collect()[0]
+    assert r["observed_buckets"] == 0
+    assert r["zero_buckets"] == 256
+    assert r["harmonic_sum"] == 256.0
+    assert r["exact_distinct"] == 0
+    assert r["rel_error"] is None
+    assert r["small_range_unreliable"] is True
+    assert r["hll_estimate"] is not None
+
+
+def test_hll_registry_entry_raw_regime_all_sfs(spark):
+    """hll_cardinality_report's p=8 is chosen so the entry sits in
+    the raw regime (flag false) at EVERY shipped SF — the contract
+    the registry doc claims (sf0.001 is the binding case: 1473
+    distincts vs threshold 640; p=10's 2560 would trip there)."""
+    from pyspark_scd_spark.registry import REGISTRY
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        row = (
+            REGISTRY["hll_cardinality_report"]
+            .builder(spark, f"/root/testdata/{sf}")
+            .collect()[0]
+        )
+        assert row["small_range_unreliable"] is False, sf
+        assert row["m"] == 256
+
+
+def test_quantile_histogram_mergeable_and_bounded(spark):
+    """The property that replaces exact percentile() at 100 TB:
+    histograms built from disjoint halves merge by adding counts into
+    exactly the full histogram, and the bucket count stays bounded
+    regardless of input size (relative bucket width <= 2^-sub_bits)."""
+    df = spark.range(1, 200_001).withColumnRenamed("id", "v")
+    full = {
+        (r["bucket_lo"], r["bucket_hi"]): r["cnt"]
+        for r in sketches.quantile_histogram(
+            df, F.col("v"), sub_bits=7
+        ).collect()
+    }
+    lo = sketches.quantile_histogram(
+        df.filter(F.col("v") <= 100_000), F.col("v"), sub_bits=7
+    )
+    hi = sketches.quantile_histogram(
+        df.filter(F.col("v") > 100_000), F.col("v"), sub_bits=7
+    )
+    merged: dict = {}
+    for r in lo.unionByName(hi).collect():
+        k = (r["bucket_lo"], r["bucket_hi"])
+        merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == full
+    # 200k distinct values -> ~1.4k buckets (bounded by
+    # 2^7 * (bit_length_max - 7) + 2^7, never by n)
+    assert len(full) <= (1 << 7) * (18 - 7) + (1 << 7)
+    for blo, bhi in full:
+        if blo >= 1 << 7:
+            assert (bhi - blo) / blo <= 2 ** -7 + 1e-12
+
+
+def test_quantile_sketch_accuracy_vs_exact(spark):
+    """Sketch p50/p90/p99 land within the 2^-7 relative-error bound
+    of Spark's exact percentile on a skewed (quadratic) distribution,
+    and the report is deterministic across runs."""
+    df = spark.range(1, 50_001).select(
+        (F.col("id") * F.col("id") % 977_777 + 1).alias("v")
+    )
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    rows = [
+        sketches.quantile_sketch(df, F.col("v"), qs).collect()[0]
+        for _ in range(2)
+    ]
+    assert rows[0] == rows[1]
+    r = rows[0]
+    assert r["n_total"] == 50_000
+    exact = df.agg(
+        *[
+            F.expr(f"percentile(v, {p})").alias(name)
+            for name, p in qs.items()
+        ]
+    ).collect()[0]
+    for name in qs:
+        rel = abs(r[name] - exact[name]) / exact[name]
+        assert rel <= 2 ** -7 + 1e-9, (name, r[name], exact[name])

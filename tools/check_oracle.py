@@ -5,11 +5,18 @@ DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values (columns sorted by name, rows sorted
 by their full value tuple). Catches parity bugs before the driver does.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-entry machine-readable record
+({name: {status, rows, spark_sec, duck_sec, msg}}) — the committed
+full-sweep artifact (FULLSWEEP_r{N}.json) that turns "every entry is
+oracle-paired" from a design claim into a per-round measured fact
+(VERDICT r10 item 5).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -47,8 +54,14 @@ def _canon(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict = {}
 
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
@@ -72,13 +85,20 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "FAIL", "msg": f"spark error: {e}"[:300]}
             continue
         if name not in oracles:
+            ok_rows = bool(s_rows)
             print(
                 f"rows  {name}: {len(s_rows)} rows (no oracle — rows-only) "
                 f"[{time.time()-t0:.1f}s]"
             )
-            if not s_rows:
+            record[name] = {
+                "status": "rows-only" if ok_rows else "FAIL",
+                "rows": len(s_rows),
+                "spark_sec": round(t_spark, 1),
+            }
+            if not ok_rows:
                 failures.append(name)
                 print(f"FAIL  {name}: 0 rows")
             continue
@@ -91,6 +111,10 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {
+                "status": "FAIL",
+                "msg": f"duckdb error: {e}"[:300],
+            }
             continue
 
         sc, sr = _canon(s_cols, s_rows)
@@ -108,6 +132,14 @@ def main() -> int:
             status, msg = "FAIL", f"values differ, e.g. {diffs}"
         if status == "FAIL":
             failures.append(name)
+        record[name] = {
+            "status": status.strip(),
+            "rows": len(sr),
+            "spark_sec": round(t_spark, 1),
+            "duck_sec": round(t_duck, 1),
+        }
+        if msg:
+            record[name]["msg"] = msg[:300]
         print(
             f"{status}  {name}: {len(sr)} rows "
             f"[spark {t_spark:.1f}s, duckdb {t_duck:.1f}s] {msg}"
@@ -118,6 +150,23 @@ def main() -> int:
         f"{len(only) if only else len(queries)} checked"
         + (f": {failures}" if failures else "")
     )
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_checked": len(record),
+            "n_ok": sum(
+                1 for v in record.values() if v["status"] == "ok"
+            ),
+            "n_rows_only": sum(
+                1 for v in record.values() if v["status"] == "rows-only"
+            ),
+            "n_fail": len(failures),
+            "failures": failures,
+            "entries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+            f.write("\n")
     return 1 if failures else 0
 
 
