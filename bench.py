@@ -118,6 +118,7 @@ HEADLINE = [
     # report's exact percentile(), and the state-heavy two-phase
     # distinct aggregation under the deliberate hot key
     "quantile_sketch_report",
+    "quantile_sketch_by_group",
     "agg_hotkey_distinct",
 ]
 
@@ -175,6 +176,11 @@ X10_HEAVY = [
     # and the deliberate-hot-key salted aggregation
     "graph_pagerank_dangling",
     "agg_salted_hotkey",
+    # round 11: the state-heavy two-phase distinct twin and the
+    # mergeable quantile sketch — both single-digit-bucket exchanges
+    # whose decade should be scan-bound
+    "agg_hotkey_distinct",
+    "quantile_sketch_report",
 ]
 # The two deliberate exact-quadratic ground-truth twins: their answers
 # are pinned by parity tests and their x10 runs burned ~31s of the

@@ -12020,3 +12020,73 @@ def q_quantile_sketch_report(spark, sf_dir):
         sub_bits=7,
         scale=100.0,
     )
+
+
+_QSKETCH_GROUPED_CTES = """
+    v AS (SELECT l_returnflag,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+          FROM lineitem),
+    m1 AS (SELECT l_returnflag, c, c | (c >> 1) AS s FROM v),
+    m2 AS (SELECT l_returnflag, c, s | (s >> 2) AS s FROM m1),
+    m4 AS (SELECT l_returnflag, c, s | (s >> 4) AS s FROM m2),
+    m8 AS (SELECT l_returnflag, c, s | (s >> 8) AS s FROM m4),
+    m16 AS (SELECT l_returnflag, c, s | (s >> 16) AS s FROM m8),
+    m32 AS (SELECT l_returnflag, c, s | (s >> 32) AS s FROM m16),
+    bw AS (SELECT l_returnflag, c, CAST(POWER(2.0,
+                CASE WHEN bit_count(s) - 1 > 7
+                     THEN bit_count(s) - 1 - 7 ELSE 0 END)
+              AS BIGINT) AS w
+           FROM m32),
+    hist AS (SELECT l_returnflag, c - (c % w) AS lo,
+                    c - (c % w) + w AS hi,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bw GROUP BY 1, 2, 3),
+    ch AS (SELECT l_returnflag, lo, hi, cnt,
+                  CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY lo) AS BIGINT) AS cum,
+                  CAST(SUM(cnt) OVER (PARTITION BY l_returnflag)
+                       AS BIGINT) AS n_total,
+                  CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                       AS BIGINT) AS n_buckets
+           FROM hist)
+"""
+
+
+@register(
+    "quantile_sketch_by_group",
+    f"""
+    WITH {_QSKETCH_GROUPED_CTES}
+    SELECT l_returnflag, n_total, n_buckets,
+           {_qsketch_pick_sql(0.5, "p50_sketch")},
+           {_qsketch_pick_sql(0.9, "p90_sketch")},
+           {_qsketch_pick_sql(0.99, "p99_sketch")}
+    FROM ch
+    GROUP BY 1, 2, 3
+    """,
+    doc="PER-KEY mergeable quantiles (operators/sketches.py "
+    "quantile_sketch_grouped): the grouped form a pipeline actually "
+    "calls at 100 TB — per-source length percentiles, per-day "
+    "latency bands — here p50/p90/p99 of l_extendedprice per "
+    "l_returnflag. Same deterministic log-bucket histogram and "
+    "interpolation as quantile_sketch_report, but the plan is "
+    "strictly better: the one data exchange is the map-side-combined "
+    "(key, bucket) groupBy and the cumulative/total windows "
+    "PARTITION BY the key — no SinglePartition stage at all (plan "
+    "test). Per-key state is bounded by the ~7.3k-bucket histogram, "
+    "never the group's row count — exact percentile() per group "
+    "would buffer the hot group's every value in one task, the "
+    "agg_hotkey_distinct failure shape.",
+)
+def q_quantile_sketch_by_group(spark, sf_dir):
+    from pyspark_scd_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return sketches.quantile_sketch_grouped(
+        li,
+        ["l_returnflag"],
+        cents,
+        {"p50_sketch": 0.5, "p90_sketch": 0.9, "p99_sketch": 0.99},
+        sub_bits=7,
+        scale=100.0,
+    )

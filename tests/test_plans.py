@@ -256,6 +256,15 @@ _SINGLE_PARTITION_ALLOWED = {
                                  # baseline the entry measures the
                                  # sample AGAINST (percentiles_exact
                                  # doc: exact needs the sort)
+    "quantile_sketch_report": 1,  # cumsum window + 1-row final over
+                                 # the BOUNDED histogram (<= ~7.3k
+                                 # rows whatever the input size; the
+                                 # one data-row exchange is pinned
+                                 # separately in
+                                 # test_quantile_sketch_single_data_
+                                 # exchange); the grouped twin
+                                 # (quantile_sketch_by_group) has
+                                 # zero SinglePartition stages
 }
 
 
@@ -430,4 +439,21 @@ def test_hotkey_distinct_two_phase(spark, sf_dir):
     pair_phase = [e for e in exchanges if "l_partkey" in e]
     assert len(pair_phase) == 1 and "skew_key" in pair_phase[0], plan
     assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_quantile_sketch_grouped_no_single_partition(spark, sf_dir):
+    """The grouped sketch's plan contract: NO SinglePartition stage
+    anywhere — the data exchange is the map-side-combined (key,
+    bucket) histogram groupBy, and the only other exchange re-keys
+    the bounded histogram on the group key for the windows."""
+    df = REGISTRY["quantile_sketch_by_group"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 2, plan
+    data_ex = [e for e in exchanges if "bucket_lo" in e]
+    assert len(data_ex) == 1 and "l_returnflag" in data_ex[0], plan
+    hist_ex = [e for e in exchanges if "bucket_lo" not in e]
+    assert "l_returnflag" in hist_ex[0], plan
     assert "partial_count" in plan, plan
