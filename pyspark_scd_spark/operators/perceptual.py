@@ -574,13 +574,29 @@ def audio_fingerprint(
 ) -> DataFrame:
     """63-bit audio fingerprint from a REAL WAV decode: split the PCM
     stream into ``window``-sample windows, compute each window's
-    integer energy (sum of squares), and set bit k iff
+    integer energy (sum of squares), and derive transition sign k as
     energy[k+1] > energy[k] (k <= 62). Energy-TRANSITION signs are
     the Haitsma-Kalker (2002) robust-hash derivation reduced to one
     band: invariant under volume scaling and phase shifts, which is
     why re-encoded copies keep most bits. All int64 arithmetic — the
     oracle replays sample values, window energies, and the packed
     bits exactly.
+
+    BIT LAYOUT (round-11 decade-study fix): transition k is stored at
+    bit position (16*k) % 63 — a hamming-preserving bijection (two
+    clips' differing-transition COUNT is unchanged, so near-dup
+    semantics and the pigeonhole recall guarantee are identical).
+    Why: adjacent transitions share a window energy and are
+    negatively correlated, so with transition k at bit k the
+    contiguous 16-bit LSH bands collapse onto alternating-pattern
+    modes (measured at 500k diverse clips: band values 0x5555/0xAAAA
+    held 600+ distinct fingerprints each vs a uniform mean of ~11,
+    and the x300 band join went superlinear — 123s vs the video
+    family's 68s at 3x the rows, SCALING.md round 11). The
+    interleave gives band i transitions {4i', spaced 4 apart}, whose
+    signs are independent, so band values spread ~uniformly and the
+    candidate volume returns to the n²/2^16 floor shared with the
+    image/video families.
 
     Returns (id, n_windows, afp). Pure Arrow map; pairs come from
     ``phash_neardup_pairs`` unchanged (the band machinery is
@@ -605,7 +621,7 @@ def audio_fingerprint(
                 afp = 0
                 for k in range(min(n_win - 1, 63)):
                     if e[k + 1] > e[k]:
-                        afp |= 1 << k
+                        afp |= 1 << ((16 * k) % 63)
                 out["doc_id"].append(int(doc_id))
                 out["n_windows"].append(n_win)
                 out["afp"].append(afp)

@@ -11489,7 +11489,8 @@ _AUDIO_FP_CTES = """
     afp AS (SELECT out_id AS doc_id,
                    CAST(COUNT(*) AS INTEGER) AS n_windows,
                    CAST(COALESCE(SUM(CASE WHEN e2 > e AND w <= 62
-                     THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+                     THEN (CAST(1 AS BIGINT)
+                           << CAST((16 * w) % 63 AS INTEGER))
                      ELSE 0 END), 0) AS BIGINT) AS afp
             FROM wl GROUP BY 1)
 """

@@ -233,7 +233,7 @@ def test_audio_fingerprint_matches_python_reference(spark):
             for w in range(n_win)
         ]
         afp = sum(
-            (1 << k)
+            (1 << ((16 * k) % 63))
             for k in range(min(n_win - 1, 63))
             if e[k + 1] > e[k]
         )
@@ -321,3 +321,15 @@ def test_audio_incremental_twins_cross_boundary(spark):
     for base in (0, 13):
         assert (base, base + 10_000_000) in pairs
         assert pairs[(base, base + 10_000_000)] <= 1
+
+
+def test_audio_interleave_bit_layout_is_bijection():
+    """The (16k) % 63 transition->bit permutation is a bijection on
+    0..62 (no transition lost, none overwritten) and strides adjacent
+    transitions 16 bit positions apart, so each contiguous 16-bit LSH
+    band samples transitions spaced 4 apart — the decorrelation that
+    removes the alternating-pattern band modes (SCALING.md r11)."""
+    pos = [(16 * k) % 63 for k in range(63)]
+    assert sorted(pos) == list(range(63))
+    for k in range(62):
+        assert abs(pos[k + 1] - pos[k]) in (16, 63 - 16)
