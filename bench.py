@@ -233,6 +233,34 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_calibration() -> float:
+    """Fixed-work single-thread CPU benchmark (~1.2s on this VM class
+    when healthy): sha256 over 64 KiB, 20k rounds. Emitted as
+    cal_1t_sec so round-over-round wall-clock deltas can be divided
+    by machine speed — round 11 measured UNTOUCHED queries 3-5x
+    slower than round 10's committed run on a nominally idle VM
+    (hypervisor contention), which is indistinguishable from a plan
+    regression without an in-record calibration constant."""
+    import hashlib
+
+    t0 = time.time()
+    b = b"x" * 65536
+    for _ in range(20000):
+        b = hashlib.sha256(b[:65536]).digest() * 2048
+    return round(time.time() - t0, 3)
+
+
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (field 8 of /proc/stat cpu
+    line); differences across the timed section expose noisy-
+    neighbor windows that are invisible from load average."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return -1
+
+
 def _final_line(out: dict) -> str:
     """The driver-facing JSON line, guaranteed <= TAIL_BUDGET chars:
     compact separators, then progressively coarser per-query decimals,
@@ -287,6 +315,9 @@ def main() -> None:
     # round-over-round deltas were weather. The scale tiers below stay
     # at second-of-2 (their queries are seconds-long, spread is
     # relatively small, and 3x their wall would dominate the budget).
+    cal_1t = _cpu_calibration()
+    steal0 = _steal_ticks()
+    wall0 = time.time()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in queries:
@@ -407,6 +438,17 @@ def main() -> None:
         "sf": sf,
     }
     out.update(common_fields)
+    # Machine-health context for the record (see _cpu_calibration):
+    # cal_1t_sec is the fixed-work constant; steal_pct is hypervisor
+    # steal across the headline section as a share of total CPU.
+    out["cal_1t_sec"] = cal_1t
+    steal1 = _steal_ticks()
+    if steal0 >= 0 and steal1 >= steal0:
+        elapsed = time.time() - wall0
+        cpus = os.cpu_count() or 1
+        out["steal_pct"] = round(
+            100.0 * (steal1 - steal0) / 100.0 / (elapsed * cpus), 2
+        )
     if x10:
         out["queries_x10"] = x10
         out["value_x10"] = round(sum(x10.values()), 3)
