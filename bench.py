@@ -112,6 +112,9 @@ HEADLINE = [
     "image_phash_neardup",
     "video_phash_neardup",
     "audio_fingerprint_neardup",
+    # round 11: the 124-bit MIH twin (31-bit bands; the scale form
+    # for >10^6 distinct fingerprints, SCALING.md round 11)
+    "audio_fingerprint_neardup_wide",
     "hll_cardinality_report",
     "quantile_sampled_report",
     # round 11: the mergeable-quantile replacement for the sampled

@@ -307,6 +307,7 @@ def with_audio_payload(
     out_col: str = "payload",
     phase_boost: int = 0,
     id_offset: int = 0,
+    min_samples: int = 64,
 ) -> DataFrame:
     """Synthesize a REAL WAV binary column (vendored RIFF/PCM encoder)
     from the deterministic signal above. Stands in for reading real
@@ -317,7 +318,10 @@ def with_audio_payload(
     added INSIDE the modulo (so the int16 range is preserved by
     construction) and the emitted id is shifted — a deterministic
     near-duplicate whose window-0 energy differs while every other
-    window is byte-identical."""
+    window is byte-identical. ``min_samples`` raises the clip-length
+    floor (n = min_samples + id % 193) — the wide-fingerprint
+    entries use 250 so every clip meets audio_fingerprint_wide's
+    125-window precondition."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark_scd_spark.functions import audiocodec
@@ -327,7 +331,7 @@ def with_audio_payload(
             payloads = []
             for i in ids:
                 i = int(i)
-                n = 64 + i % 193
+                n = min_samples + i % 193
                 samples = [
                     (
                         (

@@ -693,3 +693,210 @@ def video_neardup_incremental(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_matches)
     )
+
+
+# ======================================================================
+# Wide (124-bit) audio fingerprint: the MIH scale path the round-11
+# decade study named. At fixed 63-bit width, hamming<=3 banding is
+# stuck with 16-bit substrings (pigeonhole needs bands > max_hamming),
+# so band buckets hold n/2^16 hashes and candidate volume grows
+# quadratically once distinct hashes outnumber ~10^6 (SCALING.md
+# round 11). Multi-index hashing (Norouzi et al. 2012, public) says
+# substring length should track log2(n): two 62-bit words give 4
+# bands of 31 bits — bucket space 2^31, so candidates stay
+# planted-pairs-sized out to billions of distinct fingerprints.
+# ======================================================================
+
+WIDE_AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("afp_lo", T.LongType()),
+        T.StructField("afp_hi", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 2,
+) -> DataFrame:
+    """124-bit audio fingerprint: the ``audio_fingerprint`` energy-
+    transition derivation at window=2 (so a 250-sample clip yields
+    125+ window energies), transitions 0..61 packed into ``afp_lo``
+    bits 0..61 and 62..123 into ``afp_hi`` — two int64 words whose
+    31-bit substrings are the MIH bands of
+    ``wide_hamming_neardup_pairs``.
+
+    No bit interleave here, deliberately: the narrow form needed it
+    because 16-bit bands of 1-dependent transition signs collapse
+    onto alternating-pattern modes (~2^-11 mass each); at 31 bits a
+    mode carries ~(2/3)^30 ≈ 5e-6 of clips — ~8 per mode at 1.5M,
+    noise. Documented so nobody "simplifies" the narrow form's
+    interleave away by analogy in the other direction.
+
+    PRECONDITION (enforced): every clip must decode to >= 125
+    windows (>= 250 samples at window=2). Shorter clips would leave
+    afp_hi identically zero, recreating a hot zero-bucket in the hi
+    bands — the exact concentration pathology this family exists to
+    avoid; short clips belong to the 63-bit ``audio_fingerprint``.
+    """
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import audiocodec
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_windows": [], "afp_lo": [], "afp_hi": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, samples = audiocodec.decode_wav(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                n_win = (len(s) + window - 1) // window
+                if n_win < 125:
+                    raise ValueError(
+                        "audio_fingerprint_wide needs >= 125 windows "
+                        f"(>= {125 * window} samples at window="
+                        f"{window}), got {n_win} for doc {doc_id}; "
+                        "short clips use audio_fingerprint (63-bit)"
+                    )
+                e = [
+                    int((s[w * window : (w + 1) * window] ** 2).sum())
+                    for w in range(n_win)
+                ]
+                lo = hi = 0
+                for k in range(min(n_win - 1, 124)):
+                    if e[k + 1] > e[k]:
+                        if k < 62:
+                            lo |= 1 << k
+                        else:
+                            hi |= 1 << (k - 62)
+                out["doc_id"].append(int(doc_id))
+                out["n_windows"].append(n_win)
+                out["afp_lo"].append(lo)
+                out["afp_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _fp, schema=WIDE_AUDIO_FP_SCHEMA
+    )
+
+
+def _banded_wide(df: DataFrame, lo_col: str, hi_col: str) -> DataFrame:
+    """Two-word MIH banding: bands 0,1 = bits [0,31),[31,62) of the
+    lo word; bands 2,3 = the same of the hi word. One definition for
+    both join shapes (the _banded discipline)."""
+    mask = (1 << 31) - 1
+    parts = []
+    for wi, col in enumerate((lo_col, hi_col)):
+        for j in range(2):
+            parts.append(
+                F.struct(
+                    F.lit(wi * 2 + j).alias("band_no"),
+                    F.shiftright(F.col(col), j * 31)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+            )
+    return df.select(
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+        F.explode(F.array(*parts)).alias("__b"),
+    ).select("__lo", "__hi", "__b.band_no", "__b.band_val")
+
+
+def wide_hamming_neardup_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    lo_col: str = "afp_lo",
+    hi_col: str = "afp_hi",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) over the 124-bit fingerprint — the
+    phash_neardup_pairs architecture (distinct-hash collapse, band
+    candidates, exact verify, expansion joins, hamming-0 self-join)
+    with 4 bands of 31 BITS instead of 16: pigeonhole recall 1 at
+    max_hamming <= 3 (4 disjoint substrings cover all 124 bits), and
+    band buckets draw from a 2^31 value space, so candidate volume
+    stays ~planted-pairs-sized instead of the n²/2^16 floor
+    (SCALING.md round 11 measured that floor dominating the narrow
+    family's decade beyond ~10^6 distinct hashes)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "pigeonhole recall guarantee over 4 bands needs "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    ids = fp.select(
+        F.col(id_col).alias("__id"),
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+    ).localCheckpoint(eager=False)
+    hs = ids.select("__lo", "__hi").distinct()
+    banded = _banded_wide(hs, "__lo", "__hi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    a_lt_b = (F.col("a.__lo") < F.col("b.__lo")) | (
+        (F.col("a.__lo") == F.col("b.__lo"))
+        & (F.col("a.__hi") < F.col("b.__hi"))
+    )
+    hp = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & a_lt_b,
+        )
+        .select(
+            F.col("a.__lo").alias("__la"),
+            F.col("a.__hi").alias("__ha"),
+            F.col("b.__lo").alias("__lb"),
+            F.col("b.__hi").alias("__hb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        hp.join(
+            ids.select(
+                F.col("__id").alias("__ida"),
+                F.col("__lo").alias("__la"),
+                F.col("__hi").alias("__ha"),
+            ),
+            ["__la", "__ha"],
+        )
+        .join(
+            ids.select(
+                F.col("__id").alias("__idb"),
+                F.col("__lo").alias("__lb"),
+                F.col("__hi").alias("__hb"),
+            ),
+            ["__lb", "__hb"],
+        )
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x = ids.alias("x")
+    y = ids.alias("y")
+    zero = x.join(
+        y,
+        (F.col("x.__lo") == F.col("y.__lo"))
+        & (F.col("x.__hi") == F.col("y.__hi"))
+        & (F.col("x.__id") < F.col("y.__id")),
+    ).select(
+        F.col("x.__id").alias("doc_a"),
+        F.col("y.__id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross.unionByName(zero)

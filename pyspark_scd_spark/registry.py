@@ -11744,6 +11744,112 @@ def q_audio_fingerprint_incremental(spark, sf_dir):
     )
 
 
+_AUDIO_FP_WIDE_CTES = """
+    aud AS (SELECT doc_id AS out_id, doc_id AS base, 0 AS boost
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, doc_id, 333
+            FROM documents WHERE doc_id % 13 = 0),
+    smp AS (SELECT out_id, j.j AS j,
+                   ((base*7919 + j.j*104729
+                     + CASE WHEN j.j < 2 THEN boost ELSE 0 END)
+                    % 65536) - 32768 AS v
+            FROM aud,
+                 LATERAL (SELECT UNNEST(range(250 + base % 193)) AS j) j),
+    wins AS (SELECT out_id, j // 2 AS w, SUM(v*v) AS e
+             FROM smp GROUP BY 1, 2),
+    wl AS (SELECT out_id, w, e,
+                  LEAD(e) OVER (PARTITION BY out_id ORDER BY w) AS e2
+           FROM wins),
+    afpw AS (SELECT out_id AS doc_id,
+                    CAST(COUNT(*) AS INTEGER) AS n_windows,
+                    CAST(COALESCE(SUM(CASE WHEN e2 > e AND w <= 61
+                      THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+                      ELSE 0 END), 0) AS BIGINT) AS afp_lo,
+                    CAST(COALESCE(SUM(CASE WHEN e2 > e
+                          AND w BETWEEN 62 AND 123
+                      THEN (CAST(1 AS BIGINT)
+                            << CAST(w - 62 AS INTEGER))
+                      ELSE 0 END), 0) AS BIGINT) AS afp_hi
+             FROM wl GROUP BY 1)
+"""
+
+
+def _wide_audio_clips(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    return MM.with_audio_payload(d, min_samples=250).unionByName(
+        MM.with_audio_payload(
+            d.filter(F.col("doc_id") % 13 == 0),
+            phase_boost=333,
+            id_offset=10_000_000,
+            min_samples=250,
+        )
+    )
+
+
+@register(
+    "audio_fingerprint_wide",
+    f"""
+    WITH {_AUDIO_FP_WIDE_CTES}
+    SELECT doc_id, n_windows, afp_lo, afp_hi FROM afpw
+    """,
+    doc="124-bit audio fingerprint (operators/perceptual.py "
+    "audio_fingerprint_wide): the energy-transition derivation at "
+    "window=2 over >= 250-sample clips, transitions 0..61 in afp_lo "
+    "and 62..123 in afp_hi — the MIH scale path the round-11 decade "
+    "study named (SCALING.md): 31-bit bands draw from a 2^31 value "
+    "space, so the candidate floor that caps the 63-bit family at "
+    "~10^6 distinct hashes moves out to billions. The >= 125-window "
+    "precondition is ENFORCED in the operator (shorter clips would "
+    "leave afp_hi zero — a hot zero-bucket, the exact concentration "
+    "pathology this family avoids). Oracle replays samples, window "
+    "energies, and both packed words exactly.",
+)
+def q_audio_fingerprint_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    return perceptual.audio_fingerprint_wide(
+        _wide_audio_clips(spark, sf_dir)
+    )
+
+
+@register(
+    "audio_fingerprint_neardup_wide",
+    f"""
+    WITH {_AUDIO_FP_WIDE_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.afp_lo, b.afp_lo))
+                + bit_count(xor(a.afp_hi, b.afp_hi)) AS INTEGER)
+             AS hamming
+    FROM afpw a JOIN afpw b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp_lo, b.afp_lo))
+          + bit_count(xor(a.afp_hi, b.afp_hi)) <= 3
+    """,
+    doc="Audio near-dup over the 124-bit fingerprint "
+    "(operators/perceptual.py wide_hamming_neardup_pairs): the "
+    "phash_neardup_pairs architecture — distinct-hash collapse, band "
+    "candidates, exact verify, expansion joins, hamming-0 self-join "
+    "— with 4 MIH bands of 31 bits (pigeonhole recall 1 at "
+    "hamming <= 3 over two 62-bit words). Corpus: >= 250-sample "
+    "clips with planted re-encode twins (doc_id%13==0, +333 phase, "
+    "id+10M; window-0 energy shifts, so hamming <= 1). Oracle "
+    "brute-forces all pairs — recall of the banded join is checked, "
+    "not assumed. Scale: band buckets hold n/2^31 hashes, so the "
+    "round-11-measured n^2/2^16 candidate floor of the 63-bit "
+    "family does not apply until ~10^9 distinct fingerprints.",
+)
+def q_audio_fingerprint_neardup_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    return perceptual.wide_hamming_neardup_pairs(
+        perceptual.audio_fingerprint_wide(
+            _wide_audio_clips(spark, sf_dir)
+        )
+    )
+
+
 def _hll_reg_sql(name: str, where: str, p: int = 6) -> str:
     """CTE chain text for one side's HLL registers (bucket, register)
     over lineitem.l_orderkey rows matching ``where`` — the DuckDB

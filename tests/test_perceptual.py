@@ -333,3 +333,85 @@ def test_audio_interleave_bit_layout_is_bijection():
     assert sorted(pos) == list(range(63))
     for k in range(62):
         assert abs(pos[k + 1] - pos[k]) in (16, 63 - 16)
+
+
+def test_audio_fingerprint_wide_matches_python_reference(spark):
+    """Arrow-side 124-bit fingerprint equals a direct Python
+    recomputation (window=2, two packed words)."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["afp_lo"], r["afp_hi"])
+        for r in perceptual.audio_fingerprint_wide(
+            MM.with_audio_payload(docs, min_samples=250)
+        ).collect()
+    }
+    for i in range(30):
+        n = 250 + i % 193
+        s = [((i * 7919 + j * 104729) % 65536) - 32768 for j in range(n)]
+        n_win = (n + 1) // 2
+        e = [
+            sum(v * v for v in s[w * 2 : (w + 1) * 2])
+            for w in range(n_win)
+        ]
+        lo = hi = 0
+        for k in range(min(n_win - 1, 124)):
+            if e[k + 1] > e[k]:
+                if k < 62:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 62)
+        assert got[i] == (n_win, lo, hi), i
+
+
+def test_wide_band_join_equals_brute_force(spark):
+    """Pigeonhole recall 1 for the 31-bit-band two-word join: the
+    banded pipeline finds EXACTLY the pairs an all-pairs 124-bit
+    hamming filter finds — including hamming-0 twins."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    clips = MM.with_audio_payload(docs, min_samples=250).unionByName(
+        MM.with_audio_payload(
+            docs.filter(F.col("doc_id") % 13 == 0),
+            phase_boost=333,
+            id_offset=10_000_000,
+            min_samples=250,
+        )
+    )
+    fp = perceptual.audio_fingerprint_wide(clips).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perceptual.wide_hamming_neardup_pairs(fp).collect()
+    }
+    rows = {
+        r["doc_id"]: (r["afp_lo"], r["afp_hi"]) for r in fp.collect()
+    }
+    fp.unpersist()
+    want = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(rows[a][0] ^ rows[b][0]).count("1") + bin(
+                rows[a][1] ^ rows[b][1]
+            ).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want and want
+    # every planted twin is found
+    for i in range(0, 120, 13):
+        assert any(p[0] == i and p[1] == i + 10_000_000 for p in want)
+
+
+def test_audio_fingerprint_wide_rejects_short_clips(spark):
+    """The >= 125-window precondition is enforced, not documented:
+    a short clip raises instead of silently producing the hot
+    zero-bucket pathology in the hi bands."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(Exception, match="125 windows"):
+        perceptual.audio_fingerprint_wide(
+            MM.with_audio_payload(docs)  # default 64..256 samples
+        ).collect()
