@@ -207,6 +207,15 @@ def _queries(spark, sf_dir: str):
             hash_col="afp",
         )
 
+    def q_audio_neardup_wide(_s, _d):
+        # the 124-bit MIH form (round 11): the 256-sample diverse
+        # corpus meets the >= 125-window precondition at window=2
+        return perceptual.wide_hamming_neardup_pairs(
+            perceptual.audio_fingerprint_wide(
+                diverse_audio_payload(docs)
+            )
+        )
+
     return {
         "video_frame_hashes": q_video_hash,
         "video_phash_neardup": q_video_neardup,
@@ -214,6 +223,7 @@ def _queries(spark, sf_dir: str):
         "audio_fingerprint": q_audio_hash,
         "audio_fingerprint_neardup": q_audio_neardup,
         "audio_fingerprint_incremental": q_audio_incremental,
+        "audio_fingerprint_neardup_wide": q_audio_neardup_wide,
     }
 
 
