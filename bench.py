@@ -116,6 +116,7 @@ HEADLINE = [
     # for >10^6 distinct fingerprints, SCALING.md round 11)
     "audio_fingerprint_neardup_wide",
     "hll_cardinality_report",
+    "hll_cardinality_by_group",
     "quantile_sampled_report",
     # round 11: the mergeable-quantile replacement for the sampled
     # report's exact percentile(), and the state-heavy two-phase

@@ -194,6 +194,100 @@ def hll_estimate_from_registers(
     return est
 
 
+def hll_registers_grouped(
+    df: DataFrame, key_cols: list[str], value: Column, p: int = 10
+) -> DataFrame:
+    """(``*key_cols``, bucket, register) — per-key HLL registers.
+    Same hash/rank derivation as ``hll_registers`` with the group key
+    joined into the aggregation key: still ONE map-side-combined
+    exchange, shuffle bounded by |keys|·2^p rows per partition."""
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            *[F.col(k) for k in key_cols],
+            (h % m).alias("bucket"),
+            F.shiftright(h, p).alias("__w"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.max(_rank_expr(F.col("__w"), width))
+            .cast("int")
+            .alias("register")
+        )
+    )
+
+
+def hll_distinct_grouped(
+    df: DataFrame, key_cols: list[str], value: Column, p: int = 10
+) -> DataFrame:
+    """Per-key HLL cardinality report — ``hll_distinct`` grouped: one
+    row per key with (m, observed_buckets, zero_buckets,
+    harmonic_sum, hll_estimate, exact_distinct, rel_error,
+    small_range_unreliable). The per-key exact COUNT(DISTINCT) audit
+    column is the documented expensive baseline (its shuffle carries
+    every distinct (key, value) pair — the agg_hotkey_distinct
+    two-phase shape); 100 TB callers drop it and keep the
+    register-table pipeline, whose per-key state is 2^p bytes-ish
+    regardless of group size. The small-range guard applies PER KEY —
+    a skewed mix of big and tiny groups flags exactly the tiny ones."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers_grouped(df, key_cols, value, p)
+    sketch = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("observed_buckets"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("register"))), F.lit(0.0)
+        ).alias("__hs_obs"),
+    )
+    sketch = sketch.select(
+        *key_cols,
+        F.lit(m).cast("long").alias("m"),
+        "observed_buckets",
+        (F.lit(m) - F.col("observed_buckets"))
+        .cast("long")
+        .alias("zero_buckets"),
+        F.round(
+            F.col("__hs_obs") + (F.lit(m) - F.col("observed_buckets")),
+            6,
+        ).alias("harmonic_sum"),
+        F.round(
+            F.lit(alpha * m * m)
+            / (
+                F.col("__hs_obs")
+                + (F.lit(m) - F.col("observed_buckets"))
+            ),
+            2,
+        ).alias("hll_estimate"),
+    )
+    exact = df.groupBy(*key_cols).agg(
+        F.countDistinct(value).cast("long").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, list(key_cols))
+        .withColumn(
+            "rel_error",
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    F.abs(
+                        F.col("hll_estimate") - F.col("exact_distinct")
+                    )
+                    / F.col("exact_distinct"),
+                    4,
+                ),
+            ),
+        )
+        .withColumn(
+            "small_range_unreliable",
+            F.col("hll_estimate") <= F.lit(2.5 * m),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Mergeable quantiles: deterministic log-bucket histogram
 # (VERDICT r10 item 2 — replaces the exact percentile() memory wall:

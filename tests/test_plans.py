@@ -457,3 +457,16 @@ def test_quantile_sketch_grouped_no_single_partition(spark, sf_dir):
     hist_ex = [e for e in exchanges if "bucket_lo" not in e]
     assert "l_returnflag" in hist_ex[0], plan
     assert "partial_count" in plan, plan
+
+
+def test_hll_grouped_no_single_partition(spark, sf_dir):
+    """The grouped HLL report has NO SinglePartition stage: register
+    build is a map-side-combined (key, bucket) exchange; estimate and
+    exact-audit aggregations re-key on the group key."""
+    df = REGISTRY["hll_cardinality_by_group"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "partial_max" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    reg_ex = [e for e in exchanges if "bucket" in e]
+    assert len(reg_ex) == 1 and "l_returnflag" in reg_ex[0], plan

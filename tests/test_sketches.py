@@ -189,3 +189,45 @@ def test_quantile_sketch_accuracy_vs_exact(spark):
     for name in qs:
         rel = abs(r[name] - exact[name]) / exact[name]
         assert rel <= 2 ** -7 + 1e-9, (name, r[name], exact[name])
+
+
+def test_hll_grouped_matches_global_per_key(spark):
+    """Per-key registers equal the global registers computed on each
+    key's slice — the grouped form is the global form partitioned,
+    so the mergeability story carries over unchanged."""
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id")).alias("v")
+    )
+    grouped = {
+        (r["k"], r["bucket"]): r["register"]
+        for r in sketches.hll_registers_grouped(
+            df, ["k"], F.col("v"), p=8
+        ).collect()
+    }
+    for k in range(3):
+        per_slice = {
+            (k, r["bucket"]): r["register"]
+            for r in sketches.hll_registers(
+                df.filter(F.col("k") == k), F.col("v"), p=8
+            ).collect()
+        }
+        assert per_slice == {
+            kk: v for kk, v in grouped.items() if kk[0] == k
+        }
+
+
+def test_hll_grouped_registry_raw_regime_all_sfs(spark):
+    """hll_cardinality_by_group stays in the raw regime (flag false)
+    for EVERY key at every shipped SF — the per-key guard contract."""
+    from pyspark_scd_spark.registry import REGISTRY
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = (
+            REGISTRY["hll_cardinality_by_group"]
+            .builder(spark, f"/root/testdata/{sf}")
+            .collect()
+        )
+        assert len(rows) == 3, sf
+        for r in rows:
+            assert r["small_range_unreliable"] is False, (sf, r)
+            assert r["rel_error"] <= 0.27  # 4 sigma at m=256
