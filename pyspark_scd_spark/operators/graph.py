@@ -111,33 +111,56 @@ def pagerank(
             return set()
 
     prev_cp_ids: set = set()
+
+    def _tracked_checkpoint(df: DataFrame) -> DataFrame:
+        # One mechanism for BOTH checkpoint sites (dangling-path head
+        # and periodic tail) so every checkpointed block set is freed
+        # once its successor materializes — previously the periodic
+        # path bypassed tracking and its blocks accumulated for the
+        # whole loop. eager=True is honest labeling, not extra cost:
+        # under AQE a "lazy" localCheckpoint materializes its upstream
+        # stages at plan-construction time anyway (NOTES.md item 9) —
+        # and the materialization guarantee makes it safe to free the
+        # PREVIOUS checkpoint's blocks (lineage is truncated onto the
+        # new blocks).
+        #
+        # Concurrency guard: getPersistentRDDs is GLOBAL, so on a
+        # SparkContext shared with concurrent jobs the before/after
+        # diff can capture a FOREIGN RDD persisted in the window —
+        # unpersisting someone else's localCheckpoint destroys its
+        # only copy. A single localCheckpoint persists exactly one
+        # RDD, so the diff is trusted only when |new| == 1; an
+        # ambiguous diff forfeits cleanup for this round (degrades to
+        # accumulate-until-GC, never corrupts). Relies on the private
+        # _jsc API — absent under Spark Connect, where the except
+        # path makes the whole mechanism a no-op.
+        nonlocal prev_cp_ids
+        before = _persistent_ids()
+        df = df.localCheckpoint(eager=True)
+        new_ids = _persistent_ids() - before
+        if len(new_ids) != 1:
+            prev_cp_ids = set()
+            return df
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in prev_cp_ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            # best-effort cleanup: on failure the loop degrades
+            # to the old accumulate-until-GC behavior.
+            pass
+        prev_cp_ids = new_ids
+        return df
+
     for i in range(iters):
         if dangling is not None:
             # The dangling aggregate references ranks a SECOND time
             # per iteration; unpinned, that doubles the rank subtree
             # per pass (2^iters growth). The checkpoint dedups both
-            # references onto one block set. eager=True is honest
-            # labeling, not extra cost: under AQE a "lazy"
-            # localCheckpoint materializes its upstream stages at
-            # plan-construction time anyway (NOTES.md item 9) — and
-            # the materialization guarantee makes it safe to free
-            # the PREVIOUS iteration's checkpoint blocks below
-            # (lineage is truncated onto the new blocks; stale ones
-            # would otherwise accumulate for the whole loop).
-            before = _persistent_ids()
-            ranks = ranks.localCheckpoint(eager=True)
-            new_ids = _persistent_ids() - before
-            try:
-                jmap = sc._jsc.getPersistentRDDs()
-                for rid in prev_cp_ids:
-                    jrdd = jmap.get(rid)
-                    if jrdd is not None:
-                        jrdd.unpersist(False)
-            except Exception:
-                # best-effort cleanup: on failure the loop degrades
-                # to the old accumulate-until-GC behavior.
-                pass
-            prev_cp_ids = new_ids
+            # references onto one block set.
+            ranks = _tracked_checkpoint(ranks)
         mass = (
             out_edges.join(ranks, out_edges["src"] == ranks["node"])
             .select(
@@ -171,7 +194,7 @@ def pagerank(
             ).alias("pr"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _tracked_checkpoint(ranks)
     return ranks
 
 

@@ -395,10 +395,22 @@ def _quantile_pick_aggs(
 ) -> list[Column]:
     """The pick-and-interpolate aggregate expressions shared by the
     global and grouped sketch forms (module docstring for the exact
-    IEEE-parity reasoning)."""
+    IEEE-parity reasoning).
+
+    Empty-input contract (global form): the final agg over an empty
+    histogram still emits ONE row — n_total=0, n_buckets=0, every
+    quantile NULL (there is no value to estimate) — mirroring
+    hll_distinct's explicit empty contract rather than a row of
+    NULLs that reads like a failed aggregate. The grouped form
+    naturally emits zero rows for an empty input (no keys, no
+    groups)."""
     aggs = [
-        F.first("n_total").alias("n_total"),
-        F.first("n_buckets").alias("n_buckets"),
+        F.coalesce(F.first("n_total"), F.lit(0).cast("long")).alias(
+            "n_total"
+        ),
+        F.coalesce(F.first("n_buckets"), F.lit(0).cast("long")).alias(
+            "n_buckets"
+        ),
     ]
     for name, p in quantiles.items():
         t = F.lit(1.0) + F.lit(p) * (F.col("n_total") - F.lit(1))

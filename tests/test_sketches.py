@@ -191,6 +191,26 @@ def test_quantile_sketch_accuracy_vs_exact(spark):
         assert rel <= 2 ** -7 + 1e-9, (name, r[name], exact[name])
 
 
+def test_quantile_sketch_empty_input_contract(spark):
+    """Empty input -> ONE row with n_total=0, n_buckets=0, quantiles
+    NULL (global form), and ZERO rows (grouped form) — the explicit
+    contract ADVICE r11 asked for, mirroring hll_distinct's empty
+    contract instead of an accidental all-NULL row."""
+    df = spark.range(0).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    qs = {"p50": 0.5, "p99": 0.99}
+    rows = sketches.quantile_sketch(df, F.col("v"), qs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_total"] == 0 and r["n_buckets"] == 0
+    assert r["p50"] is None and r["p99"] is None
+    grouped = sketches.quantile_sketch_grouped(
+        df, ["k"], F.col("v"), qs
+    ).collect()
+    assert grouped == []
+
+
 def test_hll_grouped_matches_global_per_key(spark):
     """Per-key registers equal the global registers computed on each
     key's slice — the grouped form is the global form partitioned,
