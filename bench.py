@@ -115,6 +115,10 @@ HEADLINE = [
     # round 11: the 124-bit MIH twin (31-bit bands; the scale form
     # for >10^6 distinct fingerprints, SCALING.md round 11)
     "audio_fingerprint_neardup_wide",
+    # round 12: the same wide-MIH remedy applied to video — the r11
+    # decade study measured the narrow family's band-candidate floor
+    # (n²/2^16) at 72% of x300 wall; 31-bit bands move it to n²/2^31
+    "video_phash_neardup_wide",
     "hll_cardinality_report",
     "hll_cardinality_by_group",
     # round 12 set change (r11 VERDICT item 4): quantile_sampled_report

@@ -465,25 +465,55 @@ _VID_U = (17, 53, 11, 3)
 _VID_V = (29, 71, 5, 19)
 
 
-def _vid_dims(doc_id: int):
-    return 8 + (doc_id % 5) * 2, 6 + (doc_id % 3) * 2, 2 + doc_id % 4
+def _vid_dims(doc_id: int, min_w: int = 8, min_h: int = 6):
+    return (
+        min_w + (doc_id % 5) * 2,
+        min_h + (doc_id % 3) * 2,
+        2 + doc_id % 4,
+    )
 
 
-def _vid_plane(doc_id: int, f: int, w: int, h: int, coef) -> bytes:
+def _vid_plane(
+    doc_id: int, f: int, w: int, h: int, coef, boost: int = 0
+) -> bytes:
     a, b, c, d = coef
     return bytes(
-        (doc_id * a + f * b + y * c + x * d) % 256
+        (
+            doc_id * a
+            + f * b
+            + y * c
+            + x * d
+            + (boost if f == 0 and y == 0 and x == 0 else 0)
+        )
+        % 256
         for y in range(h)
         for x in range(w)
     )
 
 
 def with_video_payload(
-    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "payload",
+    min_w: int = 8,
+    min_h: int = 6,
+    pixel_boost: int = 0,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Synthesize a REAL Y4M binary column (vendored YUV4MPEG2
     encoder, C444 planes) from the deterministic signal above. Every
-    byte downstream is a genuine Y4M stream ffmpeg would accept."""
+    byte downstream is a genuine Y4M stream ffmpeg would accept.
+
+    ``min_w``/``min_h`` raise the frame-size floor (w = min_w +
+    (id % 5)*2, h = min_h + (id % 3)*2) — the wide-fingerprint
+    entries use (16, 10) so every frame meets
+    video_frame_hash_wide's >= 124-pixel precondition.
+    ``pixel_boost``/``id_offset`` synthesize "re-encoded copy" twins
+    for the wide dedup entries, the audio family's playbook
+    (with_audio_payload): frame 0's (0,0) luma gets the boost added
+    INSIDE the modulo and the emitted id is shifted — frames 1..n-1
+    stay byte-identical to the base clip, so every twin pair carries
+    at least one guaranteed hamming-0 frame match."""
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark_scd_spark.functions import videocodec
@@ -493,17 +523,19 @@ def with_video_payload(
             payloads = []
             for i in ids:
                 i = int(i)
-                w, h, n = _vid_dims(i)
+                w, h, n = _vid_dims(i, min_w, min_h)
                 frames = [
                     (
-                        _vid_plane(i, f, w, h, _VID_Y),
+                        _vid_plane(i, f, w, h, _VID_Y, pixel_boost),
                         _vid_plane(i, f, w, h, _VID_U),
                         _vid_plane(i, f, w, h, _VID_V),
                     )
                     for f in range(n)
                 ]
                 payloads.append(videocodec.encode_y4m(frames, w, h))
-            yield pd.DataFrame({id_col: ids, out_col: payloads})
+            yield pd.DataFrame(
+                {id_col: ids + id_offset, out_col: payloads}
+            )
 
     return df.select(id_col).mapInPandas(
         _synth,

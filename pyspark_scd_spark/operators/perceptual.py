@@ -900,3 +900,208 @@ def wide_hamming_neardup_pairs(
         F.lit(0).cast("int").alias("hamming"),
     )
     return cross.unionByName(zero)
+
+
+# ======================================================================
+# Wide-MIH video family (round 12): the 124-bit remedy the round-11
+# decade study prescribed for video — at x300 the narrow (63-bit)
+# family's pair stage was 49s of 68s total, sitting on the same
+# n²/2^16 band-candidate floor the audio family escaped with 31-bit
+# bands (SCALING.md round 11).
+# ======================================================================
+
+WIDE_VIDEO_FHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash_lo", T.LongType()),
+        T.StructField("fhash_hi", T.LongType()),
+    ]
+)
+
+# Position stride for the wide frame hash: bit k samples luma index
+# (k * 101) % (w*h). 101 is prime and never divides w*h (frame sides
+# are products of 2/3/5/7/11 here), so k -> position is INJECTIVE for
+# k < w*h — all 124 bits sample DISTINCT pixels, unlike the narrow
+# form's (k % h, 7k % w) map whose joint period lcm(h, w/gcd(7,w))
+# can fall below 124 on small frames and duplicate bits (duplicated
+# bits correlate band values — the concentration pathology).
+VIDEO_WIDE_STRIDE = 101
+
+
+def video_frame_hash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """124-bit perceptual fingerprint per decoded video FRAME: bit k
+    (0..123) is set iff the luma sample at flat index
+    (k * 101) % (w*h) exceeds the frame mean — compared exactly as
+    ``lum * (w*h) > sum(luma)`` so there is no division and the hash
+    is bit-identical across engines. Bits 0..61 pack into fhash_lo,
+    62..123 into fhash_hi — two int64 words whose 31-bit substrings
+    are the MIH bands of the wide pair join.
+
+    PRECONDITION (enforced): every frame must carry >= 124 luma
+    samples (w*h >= 124), so all 124 bits sample distinct pixels —
+    smaller frames would alias positions and re-correlate bands;
+    small-frame corpora belong to the 63-bit ``video_frame_hashes``.
+
+    The Arrow stage is a pure map (1 video in, n_frames rows out);
+    at 100 TB it scales with frames/core and nothing exchanges.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import videocodec
+
+        ks = np.arange(124, dtype=np.int64)
+        w_lo = np.zeros(124, dtype=np.int64)
+        w_lo[:62] = np.left_shift(
+            np.int64(1), ks[:62], dtype=np.int64
+        )
+        w_hi = np.zeros(124, dtype=np.int64)
+        w_hi[62:] = np.left_shift(
+            np.int64(1), ks[62:] - 62, dtype=np.int64
+        )
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "fhash_lo": [],
+                "fhash_hi": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta, frames = videocodec.decode_y4m(bytes(payload))
+                w, h = meta["width"], meta["height"]
+                if w * h < 124:
+                    raise ValueError(
+                        "video_frame_hash_wide needs >= 124 luma "
+                        f"samples per frame (w*h >= 124), got "
+                        f"{w}x{h} for doc {doc_id}; small frames "
+                        "use video_frame_hashes (63-bit)"
+                    )
+                idx = (ks * VIDEO_WIDE_STRIDE) % (w * h)
+                for f, (y, _u, _v) in enumerate(frames):
+                    ya = np.frombuffer(y, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    s = int(ya.sum())
+                    bits = (ya[idx] * (w * h) > s).astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["fhash_lo"].append(int((bits * w_lo).sum()))
+                    out["fhash_hi"].append(int((bits * w_hi).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _hash, schema=WIDE_VIDEO_FHASH_SCHEMA
+    )
+
+
+def video_neardup_pairs_wide(
+    fh: DataFrame,
+    id_col: str = "doc_id",
+    lo_col: str = "fhash_lo",
+    hi_col: str = "fhash_hi",
+    max_hamming: int = 3,
+    min_matches: int = 2,
+) -> DataFrame:
+    """(video_a, video_b, n_matched) frame-vote dedup over the
+    124-bit wide frame fingerprint — ``video_neardup_pairs`` with the
+    wide-MIH candidate stage: the band join runs over DISTINCT
+    (lo, hi) frame-hash words in 4 bands of 31 BITS (pigeonhole
+    recall 1 at max_hamming <= 3 over two 62-bit words), so band
+    buckets draw from a 2^31 value space and the candidate floor
+    moves from n²/2^16 to n²/2^31 — the remedy proven on the audio
+    family in round 11 (operators/perceptual.py
+    wide_hamming_neardup_pairs), applied to the family where the
+    floor was 72% of measured x300 wall.
+
+    Same doc-level recovery as the narrow form: hash pairs expand to
+    cross-video frame matches via two hash-keyed joins; equal-hash
+    frame matches come from one hash-keyed self-join (AQE skew-join
+    splits a hot fingerprint). The only corpus-sized exchanges are
+    hash-keyed.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "pigeonhole recall guarantee over 4 bands needs "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    frames = fh.select(
+        F.col(id_col).alias("__vid"),
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+    ).localCheckpoint(eager=False)
+    hs = frames.select("__lo", "__hi").distinct()
+    banded = _banded_wide(hs, "__lo", "__hi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    a_lt_b = (F.col("a.__lo") < F.col("b.__lo")) | (
+        (F.col("a.__lo") == F.col("b.__lo"))
+        & (F.col("a.__hi") < F.col("b.__hi"))
+    )
+    hp = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & a_lt_b,
+        )
+        .select(
+            F.col("a.__lo").alias("__la"),
+            F.col("a.__hi").alias("__ha"),
+            F.col("b.__lo").alias("__lb"),
+            F.col("b.__hi").alias("__hb"),
+        )
+        .distinct()
+        .filter(
+            (
+                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            )
+            <= max_hamming
+        )
+    )
+    cross = (
+        hp.join(
+            frames.select(
+                F.col("__vid").alias("__va"),
+                F.col("__lo").alias("__la"),
+                F.col("__hi").alias("__ha"),
+            ),
+            ["__la", "__ha"],
+        )
+        .join(
+            frames.select(
+                F.col("__vid").alias("__vb"),
+                F.col("__lo").alias("__lb"),
+                F.col("__hi").alias("__hb"),
+            ),
+            ["__lb", "__hb"],
+        )
+        .filter(F.col("__va") != F.col("__vb"))
+        .select(
+            F.least("__va", "__vb").alias("video_a"),
+            F.greatest("__va", "__vb").alias("video_b"),
+        )
+    )
+    x = frames.alias("x")
+    y = frames.alias("y")
+    equal = x.join(
+        y,
+        (F.col("x.__lo") == F.col("y.__lo"))
+        & (F.col("x.__hi") == F.col("y.__hi"))
+        & (F.col("x.__vid") < F.col("y.__vid")),
+    ).select(
+        F.col("x.__vid").alias("video_a"),
+        F.col("y.__vid").alias("video_b"),
+    )
+    return (
+        cross.unionByName(equal)
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
+    )

@@ -11920,6 +11920,142 @@ def q_audio_fingerprint_neardup_wide(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------------------
+# Wide-MIH video family (round 12): 124-bit per-frame fingerprints
+# over >= 124-pixel frames (min_w=16, min_h=10), with planted
+# "re-encoded copy" twins (doc_id % 13 == 0 -> id+10M, +333 on frame
+# 0's (0,0) luma inside the modulo) — frames 1..n-1 stay
+# byte-identical to the base clip, so every twin pair carries at
+# least one guaranteed hamming-0 frame match. Position map: bit k
+# samples flat luma index (k*101) % (w*h) — injective for k < w*h
+# (101 is prime and never divides w*h here), so all 124 bits sample
+# DISTINCT pixels.
+# ----------------------------------------------------------------------
+
+_VIDEO_FHASH_WIDE_CTES = """
+    vdims AS (SELECT doc_id,
+                     16 + (doc_id % 5) * 2 AS w,
+                     10 + (doc_id % 3) * 2 AS h,
+                     2 + doc_id % 4 AS n
+              FROM documents),
+    vtw AS (SELECT doc_id, w, h, n, doc_id AS base, 0 AS boost
+            FROM vdims
+            UNION ALL
+            SELECT doc_id + 10000000, w, h, n, doc_id, 333
+            FROM vdims WHERE doc_id % 13 = 0),
+    vfr AS (SELECT doc_id, base, boost, w, h, CAST(f.f AS BIGINT) AS f
+            FROM vtw, LATERAL (SELECT UNNEST(range(n)) AS f) f),
+    vsums AS (SELECT fr.doc_id, fr.f,
+                     ANY_VALUE(fr.base) AS base,
+                     ANY_VALUE(fr.boost) AS boost,
+                     ANY_VALUE(fr.w) AS w, ANY_VALUE(fr.h) AS h,
+                     SUM((fr.base*31 + fr.f*97 + y.y*13 + x.x*7
+                          + CASE WHEN fr.f = 0 AND y.y = 0 AND x.x = 0
+                                 THEN fr.boost ELSE 0 END) % 256)
+                       AS s
+              FROM vfr fr,
+                   LATERAL (SELECT UNNEST(range(h)) AS y) y,
+                   LATERAL (SELECT UNNEST(range(w)) AS x) x
+              GROUP BY 1, 2),
+    vlum AS (SELECT doc_id, f, w, h, s, k.k AS k,
+                    (base*31 + f*97
+                     + (((k.k*101) % (w*h)) // w)*13
+                     + (((k.k*101) % (w*h)) % w)*7
+                     + CASE WHEN f = 0 AND ((k.k*101) % (w*h)) = 0
+                            THEN boost ELSE 0 END) % 256 AS lum
+             FROM vsums,
+                  LATERAL (SELECT UNNEST(range(124)) AS k) k),
+    vbits AS (SELECT doc_id, f,
+                     CAST(SUM(CASE WHEN lum * w * h > s AND k < 62
+                       THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS fhash_lo,
+                     CAST(SUM(CASE WHEN lum * w * h > s AND k >= 62
+                       THEN (CAST(1 AS BIGINT)
+                             << CAST(k - 62 AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS fhash_hi
+              FROM vlum GROUP BY 1, 2)
+"""
+
+
+def _wide_video_clips(spark, sf_dir):
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    return MM.with_video_payload(d, min_w=16, min_h=10).unionByName(
+        MM.with_video_payload(
+            d.filter(F.col("doc_id") % 13 == 0),
+            min_w=16,
+            min_h=10,
+            pixel_boost=333,
+            id_offset=10_000_000,
+        )
+    )
+
+
+@register(
+    "video_frame_hash_wide",
+    f"""
+    WITH {_VIDEO_FHASH_WIDE_CTES}
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, fhash_lo, fhash_hi
+    FROM vbits
+    """,
+    doc="Per-frame 124-bit luma fingerprint over REAL Y4M streams "
+    "(operators/perceptual.py video_frame_hash_wide): bit k set iff "
+    "the luma sample at flat index (k*101) % (w*h) exceeds the frame "
+    "mean — compared exactly as lum*(w*h) > sum(luma), no division, "
+    "bit-identical across engines; bits 0..61 in fhash_lo, 62..123 "
+    "in fhash_hi. The >= 124-pixel frame precondition is ENFORCED in "
+    "the operator (smaller frames would alias sample positions and "
+    "re-correlate MIH bands). Corpus: >= 160-pixel frames with "
+    "planted re-encode twins (doc_id%13==0, +333 on frame 0 pixel "
+    "(0,0), id+10M). Pure Arrow map, one video in / n_frames rows "
+    "out; oracle replays the plane signal pixel-for-pixel.",
+)
+def q_video_frame_hash_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    return perceptual.video_frame_hash_wide(
+        _wide_video_clips(spark, sf_dir)
+    )
+
+
+@register(
+    "video_phash_neardup_wide",
+    f"""
+    WITH {_VIDEO_FHASH_WIDE_CTES}
+    SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM vbits a JOIN vbits b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.fhash_lo, b.fhash_lo))
+         + bit_count(xor(a.fhash_hi, b.fhash_hi)) <= 3
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 1
+    """,
+    doc="Near-duplicate video pairs by frame voting over the 124-bit "
+    "wide fingerprint (operators/perceptual.py "
+    "video_neardup_pairs_wide): a frame match is total Hamming <= 3 "
+    "over the two packed words; min_matches=1 because the planted "
+    "twin corpus guarantees every (base, base+10M) pair >= 1 "
+    "hamming-0 frame match (frames 1..n-1 byte-identical). Candidate "
+    "stage is 4 MIH bands of 31 BITS over DISTINCT frame-hash words "
+    "(pigeonhole recall 1 at hamming <= 3), so band buckets draw "
+    "from a 2^31 value space — the n²/2^16 candidate floor that was "
+    "72% of the narrow family's x300 wall (SCALING.md round 11) "
+    "moves to n²/2^31. Oracle brute-forces all cross-video frame "
+    "combinations — banded recall is checked, not assumed.",
+)
+def q_video_phash_neardup_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    return perceptual.video_neardup_pairs_wide(
+        perceptual.video_frame_hash_wide(
+            _wide_video_clips(spark, sf_dir)
+        ),
+        min_matches=1,
+    )
+
+
 def _hll_reg_sql(name: str, where: str, p: int = 6) -> str:
     """CTE chain text for one side's HLL registers (bucket, register)
     over lineitem.l_orderkey rows matching ``where`` — the DuckDB

@@ -415,3 +415,115 @@ def test_audio_fingerprint_wide_rejects_short_clips(spark):
         perceptual.audio_fingerprint_wide(
             MM.with_audio_payload(docs)  # default 64..256 samples
         ).collect()
+
+
+def test_video_frame_hash_wide_matches_python_reference(spark):
+    """Arrow-side 124-bit frame hash equals a direct Python
+    recomputation of the deterministic luma signal (stride-101
+    position bijection, two packed words)."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["fhash_lo"], r["fhash_hi"])
+        for r in perceptual.video_frame_hash_wide(
+            MM.with_video_payload(docs, min_w=16, min_h=10)
+        ).collect()
+    }
+    for i in range(20):
+        w = 16 + (i % 5) * 2
+        h = 10 + (i % 3) * 2
+        n = 2 + i % 4
+        for f in range(n):
+            lum = [
+                (i * 31 + f * 97 + y * 13 + x * 7) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            s = sum(lum)
+            lo = hi = 0
+            for k in range(124):
+                p = (k * 101) % (w * h)
+                if lum[p] * (w * h) > s:
+                    if k < 62:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 62)
+            assert got[(i, f)] == (lo, hi), (i, f)
+
+
+def test_video_wide_stride_positions_distinct():
+    """(k*101) % (w*h) is injective over k < 124 for EVERY frame
+    geometry the synthesizer can emit — all 124 bits sample distinct
+    pixels (the narrow form's aliasing pathology engineered out)."""
+    for min_w, min_h in ((16, 10), (8, 6)):
+        for dw in range(5):
+            for dh in range(3):
+                w, h = min_w + dw * 2, min_h + dh * 2
+                if w * h < 124:
+                    continue
+                pos = [(k * 101) % (w * h) for k in range(124)]
+                assert len(set(pos)) == 124, (w, h)
+
+
+def test_video_wide_band_join_equals_brute_force(spark):
+    """Recall 1 for the wide frame-vote pipeline: pairs and match
+    counts equal an all-pairs frame-hamming brute force, and every
+    planted twin (frames 1..n-1 byte-identical) is found at
+    min_matches=1."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 80).withColumnRenamed("id", "doc_id")
+    clips = MM.with_video_payload(
+        docs, min_w=16, min_h=10
+    ).unionByName(
+        MM.with_video_payload(
+            docs.filter(F.col("doc_id") % 13 == 0),
+            min_w=16,
+            min_h=10,
+            pixel_boost=333,
+            id_offset=10_000_000,
+        )
+    )
+    fh = perceptual.video_frame_hash_wide(clips).cache()
+    got = {
+        (r["video_a"], r["video_b"]): r["n_matched"]
+        for r in perceptual.video_neardup_pairs_wide(
+            fh, min_matches=1
+        ).collect()
+    }
+    by_vid: dict = {}
+    for r in fh.collect():
+        by_vid.setdefault(r["doc_id"], []).append(
+            (r["fhash_lo"], r["fhash_hi"])
+        )
+    fh.unpersist()
+    want: dict = {}
+    ids = sorted(by_vid)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            m = sum(
+                1
+                for la, ha in by_vid[a]
+                for lb, hb in by_vid[b]
+                if bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
+                <= 3
+            )
+            if m >= 1:
+                want[(a, b)] = m
+    assert got == want and want
+    for i in range(0, 80, 13):
+        assert (i, i + 10_000_000) in want
+
+
+def test_video_frame_hash_wide_rejects_small_frames(spark):
+    """The >= 124-pixel precondition is enforced, not documented:
+    a small frame raises instead of silently aliasing positions and
+    re-correlating the MIH bands."""
+    from pyspark_scd_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(Exception, match="124 luma"):
+        perceptual.video_frame_hash_wide(
+            MM.with_video_payload(docs)  # default 8x6-class frames
+        ).collect()
