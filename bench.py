@@ -118,7 +118,9 @@ HEADLINE = [
     # round 12: the same wide-MIH remedy applied to video — the r11
     # decade study measured the narrow family's band-candidate floor
     # (n²/2^16) at 72% of x300 wall; 31-bit bands move it to n²/2^31
+    # — and to image (124-bit pHash from the 8x16 DCT block)
     "video_phash_neardup_wide",
+    "image_phash_neardup_wide",
     "hll_cardinality_report",
     "hll_cardinality_by_group",
     # round 12 set change (r11 VERDICT item 4): quantile_sampled_report

@@ -1105,3 +1105,103 @@ def video_neardup_pairs_wide(
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
         .filter(F.col("n_matched") >= min_matches)
     )
+
+
+# ======================================================================
+# Wide-MIH image family (round 12): 124-bit pHash — same remedy as
+# audio (r11) and video (r12): 31-bit MIH bands over two packed
+# words, so the candidate floor moves from n²/2^16 to n²/2^31 before
+# the 64-bit family's ~10M-distinct-hash horizon is reached.
+# ======================================================================
+
+WIDE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash_lo", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+    ]
+)
+
+
+def phash_cos_table_16() -> list[list[int]]:
+    """The full 16-row fixed-point cosine table: ct[u][k] =
+    round(cos(pi*(2k+1)*u / 32) * SCALE) for u AND k in [0, 16).
+    Rows 0..7 equal phash_cos_table exactly (same formula); rows
+    8..15 extend the frequency range the wide hash keeps. Verified:
+    every value sits >= 0.0966 from a .5 rounding boundary at
+    SCALE=10000 (checked over the full 16x16 grid), so Python and
+    any SQL engine rounding a correctly-rounded double cos agree
+    exactly — the same cross-engine-exactness discipline as the
+    8-row table."""
+    n = PHASH_IMG
+    return [
+        [
+            round(math.cos(math.pi * (2 * k + 1) * u / (2 * n)) * PHASH_SCALE)
+            for k in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def image_phash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(doc_id, width, height, phash_lo, phash_hi): 124-bit
+    perceptual image hash. Same derivation as ``image_phash`` with a
+    WIDER low-frequency block: coefs = CT8 @ P @ CT16^T (8x16 = 128
+    integer-DCT coefficients, u in [0,8) x v in [0,16)), drop the DC
+    term, keep row-major coefficients 1..124, threshold at their
+    rank-62 value (strict >, exact integer compare), pack bits 0..61
+    into phash_lo and 62..123 into phash_hi.
+
+    Every step is exact int64 arithmetic (max |coef| < 2^43), so
+    both words are bit-identical across engines; the 31-bit-band MIH
+    join (``wide_hamming_neardup_pairs``) gives pigeonhole recall 1
+    at hamming <= 3 with band buckets drawn from a 2^31 value space
+    — the image twin of the audio (r11) and video (r12) wide forms.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspark_scd_spark.functions import imagecodec
+
+        ct8 = np.asarray(phash_cos_table(), dtype=np.int64)
+        ct16 = np.asarray(phash_cos_table_16(), dtype=np.int64)
+        ks = np.arange(124, dtype=np.int64)
+        w_lo = np.zeros(124, dtype=np.int64)
+        w_lo[:62] = np.left_shift(np.int64(1), ks[:62], dtype=np.int64)
+        w_hi = np.zeros(124, dtype=np.int64)
+        w_hi[62:] = np.left_shift(
+            np.int64(1), ks[62:] - 62, dtype=np.int64
+        )
+        for pdf in batches:
+            out = {k.name: [] for k in WIDE_PHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = imagecodec.decode(bytes(payload))
+                if (w, h) != (PHASH_IMG, PHASH_IMG):
+                    raise ValueError(
+                        "image_phash_wide expects a "
+                        f"{PHASH_IMG}x{PHASH_IMG} input, got {w}x{h}"
+                    )
+                p = np.asarray(px, dtype=np.int64).reshape(h, w, c)[
+                    :, :, 0
+                ]
+                coefs = (ct8 @ p @ ct16.T).ravel()
+                rest = coefs[1:125]  # row-major index u*16+v, DC out
+                med = np.sort(rest)[61]
+                bits = (rest > med).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["phash_lo"].append(int((bits * w_lo).sum()))
+                out["phash_hi"].append(int((bits * w_hi).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema=WIDE_PHASH_SCHEMA
+    )

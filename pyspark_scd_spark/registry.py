@@ -11364,6 +11364,126 @@ def q_image_phash_incremental(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# Wide-MIH image family (round 12): 124-bit pHash from the 8x16
+# low-frequency DCT block (CT8 @ P @ CT16^T, DC dropped, row-major
+# coefficients 1..124, rank-62 threshold) — two packed words whose
+# 31-bit substrings are the MIH bands, the same asymptote remedy the
+# audio (r11) and video (r12) families carry. ct16 rows 0..7 equal
+# ct exactly; rows 8..15 extend the frequency range (every value
+# >= 0.0966 from a .5 rounding boundary — checked, not assumed).
+# ----------------------------------------------------------------------
+
+from pyspark_scd_spark.operators.perceptual import (  # noqa: E402
+    phash_cos_table_16 as _phash_ct16,
+)
+
+_PHASH_CT16_VALUES = ", ".join(
+    f"({u}, {k}, {c})"
+    for u, row in enumerate(_phash_ct16())
+    for k, c in enumerate(row)
+)
+
+_PHASH_WIDE_BITS_CTES = f"""
+    ct(u, k, c) AS (VALUES {_PHASH_CT_VALUES}),
+    ct16(u, k, c) AS (VALUES {_PHASH_CT16_VALUES}),
+    yy AS (SELECT UNNEST(range(0, 16)) AS y),
+    xx AS (SELECT UNNEST(range(0, 16)) AS x),
+    px AS (SELECT doc_id, y, x,
+                  CAST({_phash_px("doc_id", "y", "x")} AS BIGINT) AS p
+           FROM documents, yy, xx),
+    dctw AS (SELECT px.doc_id, cu.u AS u, cv.u AS v,
+                    SUM(px.p * cu.c * cv.c) AS coef
+             FROM px JOIN ct cu ON cu.k = px.y
+                     JOIN ct16 cv ON cv.k = px.x
+             GROUP BY 1, 2, 3),
+    keptw AS (SELECT doc_id, u*16 + v AS idx, coef FROM dctw
+              WHERE u*16 + v BETWEEN 1 AND 124),
+    medw AS (SELECT doc_id, coef AS m FROM (
+               SELECT doc_id, coef,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY coef) AS rk
+               FROM keptw)
+             WHERE rk = 62),
+    wbits AS (SELECT n.doc_id,
+                     CAST(SUM(CASE WHEN n.coef > medw.m
+                          AND n.idx <= 62
+                       THEN (CAST(1 AS BIGINT)
+                             << CAST(n.idx - 1 AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS phash_lo,
+                     CAST(SUM(CASE WHEN n.coef > medw.m
+                          AND n.idx >= 63
+                       THEN (CAST(1 AS BIGINT)
+                             << CAST(n.idx - 63 AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS phash_hi
+              FROM keptw n JOIN medw ON n.doc_id = medw.doc_id
+              GROUP BY 1)
+"""
+
+
+@register(
+    "image_phash_wide",
+    f"""
+    WITH {_PHASH_WIDE_BITS_CTES}
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           phash_lo, phash_hi
+    FROM wbits
+    """,
+    doc="124-bit perceptual image hash (operators/perceptual.py "
+    "image_phash_wide): the image_phash derivation over the WIDER "
+    "8x16 low-frequency DCT block — CT8 @ P @ CT16^T, DC dropped, "
+    "row-major coefficients 1..124 thresholded at their rank-62 "
+    "value, bits 0..61 in phash_lo and 62..123 in phash_hi. Exact "
+    "int64 arithmetic end to end (max |coef| < 2^43); the oracle "
+    "replays both GEMMs with the cosine tables as integer literals, "
+    "so a hash match proves the PNG decode and both DCT passes bit "
+    "for bit.",
+)
+def q_image_phash_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual.image_phash_wide(
+        perceptual.with_grayscale_payload(d)
+    )
+
+
+@register(
+    "image_phash_neardup_wide",
+    f"""
+    WITH {_PHASH_WIDE_BITS_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+                + bit_count(xor(a.phash_hi, b.phash_hi)) AS INTEGER)
+             AS hamming
+    FROM wbits a JOIN wbits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+          + bit_count(xor(a.phash_hi, b.phash_hi)) <= 3
+    """,
+    doc="Near-dup image pairs over the 124-bit wide pHash "
+    "(operators/perceptual.py wide_hamming_neardup_pairs): 4 MIH "
+    "bands of 31 BITS over distinct (lo, hi) words — pigeonhole "
+    "recall 1 at hamming <= 3, band buckets drawn from a 2^31 value "
+    "space, moving the 64-bit family's n²/2^16 candidate floor "
+    "(SCALING.md round 11) to n²/2^31. Oracle brute-forces all "
+    "pairs, so banded recall is checked, not assumed — the image "
+    "leg of the wide-MIH triple (audio r11, video r12).",
+)
+def q_image_phash_neardup_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+    return perceptual.wide_hamming_neardup_pairs(
+        perceptual.image_phash_wide(
+            perceptual.with_grayscale_payload(d)
+        ),
+        lo_col="phash_lo",
+        hi_col="phash_hi",
+    )
+
+
+# ----------------------------------------------------------------------
 # Video perceptual near-dup (operators/perceptual.py video_*): the
 # pHash playbook applied to video — per-frame 63-bit luma fingerprints
 # from a REAL Y4M decode, exact integer mean-compare (lum*(w*h) > sum,

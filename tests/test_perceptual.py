@@ -527,3 +527,88 @@ def test_video_frame_hash_wide_rejects_small_frames(spark):
         perceptual.video_frame_hash_wide(
             MM.with_video_payload(docs)  # default 8x6-class frames
         ).collect()
+
+
+def test_cos_table_16_far_from_rounding_boundaries():
+    """Every entry of the extended 16-row table sits >= 0.09 from a
+    .5 boundary — the cross-engine exactness precondition, re-checked
+    for the rows the wide hash adds (8..15)."""
+    import math
+
+    n = perceptual.PHASH_IMG
+    for u in range(16):
+        for k in range(n):
+            v = (
+                math.cos(math.pi * (2 * k + 1) * u / (2 * n))
+                * perceptual.PHASH_SCALE
+            )
+            assert abs(v - math.floor(v) - 0.5) >= 0.09, (u, k)
+    assert perceptual.phash_cos_table_16()[:8] == (
+        perceptual.phash_cos_table()
+    )
+
+
+def test_image_phash_wide_matches_python_reference(spark):
+    """Arrow-side 124-bit image hash equals a direct numpy
+    recomputation from the pixel closed form (both GEMMs, rank-62
+    threshold, two packed words)."""
+    import numpy as np
+
+    from pyspark_scd_spark.operators.perceptual import _pixel
+
+    docs = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: (r["phash_lo"], r["phash_hi"])
+        for r in perceptual.image_phash_wide(
+            perceptual.with_grayscale_payload(docs)
+        ).collect()
+    }
+    ct8 = np.asarray(perceptual.phash_cos_table(), dtype=np.int64)
+    ct16 = np.asarray(perceptual.phash_cos_table_16(), dtype=np.int64)
+    n = perceptual.PHASH_IMG
+    for i in range(25):
+        p = np.asarray(
+            [[_pixel(i, y, x) for x in range(n)] for y in range(n)],
+            dtype=np.int64,
+        )
+        rest = (ct8 @ p @ ct16.T).ravel()[1:125]
+        med = np.sort(rest)[61]
+        lo = hi = 0
+        for k, c in enumerate(rest):
+            if c > med:
+                if k < 62:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 62)
+        assert got[i] == (lo, hi), i
+
+
+def test_image_wide_band_join_equals_brute_force(spark):
+    """Pigeonhole recall 1 for the wide image pair join: the banded
+    pipeline finds EXACTLY the pairs an all-pairs 124-bit hamming
+    filter finds on the synthetic near-dup corpus."""
+    docs = spark.range(0, 160).withColumnRenamed("id", "doc_id")
+    fp = perceptual.image_phash_wide(
+        perceptual.with_grayscale_payload(docs)
+    ).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in perceptual.wide_hamming_neardup_pairs(
+            fp, lo_col="phash_lo", hi_col="phash_hi"
+        ).collect()
+    }
+    rows = {
+        r["doc_id"]: (r["phash_lo"], r["phash_hi"])
+        for r in fp.collect()
+    }
+    fp.unpersist()
+    want = set()
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(rows[a][0] ^ rows[b][0]).count("1") + bin(
+                rows[a][1] ^ rows[b][1]
+            ).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want and want
