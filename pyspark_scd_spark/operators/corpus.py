@@ -1980,6 +1980,107 @@ def cms_vocab_topk(
     )
 
 
+def cms_vocab_topk_grouped(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Per-key ``cms_vocab_topk`` — the grain a 100 TB pipeline
+    actually calls the frequency sketch at (per-language / per-source
+    vocabulary health), the r11 grouped-sketch playbook
+    (hll_registers_grouped, quantile_sketch_grouped) applied to CMS.
+
+    One CMS per key: counters aggregate on (key, j, position) — the
+    (key, bucket)-keyed map-side-combined exchange shape, per-key
+    state bounded by depth × width regardless of the key's token
+    count. Top-k per key is a key-partitioned row_number (never a
+    global sort); estimation joins each key's k·depth probes against
+    its own counter table on (key, j, p) — unhinted, so AQE
+    broadcasts the counter side while n_keys · depth · width stays
+    small and shuffles it when the key space grows. No
+    SinglePartition stage anywhere (plan-pinned in
+    tests/test_plans.py).
+
+    Emits (key, token, exact_count, cms_estimate, overestimate);
+    estimate >= exact per CMS guarantee, same checked contract as
+    the global form.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(key_col).alias("__k"),
+        F.explode(TXT.tokens(text_col)).alias("__tok"),
+    )
+    vocab = (
+        toks.groupBy("__k", "__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint()  # feeds counters, top-k, and estimation
+    )
+    cells = vocab.select(
+        "__k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        _bloom_pos(F.col("__tok"), j, width).alias(
+                            "__p"
+                        ),
+                        F.col("__c").alias("__c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__k", "__e.__j", "__e.__p", "__e.__c")
+    counters = cells.groupBy("__k", "__j", "__p").agg(
+        F.sum("__c").alias("__cnt")
+    )
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__c").desc(), F.col("__tok").asc()
+    )
+    topk = (
+        vocab.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    probes = topk.select(
+        "__k",
+        "__tok",
+        "__c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        _bloom_pos(F.col("__tok"), j, width).alias(
+                            "__p"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__k", "__tok", "__c", "__e.__j", "__e.__p")
+    est = (
+        probes.join(counters, ["__k", "__j", "__p"])
+        .groupBy("__k", "__tok", "__c")
+        .agg(F.min("__cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("__k").alias(key_col),
+        F.col("__tok").alias("token"),
+        F.col("__c").alias("exact_count"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("__c"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
 def corpus_release(
     df: DataFrame,
     eval_pred: Column,

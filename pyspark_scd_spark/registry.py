@@ -10737,6 +10737,64 @@ def q_cms_vocab_topk(spark, sf_dir):
     return corpus.cms_vocab_topk(d, depth=3, width=1024, k=20)
 
 
+def _cms_grouped_oracle(
+    depth: int = 3, width: int = 1024, k: int = 10
+) -> str:
+    pos = (
+        "CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), "
+        f"1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+    WITH tk AS (SELECT lang AS kx, unnest({_TOKS_SQL}) AS tok
+                FROM documents),
+    vocab AS (SELECT kx, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2),
+    cells AS (SELECT kx, CAST(j.j AS INTEGER) AS j, {pos} AS p, c
+              FROM vocab,
+              LATERAL (SELECT unnest(range(0, {depth})) AS j) j),
+    counters AS (SELECT kx, j, p, SUM(c) AS cnt
+                 FROM cells GROUP BY 1, 2, 3),
+    topk AS (SELECT kx, tok, c FROM (
+               SELECT kx, tok, c,
+                      ROW_NUMBER() OVER (PARTITION BY kx
+                        ORDER BY c DESC, tok ASC) AS rn
+               FROM vocab) WHERE rn <= {k}),
+    probes AS (SELECT kx, tok, c, CAST(j.j AS INTEGER) AS j, {pos} AS p
+               FROM topk,
+               LATERAL (SELECT unnest(range(0, {depth})) AS j) j),
+    est AS (SELECT kx, tok, c, MIN(cnt) AS e
+            FROM probes JOIN counters USING (kx, j, p)
+            GROUP BY 1, 2, 3)
+    SELECT kx AS lang, tok AS token, c AS exact_count,
+           CAST(e AS BIGINT) AS cms_estimate,
+           CAST(e - c AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
+@register(
+    "cms_vocab_topk_by_group",
+    _cms_grouped_oracle(),
+    doc="PER-LANGUAGE Count-Min-Sketch vocabulary top-k "
+    "(operators/corpus.py cms_vocab_topk_grouped) — the r11 "
+    "grouped-sketch playbook (hll_cardinality_by_group, "
+    "quantile_sketch_by_group) applied to the frequency sketch, "
+    "closing the r11 VERDICT grouped-breadth audit: one CMS per "
+    "key, counters on a (key, j, position)-keyed map-side-combined "
+    "exchange (per-key state bounded by depth x width, never the "
+    "key's token count), top-k per key via key-partitioned "
+    "row_number — no SinglePartition stage (plan-pinned). Oracle "
+    "replays counters and estimates byte-identically per key.",
+)
+def q_cms_vocab_topk_by_group(spark, sf_dir):
+    from pyspark_scd_spark.operators import corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus.cms_vocab_topk_grouped(
+        d, "lang", depth=3, width=1024, k=10
+    )
+
+
 @register(
     "dedup_saturation_curve",
     r"""

@@ -470,3 +470,26 @@ def test_hll_grouped_no_single_partition(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
     reg_ex = [e for e in exchanges if "bucket" in e]
     assert len(reg_ex) == 1 and "l_returnflag" in reg_ex[0], plan
+
+
+def test_cms_grouped_no_single_partition(spark, sf_dir):
+    """cms_vocab_topk_by_group's plan contract (r12 grouped-sketch
+    audit): NO SinglePartition stage anywhere — counters build on a
+    (key, j, position)-keyed map-side-combined exchange, per-key
+    top-k is a key-partitioned window, and the probe join is keyed
+    on (key, j, p). Per-key state is bounded by depth x width,
+    never the key's token count."""
+    df = REGISTRY["cms_vocab_topk_by_group"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    # map-side combine on the counter build (the vocab count's own
+    # partial_count sits behind the localCheckpoint boundary) and on
+    # the final per-token min
+    assert "partial_sum" in plan, plan
+    assert "partial_min" in plan, plan
+    # the counter exchange is the (key, j, position) shape
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    counter_ex = [
+        e for e in exchanges if "__j" in e and "__p" in e
+    ]
+    assert len(counter_ex) == 1 and "__k" in counter_ex[0], plan
