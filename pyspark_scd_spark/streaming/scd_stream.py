@@ -162,7 +162,10 @@ def scd_status_stream(
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
-    server protocol; absent in this container (no pip installs)."""
+    server protocol; absent in this container (no pip installs).
+    Re-probed every round — last checked 2026-08-16 (round 12),
+    still absent; the gate test (tests/test_streaming.py) asserts
+    whichever branch is real."""
     try:
         import google.protobuf  # noqa: F401
 
