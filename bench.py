@@ -540,7 +540,16 @@ def main() -> None:
         out["value_x3"] = round(sum(x3.values()), 3)
 
     # Full-detail record: file + an early stdout line (human tail
-    # inspection); neither needs to fit any window.
+    # inspection); neither needs to fit any window. BENCH_FULL.json
+    # is the canonical sf0.1 record that feeds next round's
+    # common-set comparison — a bench run at any OTHER SF (e.g. a
+    # verify pass at sf0.01) writes a suffixed file instead of
+    # clobbering the baseline (r12: an sf0.01 run destroyed the r11
+    # record and the comparison had to be restored from git).
+    if sf != 0.1:
+        full_path = full_path.replace(
+            "BENCH_FULL.json", f"BENCH_FULL_sf{sf}.json"
+        )
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
