@@ -608,23 +608,32 @@ def audio_fingerprint(
 
         from pyspark_scd_spark.functions import audiocodec
 
+        # bit weights at the interleaved positions, precomputed once;
+        # the window-energy/transition loop is pure numpy (r12: the
+        # per-window Python loop was the measured hash-stage
+        # bottleneck at the 5M-clip tier — same values, vectorized)
+        wts = np.left_shift(
+            np.int64(1),
+            (16 * np.arange(63, dtype=np.int64)) % 63,
+            dtype=np.int64,
+        )
         for pdf in batches:
             out = {"doc_id": [], "n_windows": [], "afp": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 _, samples = audiocodec.decode_wav(bytes(payload))
                 s = np.asarray(samples, dtype=np.int64)
                 n_win = (len(s) + window - 1) // window
-                e = [
-                    int((s[w * window : (w + 1) * window] ** 2).sum())
-                    for w in range(n_win)
-                ]
-                afp = 0
-                for k in range(min(n_win - 1, 63)):
-                    if e[k + 1] > e[k]:
-                        afp |= 1 << ((16 * k) % 63)
+                pad = n_win * window - len(s)
+                if pad:
+                    s = np.concatenate(
+                        [s, np.zeros(pad, dtype=np.int64)]
+                    )
+                e = (s.reshape(n_win, window) ** 2).sum(axis=1)
+                k = min(n_win - 1, 63)
+                bits = (e[1 : k + 1] > e[:k]).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["n_windows"].append(n_win)
-                out["afp"].append(afp)
+                out["afp"].append(int((bits * wts[:k]).sum()))
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -749,6 +758,16 @@ def audio_fingerprint_wide(
 
         from pyspark_scd_spark.functions import audiocodec
 
+        # precomputed bit weights; energy/transition work is pure
+        # numpy (r12: the per-window Python loop was the measured
+        # hash-stage bottleneck at the 5M-clip tier — same values)
+        ks = np.arange(124, dtype=np.int64)
+        w_lo = np.zeros(124, dtype=np.int64)
+        w_lo[:62] = np.left_shift(np.int64(1), ks[:62], dtype=np.int64)
+        w_hi = np.zeros(124, dtype=np.int64)
+        w_hi[62:] = np.left_shift(
+            np.int64(1), ks[62:] - 62, dtype=np.int64
+        )
         for pdf in batches:
             out = {"doc_id": [], "n_windows": [], "afp_lo": [], "afp_hi": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -762,21 +781,18 @@ def audio_fingerprint_wide(
                         f"{window}), got {n_win} for doc {doc_id}; "
                         "short clips use audio_fingerprint (63-bit)"
                     )
-                e = [
-                    int((s[w * window : (w + 1) * window] ** 2).sum())
-                    for w in range(n_win)
-                ]
-                lo = hi = 0
-                for k in range(min(n_win - 1, 124)):
-                    if e[k + 1] > e[k]:
-                        if k < 62:
-                            lo |= 1 << k
-                        else:
-                            hi |= 1 << (k - 62)
+                pad = n_win * window - len(s)
+                if pad:
+                    s = np.concatenate(
+                        [s, np.zeros(pad, dtype=np.int64)]
+                    )
+                e = (s.reshape(n_win, window) ** 2).sum(axis=1)
+                k = min(n_win - 1, 124)
+                bits = (e[1 : k + 1] > e[:k]).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["n_windows"].append(n_win)
-                out["afp_lo"].append(lo)
-                out["afp_hi"].append(hi)
+                out["afp_lo"].append(int((bits * w_lo[:k]).sum()))
+                out["afp_hi"].append(int((bits * w_hi[:k]).sum()))
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
