@@ -410,6 +410,12 @@ def main() -> None:
     # while its comment claimed the headline section).
     steal1 = _steal_ticks()
     headline_wall = time.time() - wall0
+    # gauges re-read AFTER the headline section: weather moves
+    # mid-run (r12 measured back-to-back identical-code runs 26%
+    # apart with the PRE-run gauges healthy both times; the post-run
+    # cal_nt had moved 40% — the pre/post pair brackets the section)
+    cal_1t_post = _cpu_calibration()
+    cal_nt_post = _cpu_calibration_parallel()
 
     total = round(sum(timings.values()), 3)
 
@@ -521,6 +527,8 @@ def main() -> None:
     # that can see contention a single thread cannot (r11 VERDICT
     # adjudication item); healthy ≈ 0.2-0.5s on this VM class.
     out["cal_nt_sec"] = cal_nt
+    out["cal_1t_post_sec"] = cal_1t_post
+    out["cal_nt_post_sec"] = cal_nt_post
     if steal0 >= 0 and steal1 >= steal0:
         cpus = os.cpu_count() or 1
         out["steal_pct"] = round(
