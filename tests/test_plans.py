@@ -493,3 +493,27 @@ def test_cms_grouped_no_single_partition(spark, sf_dir):
         e for e in exchanges if "__j" in e and "__p" in e
     ]
     assert len(counter_ex) == 1 and "__k" in counter_ex[0], plan
+
+
+def test_wide_video_neardup_plan_shape(spark, sf_dir):
+    """video_phash_neardup_wide's scale contract: NO SinglePartition
+    stage; the frame-vote aggregate is map-side combined
+    (partial_count); candidate/distinct exchanges are keyed on the
+    two hash words (__lo, __hi) — corpus-sized data only ever
+    shuffles hash-keyed, never all-pairs."""
+    df = REGISTRY["video_phash_neardup_wide"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert any("__lo" in e and "__hi" in e for e in exchanges), plan
+
+
+def test_wide_image_neardup_plan_shape(spark, sf_dir):
+    """image_phash_neardup_wide: same wide-MIH plan contract — no
+    SinglePartition, hash-word-keyed exchanges only."""
+    df = REGISTRY["image_phash_neardup_wide"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert any("__lo" in e and "__hi" in e for e in exchanges), plan
