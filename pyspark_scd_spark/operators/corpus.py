@@ -1903,10 +1903,13 @@ def cms_vocab_topk(
     """Count-Min-Sketch word frequencies beside their exact twin —
     the bounded-memory frequency sketch (Cormode–Muthukrishnan) that
     replaces an unbounded vocab hashmap at stream/100 TB scale, made
-    DETERMINISTIC and hash-checkable: counter positions are the
-    60-bit md5 of ``j:token`` mod width (the Bloom device), so both
-    engines build byte-identical counters and the over-estimates are
-    part of the checked contract, not noise.
+    DETERMINISTIC and hash-checkable: counter positions come from
+    ``_bloom_pos`` — Kirsch–Mitzenmacher double hashing, (h1 + j*h2)
+    mod width with h1/h2 the first/next 60 bits of one md5(token)
+    (the Bloom device, shared code) — and the oracle replays exactly
+    that arithmetic, so both engines build byte-identical counters
+    and the over-estimates are part of the checked contract, not
+    noise (pinned under collision pressure in tests/test_sketches.py).
 
     Emits the top-``k`` tokens by exact count (count DESC, token ASC)
     with (token, exact_count, cms_estimate, overestimate). CMS

@@ -629,7 +629,11 @@ def audio_fingerprint(
                         [s, np.zeros(pad, dtype=np.int64)]
                     )
                 e = (s.reshape(n_win, window) ** 2).sum(axis=1)
-                k = min(n_win - 1, 63)
+                # n_win == 0 (zero-sample clip) must emit afp=0 like
+                # the pre-vectorization loop did: clamp k at 0 so the
+                # empty `bits` multiplies an empty weight slice
+                # instead of broadcasting against wts[:-1] (62 elems).
+                k = max(0, min(n_win - 1, 63))
                 bits = (e[1 : k + 1] > e[:k]).astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["n_windows"].append(n_win)
@@ -999,6 +1003,23 @@ def video_frame_hash_wide(
                         "use video_frame_hashes (63-bit)"
                     )
                 idx = (ks * VIDEO_WIDE_STRIDE) % (w * h)
+                # the stride-101 map is a bijection over k<124 only
+                # when gcd(101, w*h)=1 OR w*h/101 >= 124; a frame
+                # with e.g. w*h = 202 passes the size check yet
+                # repeats positions with period w*h/101, silently
+                # re-correlating the MIH bands — enforce the
+                # docstring's distinctness claim directly
+                if np.unique(idx).size != 124:
+                    raise ValueError(
+                        "video_frame_hash_wide stride-101 position "
+                        f"map is non-injective for {w}x{h} frames "
+                        f"(w*h={w * h} shares factor 101 with the "
+                        "stride and w*h/101 < 124) for doc "
+                        f"{doc_id}; all 124 bits must sample "
+                        "distinct pixels — use a frame size with "
+                        "w*h not a multiple of 101, or "
+                        "video_frame_hashes (63-bit)"
+                    )
                 for f, (y, _u, _v) in enumerate(frames):
                     ya = np.frombuffer(y, dtype=np.uint8).astype(
                         np.int64

@@ -10689,11 +10689,26 @@ def q_doc_length_histogram(spark, sf_dir):
     return corpus.doc_length_histogram(d, bucket_tokens=16)
 
 
-def _cms_oracle(depth: int = 3, width: int = 1024, k: int = 20) -> str:
-    pos = (
-        "CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), "
-        f"1, 15)) AS BIGINT) % {width}"
+def _cms_pos_sql(width: int) -> str:
+    """Replay ``corpus._bloom_pos`` (Kirsch–Mitzenmacher double
+    hashing) byte-identically in DuckDB: h1 = first 60 bits of
+    md5(tok), h2 = next 60 bits forced odd, pos = (h1 + j*h2) mod
+    width. The r12 oracle hashed md5('j:tok') instead — a different
+    scheme that agreed with Spark only because sf0.01's vocab is far
+    below the counter width (zero collisions, every estimate exact in
+    BOTH schemes); tests/test_sketches.py now pins the match under
+    real collision pressure (vocab >> width). h1 + 2*h2 < 3*2^60
+    stays inside BIGINT."""
+    return (
+        "((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) "
+        "+ CAST(j.j AS BIGINT) * "
+        "(CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) | 1)) "
+        f"% {width})"
     )
+
+
+def _cms_oracle(depth: int = 3, width: int = 1024, k: int = 20) -> str:
+    pos = _cms_pos_sql(width)
     return f"""
     WITH tk AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
     vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
@@ -10722,13 +10737,15 @@ def _cms_oracle(depth: int = 3, width: int = 1024, k: int = 20) -> str:
     doc="Count-Min-Sketch word frequencies beside their exact twin "
     "(operators/corpus.py cms_vocab_topk): the bounded-memory "
     "mergeable frequency sketch, made deterministic and "
-    "hash-checkable - counter positions are the 60-bit md5 of "
-    "'j:token' mod width (the Bloom device), so both engines build "
-    "byte-identical counters and the CMS over-estimates are part of "
-    "the checked contract. Counters aggregate over the VOCAB-sized "
-    "count table exploded x depth (the corpus is scanned once); "
-    "estimation joins the k-row top-k against the (depth x width) "
-    "counter table.",
+    "hash-checkable - counter positions are the KM double hash "
+    "(h1 + j*h2) mod width from one md5(token) (_bloom_pos, the "
+    "shared Bloom device) and the oracle replays that exact "
+    "arithmetic, so both engines build byte-identical counters and "
+    "the CMS over-estimates are part of the checked contract "
+    "(collision-pressure pin in tests/test_sketches.py). Counters "
+    "aggregate over the VOCAB-sized count table exploded x depth "
+    "(the corpus is scanned once); estimation joins the k-row top-k "
+    "against the (depth x width) counter table.",
 )
 def q_cms_vocab_topk(spark, sf_dir):
     from pyspark_scd_spark.operators import corpus
@@ -10740,10 +10757,7 @@ def q_cms_vocab_topk(spark, sf_dir):
 def _cms_grouped_oracle(
     depth: int = 3, width: int = 1024, k: int = 10
 ) -> str:
-    pos = (
-        "CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), "
-        f"1, 15)) AS BIGINT) % {width}"
-    )
+    pos = _cms_pos_sql(width)
     return f"""
     WITH tk AS (SELECT lang AS kx, unnest({_TOKS_SQL}) AS tok
                 FROM documents),

@@ -612,3 +612,54 @@ def test_image_wide_band_join_equals_brute_force(spark):
             if d <= 3:
                 want.add((a, b, d))
     assert got == want and want
+
+
+def test_audio_fingerprint_zero_sample_clip_emits_zero(spark):
+    """r13 ADVICE: the r12 vectorization crashed on a zero-sample
+    WAV — n_win=0 gave k=-1, so the empty `bits` broadcast against
+    wts[:-1] (62 weights). The replaced loop form returned afp=0;
+    pin that contract."""
+    from pyspark_scd_spark.functions import audiocodec
+
+    df = spark.createDataFrame(
+        [
+            (1, audiocodec.encode_wav([], 8000)),
+            (2, audiocodec.encode_wav([5, 9, 1, 2, 8, 8, 0, 3], 8000)),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    rows = {
+        r["doc_id"]: (r["n_windows"], r["afp"])
+        for r in perceptual.audio_fingerprint(df, window=4).collect()
+    }
+    assert rows[1] == (0, 0)
+    assert rows[2][0] == 2  # sane clip still fingerprints
+
+
+def test_video_frame_hash_wide_rejects_noninjective_stride(spark):
+    """r13 ADVICE: w*h >= 124 is necessary but not sufficient for
+    the 'all 124 bits sample distinct pixels' guarantee — a frame
+    whose pixel count shares the factor 101 with the stride (and
+    w*h/101 < 124) repeats positions with period w*h/101. 101x2 =
+    202 pixels passes the size gate yet only 2 distinct positions
+    exist; it must be rejected, while 101x124 (divisible by 101 but
+    with a full period) and ordinary sizes stay accepted."""
+    from pyspark_scd_spark.functions import videocodec
+
+    def vid(w, h):
+        n = w * h
+        y = bytes((i * 7) % 256 for i in range(n))
+        u = v = bytes(n)
+        return videocodec.encode_y4m([(y, u, v)], w, h)
+
+    bad = spark.createDataFrame(
+        [(1, vid(101, 2))], "doc_id: long, payload: binary"
+    )
+    with pytest.raises(Exception, match="non-injective"):
+        perceptual.video_frame_hash_wide(bad).collect()
+
+    ok = spark.createDataFrame(
+        [(1, vid(101, 124)), (2, vid(16, 16))],
+        "doc_id: long, payload: binary",
+    )
+    assert perceptual.video_frame_hash_wide(ok).count() == 2

@@ -251,3 +251,63 @@ def test_hll_grouped_registry_raw_regime_all_sfs(spark):
         for r in rows:
             assert r["small_range_unreliable"] is False, (sf, r)
             assert r["rel_error"] <= 0.27  # 4 sigma at m=256
+
+
+def test_cms_oracle_matches_under_collision_pressure(spark, sf_dir):
+    """r13 ADVICE (medium): the r12 CMS oracle hashed counter
+    positions as md5('j:tok') while the operator probes _bloom_pos
+    (KM double hash h1 + j*h2 from ONE md5(tok)) — entirely
+    different positions, yet every sweep passed because the shipped
+    width (1024) dwarfs the 31-token vocab: zero collisions means
+    estimate == exact in ANY hash scheme. The oracle now replays
+    _bloom_pos exactly (registry._cms_pos_sql); this test pins the
+    two engines cell-equal where it actually matters — width 8 <<
+    vocab 31 forces ~4 tokens per counter, so a positional mismatch
+    CANNOT pass — and asserts collisions really occurred (global and
+    grouped forms both)."""
+    import duckdb
+
+    from pyspark_scd_spark.operators import corpus
+    from pyspark_scd_spark.registry import (
+        _cms_grouped_oracle,
+        _cms_oracle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    got = {
+        r["token"]: (
+            r["exact_count"],
+            r["cms_estimate"],
+            r["overestimate"],
+        )
+        for r in corpus.cms_vocab_topk(
+            docs, depth=3, width=8, k=20
+        ).collect()
+    }
+    want = {
+        t: (c, e, o)
+        for t, c, e, o in con.execute(_cms_oracle(3, 8, 20)).fetchall()
+    }
+    assert got == want
+    assert sum(1 for _, _, o in got.values() if o > 0) >= 5
+
+    got_g = {
+        (r["lang"], r["token"]): (r["exact_count"], r["cms_estimate"])
+        for r in corpus.cms_vocab_topk_grouped(
+            docs, "lang", depth=3, width=8, k=10
+        ).collect()
+    }
+    want_g = {
+        (lang, t): (c, e)
+        for lang, t, c, e, _o in con.execute(
+            _cms_grouped_oracle(3, 8, 10)
+        ).fetchall()
+    }
+    assert got_g == want_g
+    assert sum(1 for c, e in got_g.values() if e > c) >= 5
