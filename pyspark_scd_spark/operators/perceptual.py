@@ -437,24 +437,33 @@ def video_frame_hashes(
         from pyspark_scd_spark.functions import videocodec
 
         ks = np.arange(63, dtype=np.int64)
+        weights = np.left_shift(np.int64(1), ks, dtype=np.int64)
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "fhash": []}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 meta, frames = videocodec.decode_y4m(bytes(payload))
                 w, h = meta["width"], meta["height"]
+                wh = w * h
                 idx = (ks % h) * w + (ks * 7) % w
-                weights = np.left_shift(
-                    np.int64(1), ks, dtype=np.int64
-                )
-                for f, (y, _u, _v) in enumerate(frames):
-                    ya = np.frombuffer(y, dtype=np.uint8).astype(
-                        np.int64
-                    )
-                    s = int(ya.sum())
-                    bits = (ya[idx] * (w * h) > s).astype(np.int64)
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(f)
-                    out["fhash"].append(int((bits * weights).sum()))
+                # stack the clip's luma planes into ONE (n_frames,
+                # w*h) matrix: one row-sum, one broadcast compare,
+                # one GEMV bit pack replace the per-frame Python
+                # loop (r13: hashing was the video families' wall —
+                # 60-65s of the wide x1000 136.5s; same values,
+                # pinned bit-identical in tests/test_perceptual.py)
+                n_f = len(frames)
+                m = np.frombuffer(
+                    b"".join(bytes(fr[0]) for fr in frames),
+                    dtype=np.uint8,
+                ).reshape(n_f, wh)
+                sums = m.sum(axis=1, dtype=np.int64)
+                bits = (
+                    m[:, idx].astype(np.int64) * wh > sums[:, None]
+                ).astype(np.int64)
+                fhs = bits @ weights
+                out["doc_id"].extend([int(doc_id)] * n_f)
+                out["frame_idx"].extend(range(n_f))
+                out["fhash"].extend(int(x) for x in fhs)
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
@@ -1002,7 +1011,8 @@ def video_frame_hash_wide(
                         f"{w}x{h} for doc {doc_id}; small frames "
                         "use video_frame_hashes (63-bit)"
                     )
-                idx = (ks * VIDEO_WIDE_STRIDE) % (w * h)
+                wh = w * h
+                idx = (ks * VIDEO_WIDE_STRIDE) % wh
                 # the stride-101 map is a bijection over k<124 only
                 # when gcd(101, w*h)=1 OR w*h/101 >= 124; a frame
                 # with e.g. w*h = 202 passes the size check yet
@@ -1013,23 +1023,34 @@ def video_frame_hash_wide(
                     raise ValueError(
                         "video_frame_hash_wide stride-101 position "
                         f"map is non-injective for {w}x{h} frames "
-                        f"(w*h={w * h} shares factor 101 with the "
+                        f"(w*h={wh} shares factor 101 with the "
                         "stride and w*h/101 < 124) for doc "
                         f"{doc_id}; all 124 bits must sample "
                         "distinct pixels — use a frame size with "
                         "w*h not a multiple of 101, or "
                         "video_frame_hashes (63-bit)"
                     )
-                for f, (y, _u, _v) in enumerate(frames):
-                    ya = np.frombuffer(y, dtype=np.uint8).astype(
-                        np.int64
-                    )
-                    s = int(ya.sum())
-                    bits = (ya[idx] * (w * h) > s).astype(np.int64)
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(f)
-                    out["fhash_lo"].append(int((bits * w_lo).sum()))
-                    out["fhash_hi"].append(int((bits * w_hi).sum()))
+                # clip-stacked kernel, same device as the narrow
+                # form: (n_frames, w*h) matrix, one row-sum, one
+                # broadcast compare, two GEMV bit packs for the
+                # lo/hi words (r13 VERDICT item 1 — hashing was
+                # 60-65s of the wide x1000 wall; values pinned
+                # bit-identical in tests/test_perceptual.py)
+                n_f = len(frames)
+                m = np.frombuffer(
+                    b"".join(bytes(fr[0]) for fr in frames),
+                    dtype=np.uint8,
+                ).reshape(n_f, wh)
+                sums = m.sum(axis=1, dtype=np.int64)
+                bits = (
+                    m[:, idx].astype(np.int64) * wh > sums[:, None]
+                ).astype(np.int64)
+                los = bits @ w_lo
+                his = bits @ w_hi
+                out["doc_id"].extend([int(doc_id)] * n_f)
+                out["frame_idx"].extend(range(n_f))
+                out["fhash_lo"].extend(int(x) for x in los)
+                out["fhash_hi"].extend(int(x) for x in his)
             yield pd.DataFrame(out)
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
