@@ -11555,6 +11555,50 @@ def q_image_phash_neardup_wide(spark, sf_dir):
     )
 
 
+@register(
+    "image_phash_incremental_wide",
+    f"""
+    WITH {_PHASH_WIDE_BITS_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(s.phash_lo, b.phash_lo))
+                + bit_count(xor(s.phash_hi, b.phash_hi)) AS INTEGER)
+             AS hamming
+    FROM wbits s JOIN wbits b
+      ON s.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+    WHERE bit_count(xor(s.phash_lo, b.phash_lo))
+          + bit_count(xor(s.phash_hi, b.phash_hi)) <= 3
+    """,
+    doc="Daily-ingest image near-dup over the 124-bit wide pHash "
+    "(operators/perceptual.py wide_hamming_neardup_incremental): "
+    "candidates ONLY between the new batch (doc_id % 10 >= 8) and "
+    "the standing store, with the wide-MIH candidate stage — r13 "
+    "closing VERDICT r12 item 5: at 10M+ distinct store hashes the "
+    "narrow incremental probe inherits the n²/2^16 band floor the "
+    "batch forms escaped; 4 bands of 31 bits move it to n²/2^31. "
+    "Store-side banded table is a pure projection of the persisted "
+    "(id, lo, hi) store; pigeonhole recall 1 at hamming <= 3, exact "
+    "two-word bit_count verify. Oracle brute-forces store x batch.",
+)
+def q_image_phash_incremental_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _ph(pred):
+        # filter BEFORE the Arrow stage (mapInPandas is a pushdown
+        # barrier — the narrow incremental's documented trap)
+        return perceptual.image_phash_wide(
+            perceptual.with_grayscale_payload(d.filter(pred))
+        )
+
+    return perceptual.wide_hamming_neardup_incremental(
+        _ph(F.col("doc_id") % 10 < 8),
+        _ph(F.col("doc_id") % 10 >= 8),
+        lo_col="phash_lo",
+        hi_col="phash_hi",
+    )
+
+
 # ----------------------------------------------------------------------
 # Video perceptual near-dup (operators/perceptual.py video_*): the
 # pHash playbook applied to video — per-frame 63-bit luma fingerprints
@@ -12112,6 +12156,43 @@ def q_audio_fingerprint_neardup_wide(spark, sf_dir):
     )
 
 
+@register(
+    "audio_fingerprint_incremental_wide",
+    f"""
+    WITH {_AUDIO_FP_WIDE_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(bit_count(xor(s.afp_lo, b.afp_lo))
+                + bit_count(xor(s.afp_hi, b.afp_hi)) AS INTEGER)
+             AS hamming
+    FROM afpw s JOIN afpw b
+      ON s.doc_id < 10000000 AND b.doc_id >= 10000000
+    WHERE bit_count(xor(s.afp_lo, b.afp_lo))
+          + bit_count(xor(s.afp_hi, b.afp_hi)) <= 3
+    """,
+    doc="Daily-ingest audio near-dup over the 124-bit fingerprint "
+    "(operators/perceptual.py wide_hamming_neardup_incremental): "
+    "store = the original corpus (ids < 10M), batch = today's "
+    "re-encoded uploads (planted twins, ids >= 10M) — the narrow "
+    "audio incremental's lifecycle with the wide-MIH candidate "
+    "stage (r13, VERDICT r12 item 5): 31-bit band buckets keep the "
+    "daily probe off the n²/2^16 floor as the standing store grows "
+    "past ~10^6 distinct fingerprints. One fingerprint pass feeds "
+    "both sides (localCheckpoint), each day costs one band "
+    "equi-join against the persisted store index. Oracle "
+    "brute-forces store x batch.",
+)
+def q_audio_fingerprint_incremental_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    fp = perceptual.audio_fingerprint_wide(
+        _wide_audio_clips(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    return perceptual.wide_hamming_neardup_incremental(
+        fp.filter(F.col("doc_id") < 10_000_000),
+        fp.filter(F.col("doc_id") >= 10_000_000),
+    )
+
+
 # ----------------------------------------------------------------------
 # Wide-MIH video family (round 12): 124-bit per-frame fingerprints
 # over >= 124-pixel frames (min_w=16, min_h=10), with planted
@@ -12244,6 +12325,46 @@ def q_video_phash_neardup_wide(spark, sf_dir):
         perceptual.video_frame_hash_wide(
             _wide_video_clips(spark, sf_dir)
         ),
+        min_matches=1,
+    )
+
+
+@register(
+    "video_phash_incremental_wide",
+    f"""
+    WITH {_VIDEO_FHASH_WIDE_CTES}
+    SELECT s.doc_id AS store_id, b.doc_id AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM vbits s JOIN vbits b
+      ON s.doc_id < 10000000 AND b.doc_id >= 10000000
+     AND bit_count(xor(s.fhash_lo, b.fhash_lo))
+         + bit_count(xor(s.fhash_hi, b.fhash_hi)) <= 3
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 1
+    """,
+    doc="Daily-ingest video near-dup over the 124-bit wide frame "
+    "fingerprint (operators/perceptual.py "
+    "video_neardup_incremental_wide): store = the original clips "
+    "(ids < 10M), batch = today's re-encodes (planted twins, ids "
+    ">= 10M; frames 1..n-1 byte-identical so every twin pair "
+    "carries >= 1 hamming-0 frame match — min_matches=1 as in the "
+    "batch wide form). The daily probe is one 31-bit band equi-join "
+    "of batch frame hashes against the persisted store index — r13 "
+    "closing VERDICT r12 item 5: the narrow incremental's 2^16 "
+    "band space goes quadratic past ~10^6 distinct store frame "
+    "hashes; 2^31 buckets stay ~empty. One hash pass feeds both "
+    "sides; frame votes aggregate the two expansion joins. Oracle "
+    "brute-forces all store x batch frame combinations.",
+)
+def q_video_phash_incremental_wide(spark, sf_dir):
+    from pyspark_scd_spark.operators import perceptual
+
+    fh = perceptual.video_frame_hash_wide(
+        _wide_video_clips(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    return perceptual.video_neardup_incremental_wide(
+        fh.filter(F.col("doc_id") < 10_000_000),
+        fh.filter(F.col("doc_id") >= 10_000_000),
         min_matches=1,
     )
 
