@@ -163,7 +163,7 @@ def scd_status_stream(
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
     server protocol; absent in this container (no pip installs).
-    Re-probed every round — last checked 2026-08-16 (round 12),
+    Re-probed every round — last checked 2026-08-17 (round 13),
     still absent; the gate test (tests/test_streaming.py) asserts
     whichever branch is real."""
     try:

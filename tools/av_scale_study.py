@@ -119,10 +119,24 @@ def diverse_video_payload(df: DataFrame) -> DataFrame:
 
 
 def _aud_samples(seed: int) -> list:
-    return [
-        ((seed + j * 104729 + ((seed >> 16) * j * j)) % 65536) - 32768
-        for j in range(AUD_N)
-    ]
+    """splitmix64 avalanche per sample index (r13, VERDICT r12 item
+    4): the additive-congruential form drew every clip from <=31
+    bits of effective state, and the x1000 diverse tier saturated at
+    2.96M distinct fingerprints of 5M clips — the study was
+    measuring corpus saturation, not the operator. Full 64-bit
+    mixing gives the seed family well over 48 bits of entropy so
+    distinct fingerprints ~ n at x1000 (numpy-vectorized: the synth
+    runs inside the TIMED hash stage, so it must not get slower)."""
+    import numpy as np
+
+    j = np.arange(AUD_N, dtype=np.uint64)
+    z = np.uint64(seed & ((1 << 64) - 1)) + j * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return [int(v) - 32768 for v in (z & np.uint64(0xFFFF))]
 
 
 def diverse_audio_payload(df: DataFrame) -> DataFrame:
@@ -139,8 +153,9 @@ def diverse_audio_payload(df: DataFrame) -> DataFrame:
             for i in ids:
                 i = int(i)
                 base = i - 1 if i % 100 == 1 else i
-                seed = (base * 2654435761) % 2147483647
-                samples = _aud_samples(seed)
+                # raw base feeds the 64-bit mixer directly — the r12
+                # 31-bit golden-ratio modulus capped seed entropy
+                samples = _aud_samples(base)
                 if i % 100 == 1:
                     for j in range(AUD_N - 8, AUD_N):
                         samples[j] = ((samples[j] + 4321) % 65536) - 32768
