@@ -889,6 +889,72 @@ def _banded_wide(df: DataFrame, lo_col: str, hi_col: str) -> DataFrame:
     ).select("__lo", "__hi", "__b.band_no", "__b.band_val")
 
 
+def _wide_candidate_pairs(hs: DataFrame, max_hamming: int) -> DataFrame:
+    """(la, ha, lb, hb, hamming) verified candidate pairs over a
+    DISTINCT (__lo, __hi) hash table — the wide-MIH band join shared
+    by the audio/image and video pairs forms.
+
+    r13 hot-bucket restructure (x1000 stage attribution: the naive
+    banded self-join was 80s of the video family's 137s wall with
+    ZERO surviving candidates — pure sort-merge mechanics on 60M
+    band rows): only a (band_no, band_val) bucket holding >= 2
+    distinct hashes can produce a pair, and at 2^31-value buckets
+    occupancy is ~always 1 (expected hot buckets ~ 4·n²/2^32 — 200k
+    of 60M rows at 15M hashes). So: ONE map-side-combined exchange
+    counts bucket occupancy; the hot-bucket key set (tiny) joins
+    back against the banded table — AQE broadcasts it, so the 60M
+    rows are probed in place, never exchanged or sorted — and the
+    pair self-join runs over the ~hot-rows-only remainder. At 100 TB
+    (~10^8+ distinct hashes) the hot set grows as n²/2^32; when it
+    outgrows the broadcast threshold AQE falls back to a shuffled
+    join of banded-vs-hot — still strictly cheaper than the full
+    banded self-join this replaces.
+
+    ``hs`` is cached here (plain cache — it arrives co-partitioned
+    from the pinned frames cache, so no repartition needed): the
+    banded explode feeds BOTH the occupancy count and the probe
+    pass, and without the pin the distinct aggregation runs twice.
+    """
+    hs = hs.cache()
+    banded = _banded_wide(hs, "__lo", "__hi")
+    hot = (
+        banded.groupBy("band_no", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("band_no", "band_val")
+    )
+    cand = banded.join(hot, ["band_no", "band_val"])
+    a = cand.alias("a")
+    b = cand.alias("b")
+    a_lt_b = (F.col("a.__lo") < F.col("b.__lo")) | (
+        (F.col("a.__lo") == F.col("b.__lo"))
+        & (F.col("a.__hi") < F.col("b.__hi"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & a_lt_b,
+        )
+        .select(
+            F.col("a.__lo").alias("__la"),
+            F.col("a.__hi").alias("__ha"),
+            F.col("b.__lo").alias("__lb"),
+            F.col("b.__hi").alias("__hb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
+                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def wide_hamming_neardup_pairs(
     fp: DataFrame,
     id_col: str = "doc_id",
@@ -920,36 +986,7 @@ def wide_hamming_neardup_pairs(
         "__hi",
     )
     hs = ids.select("__lo", "__hi").distinct()
-    banded = _banded_wide(hs, "__lo", "__hi")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    a_lt_b = (F.col("a.__lo") < F.col("b.__lo")) | (
-        (F.col("a.__lo") == F.col("b.__lo"))
-        & (F.col("a.__hi") < F.col("b.__hi"))
-    )
-    hp = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & a_lt_b,
-        )
-        .select(
-            F.col("a.__lo").alias("__la"),
-            F.col("a.__hi").alias("__ha"),
-            F.col("b.__lo").alias("__lb"),
-            F.col("b.__hi").alias("__hb"),
-        )
-        .distinct()
-        .withColumn(
-            "hamming",
-            (
-                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
-                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-            ).cast("int"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    hp = _wide_candidate_pairs(hs, max_hamming)
     cross = (
         hp.join(
             ids.select(
@@ -1248,35 +1285,7 @@ def video_neardup_pairs_wide(
         "__hi",
     )
     hs = frames.select("__lo", "__hi").distinct()
-    banded = _banded_wide(hs, "__lo", "__hi")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    a_lt_b = (F.col("a.__lo") < F.col("b.__lo")) | (
-        (F.col("a.__lo") == F.col("b.__lo"))
-        & (F.col("a.__hi") < F.col("b.__hi"))
-    )
-    hp = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & a_lt_b,
-        )
-        .select(
-            F.col("a.__lo").alias("__la"),
-            F.col("a.__hi").alias("__ha"),
-            F.col("b.__lo").alias("__lb"),
-            F.col("b.__hi").alias("__hb"),
-        )
-        .distinct()
-        .filter(
-            (
-                F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb")))
-                + F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-            )
-            <= max_hamming
-        )
-    )
+    hp = _wide_candidate_pairs(hs, max_hamming).drop("hamming")
     cross = (
         hp.join(
             frames.select(

@@ -517,3 +517,59 @@ def test_wide_image_neardup_plan_shape(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
     assert any("__lo" in e and "__hi" in e for e in exchanges), plan
+
+
+def test_wide_neardup_cache_colocation(spark, sf_dir):
+    """r13 plan contract for the pinned hash-partitioned cache
+    (_pinned_hash_cache): the (id, lo, hi) projection is cached
+    behind ONE pinned REPARTITION_BY_NUM exchange on the hash words,
+    and every downstream consumer keyed on them (distinct, equal-hash
+    self-join, both expansion joins) reads the InMemoryTableScan
+    co-partitioned — so NO optimizer-inserted (ENSURE_REQUIREMENTS)
+    exchange is keyed on the hash words anywhere in the plan.
+    Measured: this is the 52s -> 27.5s x300 change."""
+    df = REGISTRY["video_phash_neardup_wide"].builder(spark, sf_dir)
+    plan = explain.physical_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    for m in re.finditer(
+        r"Exchange hashpartitioning\(([^)]*)\), (\w+)", plan
+    ):
+        keys, origin = m.group(1), m.group(2)
+        # the full-table re-exchange signature is keys == exactly the
+        # two hash words; the candidate distinct legitimately
+        # exchanges on the 4-word pair key (ENSURE_REQUIREMENTS)
+        if "__lo" in keys and "__hi" in keys and "__la" not in keys:
+            assert origin == "REPARTITION_BY_NUM", (keys, origin, plan)
+
+
+def test_wide_incremental_plan_shape(spark, sf_dir):
+    """The three r13 wide incremental probes: no SinglePartition, no
+    optimizer-inserted exchange keyed on the hash words (both sides
+    co-partitioned by their pinned caches), and the video form's
+    frame vote map-side combined."""
+    for name, word in (
+        ("image_phash_incremental_wide", "__l"),
+        ("audio_fingerprint_incremental_wide", "__l"),
+        ("video_phash_incremental_wide", "__l"),
+    ):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        plan = explain.physical_plan(df)
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "InMemoryTableScan" in plan, (name, plan)
+        for m in re.finditer(
+            r"Exchange hashpartitioning\(([^)]*)\), (\w+)", plan
+        ):
+            keys, origin = m.group(1), m.group(2)
+            # flag only a full-table side re-exchange (exactly one
+            # side's two words); the candidate distinct exchanges on
+            # all four words by design
+            store_only = "__ls" in keys and "__lb" not in keys
+            batch_only = "__lb" in keys and "__ls" not in keys
+            if store_only or batch_only:
+                assert origin == "REPARTITION_BY_NUM", (
+                    name, keys, origin, plan,
+                )
+    vplan = explain.physical_plan(
+        REGISTRY["video_phash_incremental_wide"].builder(spark, sf_dir)
+    )
+    assert "partial_count" in vplan, vplan
