@@ -13,6 +13,8 @@ Per entry:
             future rows-only entry would record "rows_only"
   - bench:  "headline" / "x10" / "x3" / null (from bench.py's sets;
             x10/x3 listed only when not already headline)
+  - plan_pins: tests in tests/test_plans.py that name this entry —
+            the plan-shape contracts a refactor must keep green
   - doc:    the entry's registered one-line doc (first sentence)
 
 tests/test_registry_index.py regenerates this in-memory and asserts
@@ -50,10 +52,28 @@ TABLES = (
 )
 
 
+def _plan_pins() -> dict:
+    """entry name -> sorted list of test_plans.py test names whose
+    body (def-to-def span) mentions the entry."""
+    path = os.path.join(REPO, "tests", "test_plans.py")
+    with open(path) as f:
+        src = f.read()
+    spans = []
+    for m in re.finditer(r"^def (test_\w+)", src, re.M):
+        spans.append((m.group(1), m.start()))
+    spans.append(("__end__", len(src)))
+    bodies = {
+        name: src[a:spans[i + 1][1]]
+        for i, (name, a) in enumerate(spans[:-1])
+    }
+    return bodies
+
+
 def build_index() -> dict:
     import bench
     from pyspark_scd_spark.registry import REGISTRY
 
+    bodies = _plan_pins()
     out = {}
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
@@ -81,6 +101,11 @@ def build_index() -> dict:
             "tables": tables,
             "oracle": "full" if q.oracle else "rows_only",
             "bench": tier,
+            "plan_pins": sorted(
+                t
+                for t, body in bodies.items()
+                if re.search(rf'"{name}"', body)
+            ),
             "doc": (first + ".") if first and not first.endswith(".")
             else first,
         }
