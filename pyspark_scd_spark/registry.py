@@ -1256,7 +1256,9 @@ def _staged_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _t(spark, sf_dir, "documents")
         write_staged(term_frequencies(d), path)
         _TF_STAGE_CACHE[sf_dir] = path
-    return spark.read.parquet(_TF_STAGE_CACHE[sf_dir])
+    from pyspark_scd_spark.sources.readers import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, _TF_STAGE_CACHE[sf_dir])
 
 
 def _cc_strategy(docs: DataFrame) -> str:
@@ -1285,7 +1287,9 @@ def _staged_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _t(spark, sf_dir, "documents")
         write_staged(shingle_pairs(d, n=3), path)
         _SHINGLE_STAGE_CACHE[sf_dir] = path
-    return spark.read.parquet(_SHINGLE_STAGE_CACHE[sf_dir])
+    from pyspark_scd_spark.sources.readers import read_parquet_cached_schema
+
+    return read_parquet_cached_schema(spark, _SHINGLE_STAGE_CACHE[sf_dir])
 
 
 @register(
