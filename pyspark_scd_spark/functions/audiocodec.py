@@ -45,13 +45,27 @@ def encode_wav(
     """
     if bits_per_sample not in (8, 16):
         raise ValueError("only 8/16-bit integer PCM")
-    samples = list(samples)
-    if bits_per_sample == 16:
+    # numpy fast path (r13): an int array encodes as its
+    # little-endian int16 buffer — byte-identical to struct.pack
+    # ('<Nh') — with the same loud out-of-range failure (astype
+    # would silently wrap where struct.pack raises).
+    if bits_per_sample == 16 and type(samples).__module__ == "numpy":
+        import numpy as np
+
+        arr = np.asarray(samples)
+        if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+            raise ValueError(
+                "16-bit sample out of range in numpy input"
+            )
+        data = arr.astype("<i2").tobytes()
+    elif bits_per_sample == 16:
+        samples = list(samples)
         data = struct.pack(f"<{len(samples)}h", *samples)
     else:
         # validate like the 16-bit path (struct.pack raises there):
         # silently wrapping an out-of-range sample would corrupt the
         # round-trip instead of failing loudly
+        samples = list(samples)
         bad = next((s for s in samples if not -128 <= s <= 127), None)
         if bad is not None:
             raise ValueError(f"8-bit sample out of range: {bad}")

@@ -910,7 +910,20 @@ def bpe_train_merges_batched(
     rows = toks.select(
         "doc_id", F.posexplode("t").alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
-    rows = rows.localCheckpoint()
+    # cache + eager count, NOT localCheckpoint (r13): each round's
+    # token table is consumed by two chains (the top-pair aggregate
+    # and the merge apply), and the apply's windows are all keyed on
+    # doc_id — InMemoryTableScan PRESERVES the previous round's
+    # hashpartitioning(doc_id) output partitioning, so every round
+    # after the first runs its window stack without re-exchanging
+    # the corpus (a localCheckpoint's Scan ExistingRDD reports no
+    # partitioning — the near-dup probe, commit ba7aef8). The eager
+    # count forecloses the AQE lazy-cache race; the previous round's
+    # blocks are unpersisted once the new round materializes, so
+    # pinned storage stays ~2 copies.
+    rows = rows.cache()
+    rows.count()
+    prev_rows = rows
 
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     merges: list = []
@@ -980,8 +993,10 @@ def bpe_train_merges_batched(
                 - 1
             ).cast("long").alias("pos"),
             "tok",
-        ).localCheckpoint()
+        ).cache()
         n_after = rows.count()
+        prev_rows.unpersist(False)
+        prev_rows = rows
         for a, b, freq in kept:
             step += 1
             merges.append((step, a, b, freq, n_after))

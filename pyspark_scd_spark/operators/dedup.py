@@ -138,6 +138,8 @@ def _identical_set_groups(sh: DataFrame):
     # strings may contain the separator — {'x,y'} and {'x','y'} would
     # concat identically), so the signature is built over fixed-width
     # per-element xxhash64 digits, which cannot straddle a comma
+    from pyspark.sql import Window as W
+
     sig = sh.groupBy("__id").agg(
         F.xxhash64(
             F.concat_ws(
@@ -152,27 +154,28 @@ def _identical_set_groups(sh: DataFrame):
                 ),
             )
         ).alias("__sig")
-    ).localCheckpoint()
-    groups = (
-        sig.groupBy("__sig")
-        .agg(F.min("__id").alias("__rep"))
-        .localCheckpoint()
     )
-    members = sig.join(groups, "__sig").localCheckpoint()
-    # EAGER checkpoints, deliberately — round-10 audit (NOTES.md item
-    # 9): these four layers feed each other and EVERY caller consumes
-    # all four, so the sequential eager materialization is the
-    # optimal schedule. The two alternatives were measured worse or
-    # no better: localCheckpoint(eager=False) still executes all
-    # upstream query stages at call time under AQE (lazy-in-name-
-    # only), and cache() — genuinely lazy — loses the sequencing, so
-    # AQE's PARALLEL query stages race the shared shingle scan and
-    # compute it twice (18.3s -> 32s cold at sf0.1). The visible cost
-    # is that building this plan runs jobs (~12s of honest stage-3
-    # work at sf0.1), charged at construction rather than first
+    # The group representative (min id per signature) rides a WINDOW
+    # over the sig table instead of the old groupBy + join-back chain
+    # (r13: sig -> groups -> members was THREE eager checkpoint jobs;
+    # the window computes members in ONE job with the same two
+    # exchanges — __id aggregate, __sig window — and no caller needs
+    # the groups table standalone). Same values: min(__id) per __sig.
+    # EAGER checkpoints on the two layers every caller consumes,
+    # deliberately — round-10 audit (NOTES.md item 9):
+    # localCheckpoint(eager=False) still executes all upstream query
+    # stages at call time under AQE (lazy-in-name-only), and cache()
+    # — genuinely lazy — loses the sequencing, so AQE's PARALLEL
+    # query stages race the shared shingle scan and compute it twice
+    # (18.3s -> 32s cold at sf0.1). The visible cost is that building
+    # this plan runs jobs, charged at construction rather than first
     # consumption.
+    members = sig.withColumn(
+        "__rep", F.min("__id").over(W.partitionBy("__sig"))
+    ).localCheckpoint()
     rep_sh = sh.join(
-        groups.select(F.col("__rep").alias("__id")), "__id"
+        members.filter(F.col("__id") == F.col("__rep")).select("__id"),
+        "__id",
     ).localCheckpoint()
     return members, rep_sh
 
@@ -363,8 +366,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """MinHash signatures from an (``__id``, shingle) pair set."""
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, with_size: bool = False
+) -> DataFrame:
+    """MinHash signatures from an (``__id``, shingle) pair set.
+
+    ``with_size`` additionally emits ``__n`` = the doc's shingle-set
+    size in the SAME aggregate — callers that need set sizes for the
+    Jaccard verify (minhash_lsh_pairs) get them without a second
+    full pass + exchange over the shingle table (r13)."""
     # k independent seeded hashes. (Kirsch-Mitzenmacher double hashing
     # — h_i = h1 + i*h2 from two base hashes — was benchmarked here:
     # it saved nothing measurable because the banded self-join, not
@@ -374,6 +384,8 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
     return sh.groupBy("__id").agg(*aggs)
 
 
@@ -556,9 +568,12 @@ def minhash_lsh_pairs(
     # buckets and the candidate verify ~c² in the copy count — run
     # once via their representative and expand at the end.
     members, sh = _identical_set_groups(sh)
-    sig = _signatures_from_shingles(sh, num_hashes).withColumnRenamed(
-        "__id", id_col
-    )
+    # with_size: the Jaccard verify's set sizes ride the signature
+    # aggregate (same groupBy(__id) exchange) instead of a second
+    # full pass over the shingle table (r13).
+    sig = _signatures_from_shingles(
+        sh, num_hashes, with_size=True
+    ).withColumnRenamed("__id", id_col)
 
     banded = _band_signatures(sig, id_col, num_hashes, bands)
 
@@ -581,7 +596,7 @@ def minhash_lsh_pairs(
     # work ∝ |candidates|·shingles/doc, not all co-occurring pairs
     # (verifying via a full-corpus jaccard join would redo the O(df²)
     # blowup LSH exists to avoid).
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = sig.select(F.col(id_col).alias("__id"), "__n")
     # No broadcast hint: a cluster of k near-identical docs yields
     # ~k²/2 candidate pairs, so cand is NOT bounded in adversarial
     # corpora — AQE picks broadcast when it actually fits and degrades

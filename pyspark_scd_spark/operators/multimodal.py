@@ -326,24 +326,23 @@ def with_audio_payload(
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark_scd_spark.functions import audiocodec
 
+        import numpy as np
+
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             payloads = []
             for i in ids:
                 i = int(i)
                 n = min_samples + i % 193
-                samples = [
-                    (
-                        (
-                            i * 7919
-                            + j * 104729
-                            + (phase_boost if j < 2 else 0)
-                        )
-                        % 65536
-                    )
-                    - 32768
-                    for j in range(n)
-                ]
+                # numpy form of the per-sample loop (r13) — all
+                # terms non-negative int64 before the modulo, so the
+                # values are bit-identical to the Python reference
+                # (i*7919 + j*104729 < 2^63 for any testdata id)
+                j = np.arange(n, dtype=np.int64)
+                s = i * 7919 + j * 104729
+                if phase_boost:
+                    s[:2] += phase_boost
+                samples = (s % 65536) - 32768
                 payloads.append(
                     audiocodec.encode_wav(samples, AUDIO_RATE)
                 )
@@ -476,6 +475,10 @@ def _vid_dims(doc_id: int, min_w: int = 8, min_h: int = 6):
 def _vid_plane(
     doc_id: int, f: int, w: int, h: int, coef, boost: int = 0
 ) -> bytes:
+    """Pure-Python reference form of one plane — kept as the pinned
+    semantics the vectorized ``_vid_planes_np`` must reproduce
+    bit-for-bit (tests/test_video.py recomputes planes through this
+    form)."""
     a, b, c, d = coef
     return bytes(
         (
@@ -489,6 +492,30 @@ def _vid_plane(
         for y in range(h)
         for x in range(w)
     )
+
+
+def _vid_planes_np(
+    doc_id: int, n: int, w: int, h: int, coef, boost: int = 0
+):
+    """All ``n`` frames of one plane as a (n, h*w) uint8 matrix —
+    the numpy form of ``_vid_plane`` (r13: the per-pixel Python
+    generator was ~2.3s of every video query's wall at sf0.1; the
+    closed form doc*a + f*b + y*c + x*d (+boost at (0,0,0)) % 256 is
+    three broadcast adds). All terms are non-negative int64 (doc ids
+    < 2^31, coefficients < 100), so the modulo matches Python's
+    exactly and the cube is bit-identical to the reference form."""
+    import numpy as np
+
+    a, b, c, d = coef
+    grid = (
+        np.arange(h, dtype=np.int64)[:, None] * c
+        + np.arange(w, dtype=np.int64)[None, :] * d
+        + doc_id * a
+    ).reshape(-1)
+    cube = np.arange(n, dtype=np.int64)[:, None] * b + grid[None, :]
+    if boost:
+        cube[0, 0] += boost
+    return (cube % 256).astype(np.uint8)
 
 
 def with_video_payload(
@@ -524,11 +551,16 @@ def with_video_payload(
             for i in ids:
                 i = int(i)
                 w, h, n = _vid_dims(i, min_w, min_h)
+                # one numpy cube per plane (all frames at once) —
+                # bit-identical to the _vid_plane reference form
+                ys = _vid_planes_np(i, n, w, h, _VID_Y, pixel_boost)
+                us = _vid_planes_np(i, n, w, h, _VID_U)
+                vs = _vid_planes_np(i, n, w, h, _VID_V)
                 frames = [
                     (
-                        _vid_plane(i, f, w, h, _VID_Y, pixel_boost),
-                        _vid_plane(i, f, w, h, _VID_U),
-                        _vid_plane(i, f, w, h, _VID_V),
+                        ys[f].tobytes(),
+                        us[f].tobytes(),
+                        vs[f].tobytes(),
                     )
                     for f in range(n)
                 ]

@@ -102,6 +102,22 @@ def _pixel(doc: int, y: int, x: int) -> int:
             + eps * ((y + 2 * x + doc) % 3))
 
 
+def _pixels_np(doc: int, n: int):
+    """The full n x n pixel grid of ``_pixel`` as one uint8 numpy
+    buffer (r13: the per-pixel Python loop was ~1s of every image
+    query's wall at sf0.1). All terms non-negative int64, so the
+    modulos match Python's exactly — bit-identical to the reference
+    form (pinned in tests/test_perceptual.py)."""
+    import numpy as np
+
+    g = doc % PHASH_GROUPS
+    eps = (doc // PHASH_GROUPS) % 4
+    y = np.arange(n, dtype=np.int64)[:, None]
+    x = np.arange(n, dtype=np.int64)[None, :]
+    base = (g * 37 + y * 13 + x * 5 + ((y * x) % 7) * 9) % 241
+    return (base + eps * ((y + 2 * x + doc) % 3)).astype(np.uint8)
+
+
 def with_grayscale_payload(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
 ) -> DataFrame:
@@ -120,9 +136,11 @@ def with_grayscale_payload(
             payloads = []
             for i in ids:
                 i = int(i)
-                px = [
-                    _pixel(i, y, x) for y in range(n) for x in range(n)
-                ]
+                # one numpy grid per doc — bit-identical to the
+                # _pixel reference form (encode_png slices the flat
+                # buffer row-wise; bytes input is equivalent to the
+                # old list of ints)
+                px = _pixels_np(i, n).tobytes()
                 payloads.append(imagecodec.encode_png(n, n, 1, px))
             yield pd.DataFrame({id_col: ids, out_col: payloads})
 
