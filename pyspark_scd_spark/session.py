@@ -26,6 +26,15 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # NOT set: spark.python.daemon.module preloading pandas/pyarrow
+    # in the daemon (r13 experiment). Hypothesis was that fresh forks
+    # pay the Arrow-stack import; measured A/B (same window,
+    # alternating): the preloaded ~100 MB daemon made every fork
+    # SLOWER (video neardup 3.5 -> 4.1s, audio 1.1 -> 1.5s at sf0.1)
+    # — fork cost scales with the parent's resident pages, and
+    # worker reuse already amortizes the imports. Stock slim daemon
+    # wins; the "time to initialize Python workers" SQL metric
+    # includes slot wait and is not an import-cost gauge.
 }
 
 
@@ -36,6 +45,16 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-sane defaults."""
+    # The preload daemon module (and every mapInPandas closure) must
+    # be importable by worker processes, which resolve imports from
+    # the PYTHONPATH env var, not the driver's sys.path.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else pkg_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
