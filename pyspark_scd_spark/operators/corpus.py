@@ -2191,13 +2191,24 @@ def corpus_release(
             F.lit(0),
         )
 
-    def _row(stage: str, sdf: DataFrame, payload: Column) -> DataFrame:
+    # Column objects are immutable unresolved expressions, reusable
+    # across DataFrames — build the three manifest aggregate columns
+    # ONCE and share them across all nine _row calls (r13: each F.*
+    # call is one or more py4j round trips; rebuilding the
+    # count/token-sum/sig trees per stage was ~0.3 s of driver time
+    # per manifest row, ~2.5 s of the composite's wall).
+    _n_docs_col = F.count(F.lit(1)).cast("long").alias("n_docs")
+    _n_tokens_col = (
+        F.coalesce(F.sum(TXT.token_count(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens")
+    )
+
+    def _row(stage: str, sdf: DataFrame, sig_col: Column) -> DataFrame:
         return sdf.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(
-                F.sum(TXT.token_count(text_col)), F.lit(0)
-            ).cast("long").alias("n_tokens"),
-            _sig(payload).alias("content_sig"),
+            _n_docs_col,
+            _n_tokens_col,
+            sig_col,
         ).select(
             F.lit(stage).alias("stage"),
             "n_docs",
@@ -2209,6 +2220,10 @@ def corpus_release(
         return F.concat(
             F.col(id_col).cast("string"), F.lit(":"), F.col(text_col)
         )
+
+    # the shared text-payload signature aggregate (stages 0-7; the
+    # pack stage signs id:bin instead)
+    _text_sig_col = _sig(_text_payload()).alias("content_sig")
 
     s0 = df.select(id_col, source_col, text_col)
     s1 = s0.filter(~eval_pred).localCheckpoint(eager=False)
@@ -2362,22 +2377,24 @@ def corpus_release(
     # attribute marginal cost per stage. Production callers leave it
     # None (full 9-row manifest).
     rows = [
-        _row("0_input", s0, _text_payload()),
-        _row("1_eval_holdout", s1, _text_payload()),
-        _row("2_exact_dedup", s2, _text_payload()),
-        _row("3_near_dedup", s3, _text_payload()),
-        _row("4_para_dedup", s4, _text_payload()),
-        _row("5_decontaminate", s5, _text_payload()),
-        _row("6_quality_gate", s6, _text_payload()),
-        _row("7_temperature_mix", s7, _text_payload()),
+        _row("0_input", s0, _text_sig_col),
+        _row("1_eval_holdout", s1, _text_sig_col),
+        _row("2_exact_dedup", s2, _text_sig_col),
+        _row("3_near_dedup", s3, _text_sig_col),
+        _row("4_para_dedup", s4, _text_sig_col),
+        _row("5_decontaminate", s5, _text_sig_col),
+        _row("6_quality_gate", s6, _text_sig_col),
+        _row("7_temperature_mix", s7, _text_sig_col),
         _row(
             "8_pack",
             s8,
-            F.concat(
-                F.col(id_col).cast("string"),
-                F.lit(":"),
-                F.col("__bin").cast("string"),
-            ),
+            _sig(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("__bin").cast("string"),
+                )
+            ).alias("content_sig"),
         ),
     ]
     if upto is not None:
