@@ -1227,8 +1227,14 @@ def char_trigram_perplexity(
     # The trigram LM is the ONLY corpus-fed aggregate; the context
     # LM and V both derive from it (sum over the prefix / distinct
     # third chars), so they run over the VOCAB-sized tri table —
-    # bounded by alphabet³, never the corpus.
-    v = tri.select(F.substring("__g", 3, 1)).distinct().count()
+    # bounded by alphabet³, never the corpus. V rides a broadcast
+    # 1-row aggregate instead of a driver-blocking .count() (r14: the
+    # count was a fourth sequential driver round trip, ~0.3 s of wall;
+    # k·V as a Column — F.lit(k)·__v, double×long — is bit-identical
+    # to the old F.lit(k*v) literal for any v < 2^53).
+    v_df = tri.agg(
+        F.countDistinct(F.substring("__g", 3, 1)).alias("__v")
+    )
     # Context counts via a window over the vocab-sized tri table
     # (context = the trigram key's own 2-char prefix): one vocab-keyed
     # exchange replaces the r6 ctx groupBy + prefix-equijoin pair —
@@ -1237,14 +1243,16 @@ def char_trigram_perplexity(
     w_ctx = Window.partitionBy(F.substring("__g", 1, 2))
     nll = -F.log(
         (F.col("__c3") + F.lit(k))
-        / (F.sum("__c3").over(w_ctx) + F.lit(k * v))
+        / (F.sum("__c3").over(w_ctx) + F.lit(k) * F.col("__v"))
     )
     # per-gram nll lookup: vocab-sized, broadcastable at ANY corpus
     # scale (trigram space is alphabet-bounded). Scoring: weighted
     # mean over the materialized per-doc gram counts, or the
     # per-occurrence mean over a second explode — identical values
     # (weights ARE the occurrence multiplicities).
-    lut = tri.select("__g", nll.alias("__nll"))
+    lut = tri.crossJoin(F.broadcast(v_df)).select(
+        "__g", nll.alias("__nll")
+    )
     if materialize:
         return (
             scoring_src.join(F.broadcast(lut), "__g")
@@ -1443,8 +1451,17 @@ def bloom_probe_projection(
 
     Returns (id, n_grams, n_flagged, is_flagged).
     """
-    bm = F.array(*[F.lit(b) for b in bitmap])
-    pows = F.array(*[F.lit(v) for v in _BLOOM_POWS])
+    # ONE parsed literal-array expression each (r14): building the
+    # 1024-word bitmap through F.lit/F.array was ~1030 py4j round
+    # trips — 0.63 s of measured driver wall per construction. A SQL
+    # bigint literal (L suffix) types exactly like F.lit(int) on
+    # 64-bit values, so the arrays — and the probe — are unchanged.
+    bm = F.expr(
+        "array(" + ", ".join(f"{b}L" for b in bitmap) + ")"
+    )
+    pows = F.expr(
+        "array(" + ", ".join(f"{v}L" for v in _BLOOM_POWS) + ")"
+    )
 
     def _bit_set(pair: Column, j: int) -> Column:
         pos = (pair["h1"] + F.lit(j) * pair["h2"]) % m_bits

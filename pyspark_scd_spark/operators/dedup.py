@@ -80,7 +80,7 @@ def _shingles(
         toks.filter(F.size("__toks") >= n)
         .select(
             "__id",
-            F.explode(TXT.word_shingles(F.col("__toks"), n)).alias("__s"),
+            F.explode(TXT.word_shingles("__toks", n)).alias("__s"),
         )
         .select("__id", F.xxhash64("__s").alias("shingle"))
         .distinct()
@@ -380,13 +380,25 @@ def _signatures_from_shingles(
     # it saved nothing measurable because the banded self-join, not
     # shingle hashing, dominates, and its linear dependence cost ~4%
     # candidate recall at j>=0.5. Independent hashes win.)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+    #
+    # ONE parsed struct-of-aggregates expression instead of k Column
+    # trees (r14): each F.min(F.xxhash64(col, lit)) chain is ~5 py4j
+    # round trips, so the 63-hash corpus_release form spent ~0.45 s of
+    # driver wall just constructing this aggregate. A single F.expr is
+    # one parse; the SQL int literal seed types exactly like F.lit(i)
+    # (IntegerType) so the hashes — and the aggregate values — are
+    # bit-identical (asserted in tests/test_dedup_expr_forms.py).
+    terms = ", ".join(
+        f"min(xxhash64(shingle, {i})) AS mh_{i}"
         for i in range(num_hashes)
-    ]
+    )
     if with_size:
-        aggs.append(F.count(F.lit(1)).alias("__n"))
-    return sh.groupBy("__id").agg(*aggs)
+        terms += ", count(1) AS __n"
+    return (
+        sh.groupBy("__id")
+        .agg(F.expr(f"struct({terms})").alias("__mh"))
+        .select("__id", "__mh.*")
+    )
 
 
 def minhash_signatures(
@@ -412,20 +424,25 @@ def _band_signatures(
 ) -> DataFrame:
     """(id, band, sig) rows: each band's row-hashes collapsed to one
     64-bit xxhash — the LSH bucket key. Shared by the self-join and
-    incremental (batch-vs-store) candidate generators."""
+    incremental (batch-vs-store) candidate generators.
+
+    Built as ONE parsed expression (r14, same rationale and
+    bit-identity argument as _signatures_from_shingles: named_struct
+    int literals type like F.lit(b), xxhash64 over the same columns)."""
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh_{i}")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+    arr = ", ".join(
+        "named_struct('band', {b}, 'sig', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{i}"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return sig.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array(*band_cols)).alias("bs"),
+        F.expr(f"explode(array({arr}))").alias("bs"),
     ).select(
         "__id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
